@@ -1,13 +1,476 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.config.{DatasetConfig, SourceConfig, TransformConfig}
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.{TextFunctions => T}
+import graft.sources.Lake
+import graft.transforms.Transforms
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per operator from SURVEY.md §2 (+ the
+  * training-data extension operators), with a DuckDB-equivalent `oracleSql` for
+  * every SQL-expressible one.
+  *
+  * Determinism across engines: aggregates over `double` columns are computed by
+  * casting inputs to `DECIMAL(18,2)` (the money/quantity scale of the data),
+  * summing exactly, and casting the final value to `double` — identical bits in
+  * Spark and DuckDB regardless of accumulation order. Integer-ish outputs are cast
+  * to BIGINT on both sides (Spark's `length`/`size`/`year` return INT, DuckDB's
+  * return BIGINT).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Lake.table(s, dir, name)
+
+  /** exact decimal cast for money/quantity doubles */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** order-independent exact sum of a double column, returned as double */
+  private def sumd(c: Column): Column = sum(dec(c)).cast("double")
+  private def bi(c: Column): Column = c.cast("long")
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): the multiway
+    * star join with broadcast dimensions. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q04_join_multiway")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- reference query surface (SURVEY §2.2-§2.6: SQL-passthrough re-homed
+    //      onto Catalyst + the two real ENGINE transform steps) ----
+
+    // GetDailyTrades shape (reference GetDailyTrades.sql:4-16): projection +
+    // range predicate + sort. Predicate and projection push into the scan.
+    "q01_filter_sort" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), bi(col("l_linenumber")).as("l_linenumber"),
+          col("l_partkey"), col("l_quantity"), col("l_extendedprice"), col("l_shipdate"))
+        .filter(col("l_shipdate").between("1996-01-01", "1996-12-31"))
+        .orderBy(col("l_shipdate").desc, col("l_orderkey"), col("l_linenumber"))),
+
+    // TPC-H Q1 shape: grouped exact aggregation.
+    "q02_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))),
+
+    // join + aggregate by segment.
+    "q03_join_agg" -> ((s, dir) => {
+      val orders = t(s, dir, "orders"); val cust = t(s, dir, "customer")
+      orders.join(cust, orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("revenue"))
+    }),
+
+    // multiway star join; dims broadcast explicitly (they are tiny at any SF —
+    // region/nation are bounded, customer fits the 10MB-1GB broadcast budget
+    // far past sf1000 only if bucketed; so customer joins hash, dims broadcast).
+    "q04_join_multiway" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+
+    // window function: top-3 orders per customer (rank with deterministic ties).
+    "q05_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), bi(col("rn")).as("rn"))
+    }),
+
+    "q06_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").select(col("l_returnflag"), col("l_linestatus")).distinct()),
+
+    // set operations: INTERSECT / EXCEPT combined with a tag.
+    "q07_setops" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").select(bi(col("c_nationkey")).as("nk"))
+      val supp = t(s, dir, "supplier").select(bi(col("s_nationkey")).as("nk"))
+      cust.intersect(supp).select(lit("both").as("tag"), col("nk"))
+        .union(cust.except(supp).select(lit("cust_only").as("tag"), col("nk")))
+    }),
+
+    // semi/anti joins: per-nation customer counts with/without orders.
+    "q08_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val o = t(s, dir, "orders")
+      val cn = c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val tot = cn.groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+      val withO = cn.join(o, cn("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("n_name").agg(count(lit(1)).as("with_orders"))
+      val withoutO = cn.join(o, cn("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy("n_name").agg(count(lit(1)).as("without_orders"))
+      tot.join(withO, Seq("n_name"), "left").join(withoutO, Seq("n_name"), "left")
+        .select(col("n_name"), col("n_customers"),
+          coalesce(col("with_orders"), lit(0L)).as("with_orders"),
+          coalesce(col("without_orders"), lit(0L)).as("without_orders"))
+    }),
+
+    // scalar function surface: string/math built-ins (all codegen'd).
+    "q09_scalar_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        bi(length(col("p_name"))).as("name_len"),
+        substring(col("p_type"), 1, 3).as("type_prefix"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+        bi(col("p_size") % 5).as("size_mod"),
+        bi(abs(col("p_size") - 25)).as("size_dist"),
+        floor(col("p_retailprice")).cast("long").as("price_floor"))),
+
+    // the ENGINE's real transform steps (DataCleansingStep.cs:24-63) run as a
+    // config-driven chain — trim all strings + empty→null.
+    "q10_cleansing" -> ((s, dir) => {
+      val steps = Seq(TransformConfig("DataCleansing", config =
+        Map("trimWhitespace" -> true, "removeEmptyStrings" -> true), order = 1))
+      Transforms.applyAll(t(s, dir, "customer"), steps)
+        .select(col("c_custkey"), col("c_name"), bi(col("c_nationkey")).as("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+    }),
+
+    // README-documented extension steps: DateFormat + partial DataMasking.
+    "q11_format_mask" -> ((s, dir) => {
+      val steps = Seq(
+        TransformConfig("DateFormat", order = 1,
+          config = Map("columns" -> List("o_orderdate"), "format" -> "yyyy-MM-dd")),
+        TransformConfig("DataMasking", order = 2,
+          config = Map("columns" -> List("o_orderpriority"), "maskType" -> "partial",
+            "keepLast" -> "4")))
+      Transforms.applyAll(t(s, dir, "orders"), steps)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    }),
+
+    "q12_topk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // grouped HAVING.
+    "q13_having" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_spent"))
+        .filter(col("n_orders") >= 12)),
+
+    // conditional aggregation (TPC-H Q14 shape), single-row result.
+    "q14_conditional_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val p = t(s, dir, "part")
+      val rev = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .agg(
+          sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double").as("promo_revenue"),
+          sum(rev).cast("double").as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // ROLLUP hierarchy totals.
+    "q15_rollup" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), sumd(col("c_acctbal")).as("acctbal_sum"))
+    }),
+
+    // event-time batch analytics: day bucketing + per-type rollup.
+    "q16_events_daily" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("value_sum"),
+          bi(countDistinct(col("user_id"))).as("n_users"))),
+
+    // semi-structured: JSON property extraction from the events props column.
+    "q17_json_extract" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))),
+
+    // scalar subquery (uncorrelated) — kept exact with the sum*count trick.
+    "q18_subquery" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice * (SELECT count(*) FROM orders)
+              |      > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              |         FROM orders)""".stripMargin)
+    }),
+
+    // correlated scalar subqueries (Catalyst decorrelates into aggregating joins).
+    "q19_corr_subquery" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_acctbal FROM customer c
+              |WHERE c_acctbal * (SELECT count(*) FROM customer c2
+              |                   WHERE c2.c_nationkey = c.c_nationkey)
+              |      > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+              |         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin)
+    }),
+
+    // the reference's canonical pipeline (SURVEY §7.2): parameterized raw-SQL
+    // extraction (spark.sql named-parameter API = the reference's @named binding)
+    // + DataCleansing + DataValidation chain.
+    "q20_pipeline_trades" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      val cfg = DatasetConfig(
+        datasetId = "trades-daily-query",
+        source = SourceConfig(`type` = "Parquet", extractionType = "Query",
+          sqlText = """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                      |  l_extendedprice, l_returnflag, l_shipdate FROM lineitem
+                      |WHERE l_shipdate BETWEEN :StartDate AND :EndDate""".stripMargin,
+          parameters = Map("StartDate" -> "1996-01-01", "EndDate" -> "1996-12-31")),
+        transformations = Seq(
+          TransformConfig("DataCleansing", order = 1,
+            config = Map("trimWhitespace" -> true)),
+          TransformConfig("DataValidation", order = 2,
+            config = Map("requiredColumns" -> List("l_orderkey", "l_shipdate")))))
+      val extracted = s.sql(cfg.source.sqlText, cfg.source.parameters)
+      Transforms.applyAll(extracted, cfg.transformations)
+        .withColumn("l_linenumber", bi(col("l_linenumber")))
+    }),
+
+    // ---- training-data extension operators (SURVEY §7.1(7)) ----
+
+    // exact dedup groups over document text.
+    "d01_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
+
+    // normalized-fingerprint dedup (xxhash64 — not DuckDB-expressible).
+    "d02_dedup_fingerprint" -> ((s, dir) =>
+      Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")),
+
+    // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    "d03_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)),
+
+    // SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
+    "d04_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 3, chunks = 4)),
+
+    // exact n-gram Jaccard pairs via inverted-index join.
+    "d05_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.4)),
+
+    // embedding cosine near-dup pairs (sign-LSH candidates, exact verify).
+    // This corpus has no true near-dups (max pairwise cosine ≈ 0.51), so the
+    // demo threshold is 0.45 with a generous multi-table recall budget.
+    "d06_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        dim = 64, threshold = 0.45, planesPerTable = 6, tables = 8)),
+
+    // exact brute-force cosine top-k (correctness baseline for ANN).
+    "s01_ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+    }),
+
+    // sign-LSH ANN with exact re-rank. Plane/table budget sized for this
+    // corpus's moderate-similarity NNs (cos ≈ 0.5 → ~0.67 collision/plane):
+    // 4 planes × 12 tables ≈ 93% rank-1 recall at bounded candidate cost.
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, planesPerTable = 4, tables = 12)
+    }),
+
+    // text analysis: language-ID + quality + token counts + fingerprint.
+    "t01_text_features" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        T.langId(col("text")).as("lang_pred"),
+        bi(T.tokenCount(col("text"))).as("n_tokens"),
+        bi(T.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
+        T.fingerprint(col("text")).as("fingerprint"),
+        T.qualityScore(col("text")).as("quality"))),
+
+    // token stats expressible identically in ANSI SQL (exact integer outputs).
+    "t02_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        bi(length(col("text"))).as("n_chars_actual"),
+        (bi(length(col("text"))) - bi(length(regexp_replace(col("text"), " ", ""))) + lit(1L))
+          .as("n_words"))),
+
+    // multimodal: binary payload plumbing + stubbed decode (mapPartitions batch).
+    "m01_media_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")).toDF()),
+
+    // multimodal metadata path (binary length + content hash — SQL-expressible).
+    "m02_media_bytes" -> ((s, dir) =>
+      Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")
+        .select(col("media_id"), bi(length(col("payload"))).as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"))),
+
+    // multimodal frame-sampling explode shape.
+    "m03_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source"),
+        frameBytes = 64, stride = 2)
+        .select(col("media_id"), bi(col("n_frames")).as("n_frames"),
+          bi(col("frame_idx")).as("frame_idx")))
+  )
+
+  /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
+    * exact-decimal aggregation so values hash identically. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_sort" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+        |  l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+        |ORDER BY l_shipdate DESC, l_orderkey, l_linenumber""".stripMargin,
+    "q02_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q03_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q04_join_multiway" ->
+      """SELECT r_name, n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q05_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "q06_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q07_setops" ->
+      """SELECT 'both' AS tag, nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+        |UNION ALL
+        |SELECT 'cust_only' AS tag, nk FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""".stripMargin,
+    "q08_semi_anti" ->
+      """SELECT n_name, count(*) AS n_customers,
+        |  count(o.o_custkey) AS with_orders,
+        |  count(*) - count(o.o_custkey) AS without_orders
+        |FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c.c_custkey = o.o_custkey
+        |GROUP BY n_name""".stripMargin,
+    "q09_scalar_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  substring(p_type, 1, 3) AS type_prefix,
+        |  p_brand || '#' || p_type AS brand_type,
+        |  CAST(p_size % 5 AS BIGINT) AS size_mod,
+        |  CAST(abs(p_size - 25) AS BIGINT) AS size_dist,
+        |  CAST(floor(p_retailprice) AS BIGINT) AS price_floor
+        |FROM part""".stripMargin,
+    "q10_cleansing" ->
+      """SELECT c_custkey,
+        |  NULLIF(TRIM(c_name), '') AS c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  c_acctbal,
+        |  NULLIF(TRIM(c_mktsegment), '') AS c_mktsegment
+        |FROM customer""".stripMargin,
+    "q11_format_mask" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  CASE WHEN o_orderpriority IS NOT NULL
+        |       THEN '***' || right(o_orderpriority, 4) END AS o_orderpriority
+        |FROM orders""".stripMargin,
+    "q12_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q13_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 12""".stripMargin,
+    "q14_conditional_agg" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q15_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "q16_events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY CAST(ts AS DATE), event_type""".stripMargin,
+    "q17_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+    "q18_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice * (SELECT count(*) FROM orders)
+        |      > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         FROM orders)""".stripMargin,
+    "q19_corr_subquery" ->
+      """SELECT c_custkey, c_acctbal FROM customer c
+        |WHERE c_acctbal * (SELECT count(*) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |      > (SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |         FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)""".stripMargin,
+    "q20_pipeline_trades" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_partkey,
+        |  l_quantity, l_extendedprice, TRIM(l_returnflag) AS l_returnflag, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""".stripMargin,
+    "d01_dedup_exact" ->
+      "SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text",
+    "t02_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+        |  CAST(length(text) AS BIGINT) - CAST(length(replace(text, ' ', '')) AS BIGINT) + 1
+        |    AS n_words
+        |FROM documents""".stripMargin,
+    "m02_media_bytes" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha
+        |FROM documents""".stripMargin
+  )
 }

@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines, built from
+  * codegen'd `org.apache.spark.sql.functions` (no Scala closures in the hot path —
+  * higher-order array functions + hash expressions only, so everything stays inside
+  * Catalyst and distributes trivially).
+  *
+  * These go beyond the reference (whose only string ops are trim / empty→null,
+  * `/root/reference/src/Infrastructure/Transformation/Common/DataCleansingStep.cs:43-51`)
+  * — they are the §SURVEY-7.1(7) extension surface: language-ID, quality scoring,
+  * token counting, fingerprinting, shingling.
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empty-safe. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => length(t) > 0)
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-count estimate: word-piece regex (letter runs, digit runs,
+    * single punctuation marks), the usual pre-tokenizer shape for byte-pair
+    * encoders. Counted with codegen'd `regexp_count`. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Contiguous word n-grams ("shingles") as an array of strings. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = tokens(text)
+    when(size(ts) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
+  }
+
+  /** MinHash signature of a shingle array: `k` 64-bit hash families, family `i`
+    * being `xxhash64(shingle, i)`; signature element = min over shingles.
+    * Empty input → null signature. All inside Catalyst — no UDF. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    when(size(shingles) === 0, lit(null))
+      .otherwise(transform(
+        sequence(lit(1), lit(k)),
+        i => array_min(transform(shingles, s => xxhash64(s, i)))))
+
+  /** 64-bit SimHash of a token array, computed as pure Catalyst expressions:
+    * for each bit b, sum ±1 over `xxhash64(token)` bit b, then pack the sign bits.
+    * O(64·n) per row but fully codegen-eligible and shuffle-free. */
+  def simhash64(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
+    // shiftright/shiftleft in functions._ take an Int; inside a lambda the shift
+    // amount is a Column, so call the SQL functions by name.
+    def shr(c: Column, n: Column) = call_function("shiftright", c, n)
+    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+    val bits = transform(sequence(lit(0), lit(63)), b => {
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote >= 0, lit(1L)).otherwise(lit(0L))
+    })
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Rolling-hash document fingerprint: 64-bit hash of the
+    * whitespace-normalized, lowercased text — the exact-dup key that survives
+    * formatting noise. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Winnowing-style robust fingerprint set: the `w` smallest shingle hashes
+    * (bottom-w sketch) — a compact set whose overlap estimates containment. */
+  def bottomSketch(shingles: Column, w: Int): Column =
+    slice(array_sort(array_distinct(transform(shingles, s => xxhash64(s)))), 1, w)
+
+  // ---- quality scoring ----------------------------------------------------
+
+  /** Ratio of non-alphanumeric, non-space chars to total chars (0 when empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    when(total === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / total)
+  }
+
+  /** Ratio of uppercase letters to letters (0 when no letters). */
+  def upperRatio(text: Column): Column = {
+    val letters = regexp_count(text, lit("[A-Za-z]"))
+    when(letters === 0, 0.0)
+      .otherwise(regexp_count(text, lit("[A-Z]")).cast("double") / letters)
+  }
+
+  private val enStopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "on", "for", "with", "as", "at", "by", "it", "this", "that")
+
+  /** Fraction of tokens that are common English stopwords — a standard
+    * natural-language-ness signal (near 0 for code/tables/gibberish). */
+  def stopwordRatio(text: Column): Column = {
+    val ts = tokens(text)
+    // array_intersect would dedup; the ratio wants stopword *positions*, so filter.
+    when(size(ts) === 0, 0.0)
+      .otherwise(size(filter(ts, t => t.isin(enStopwords: _*))).cast("double") / size(ts))
+  }
+
+  /** Mean token length (0 when empty). */
+  def meanTokenLen(text: Column): Column = {
+    val ts = tokens(text)
+    when(size(ts) === 0, 0.0)
+      .otherwise(aggregate(ts, lit(0), (acc, t) => acc + length(t)).cast("double") / size(ts))
+  }
+
+  /** Composite document-quality score in [0,1]: long enough, natural stopword
+    * density, sane punctuation/caps. Weights are heuristic; each component is a
+    * deterministic built-in expression. */
+  def qualityScore(text: Column): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
+    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    val casePenalty = greatest(lit(0.0), lit(1.0) - upperRatio(text))
+    round(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.2 + casePenalty * 0.1, 6)
+  }
+
+  // ---- language identification -------------------------------------------
+
+  /** Tiny deterministic stopword/character n-gram profiles per language. Public
+    * knowledge (standard stopword lists); enough signal for routing/filtering. */
+  private val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for",
+      "with", "as", "his", "they", "at"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+      "se", "del", "por", "con", "no"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "est",
+      "que", "pour", "dans", "qui", "pas"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+      "auf", "für", "den", "von", "zu", "im"))
+
+  /** N-gram/stopword-heuristic language ID: score = matching stopword positions
+    * per language; argmax with deterministic tie-break (profile order); "und"
+    * (undetermined) when nothing matches. Pure Catalyst expressions. */
+  def langId(text: Column): Column = {
+    val ts = tokens(text)
+    // struct sort: (score desc via negation, stable priority asc, lang)
+    val scored = langProfiles.zipWithIndex.map { case ((lang, words), prio) =>
+      struct(
+        (-size(filter(ts, t => t.isin(words: _*)))).alias("negScore"),
+        lit(prio).alias("prio"),
+        lit(lang).alias("lang"))
+    }
+    val best = array_sort(array(scored: _*)).getItem(0)
+    when(best.getField("negScore") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+}

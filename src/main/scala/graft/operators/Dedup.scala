@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed shuffle-first
+  * for the 100 TB case:
+  *
+  *  - exact dedup shuffles a 8-byte fingerprint, never the document text;
+  *  - MinHash/SimHash candidate generation is banded LSH — candidates meet in
+  *    hash-bucket partitions, so the join key space is bounded and all-pairs
+  *    comparison never happens;
+  *  - verification (exact Jaccard / Hamming) runs only on candidate pairs.
+  *
+  * Extension surface beyond the reference (SURVEY §7.1(7)); algorithms are the
+  * standard public ones (Broder 1997 MinHash; Charikar 2002 SimHash;
+  * banding per Mining of Massive Datasets ch.3).
+  */
+object Dedup {
+
+  /** Exact dedup, keeping the lowest id per identical key. Implemented as a
+    * fingerprint-partitioned min-id window: the shuffle key is `xxhash64(key)` — 8
+    * bytes/row regardless of document size — and the text only rides along within
+    * its own partition. */
+  def exact(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val fp = xxhash64(col(keyCol))
+    // hash + exact key in the window partition: the hash bounds the shuffle key
+    // width, the exact key guards against 64-bit collisions.
+    val w = Window.partitionBy(fp, col(keyCol)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Exact-dup groups: one row per duplicated key with the surviving id and the
+    * group size (droppable rows = dup_count - 1). */
+  def exactGroups(df: DataFrame, idCol: String, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Normalized-text dedup: exact dedup over the whitespace/case-normalized
+    * fingerprint (catches formatting-only dups). */
+  def byFingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("_fp", T.fingerprint(col(textCol)))
+      .groupBy(col("_fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .withColumnRenamed("_fp", "fingerprint")
+
+  /** MinHash+LSH near-dup candidate pairs with exact-Jaccard verification.
+    *
+    * shingle → k-hash MinHash signature → split into `bands` bands → explode →
+    * self-join on (band index, band hash) → verify candidates with exact Jaccard
+    * over distinct shingle sets → pairs with `jaccard >= threshold`.
+    *
+    * Scale: the only wide exchanges are (a) the band-bucket join, whose key space
+    * is bands × hash values, and (b) the id-keyed joins to fetch shingle sets for
+    * *candidates only*. Nothing is ever all-pairs. */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+
+    val shingled = df
+      .select(col(idCol).as("id"), T.wordShingles(col(textCol), shingleN).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .withColumn("shingles", array_distinct(col("shingles")))
+    val sigs = shingled
+      .withColumn("sig", T.minhashSignature(col("shingles"), numHashes))
+
+    // band hash = xxhash64 over the band's signature slice
+    val banded = sigs.select(
+      col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandHash"))
+
+    val left = banded.withColumnsRenamed(Map("id" -> "id_a"))
+    val right = banded.withColumnsRenamed(Map("id" -> "id_b"))
+    val candidates = left.join(right, Seq("band", "bandHash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val setsA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val setsB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash, banded into `chunks` sub-keys
+    * (pigeonhole: hamming ≤ maxHamming with `chunks > maxHamming` guarantees at
+    * least one identical chunk), verified with exact Hamming distance via
+    * `bit_count(xor)`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
+    val bitsPerChunk = 64 / chunks
+    val sigs = df.select(
+      col(idCol).as("id"),
+      T.simhash64(T.tokens(col(textCol))).as("simhash"))
+
+    val banded = sigs.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        c => call_function("shiftright", col("simhash"), c * bitsPerChunk)
+          .bitwiseAND(lit((1L << bitsPerChunk) - 1)))))
+      .withColumnsRenamed(Map("pos" -> "chunk", "col" -> "chunkKey"))
+
+    val left = banded.select(col("chunk"), col("chunkKey"),
+      col("id").as("id_a"), col("simhash").as("sim_a"))
+    val right = banded.select(col("chunk"), col("chunkKey"),
+      col("id").as("id_b"), col("simhash").as("sim_b"))
+    left.join(right, Seq("chunk", "chunkKey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity pairs via an inverted-index candidate join:
+    * explode distinct shingles, self-join postings on shingle hash to find pairs
+    * sharing ≥1 shingle, then verify with exact `array_intersect` Jaccard over
+    * the full shingle sets. Never all-pairs — candidate cost is Σ posting-list²,
+    * and stop-shingle pruning (`maxDocFreq`) caps the quadratic term. Pruning
+    * only narrows *candidate generation* (a pair sharing nothing but
+    * stop-shingles can be missed); every reported jaccard is computed on the
+    * complete sets and is exact. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.5,
+                        maxDocFreq: Long = 1000): DataFrame = {
+    val shingled = df
+      .select(col(idCol).as("id"),
+        array_distinct(T.wordShingles(col(textCol), shingleN)).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+
+    val postings = shingled
+      // hash the shingle: the join key becomes 8 bytes instead of the n-gram text
+      .select(col("id"), explode(col("shingles")).as("shingle"))
+      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+
+    // stop-shingle pruning: a shingle present in >maxDocFreq docs contributes
+    // O(df²) candidate pairs; docs whose every shared shingle is that common
+    // are not near-dups at any reasonable threshold.
+    val filtered = postings
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("df") <= maxDocFreq)
+
+    val a = filtered.select(col("sh"), col("id").as("id_a"))
+    val b = filtered.select(col("sh"), col("id").as("id_b"))
+    val candidates = a.join(b, "sh")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val setsA = shingled.select(col("id").as("id_a"), col("shingles").as("sh_a"))
+    val setsB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
+    candidates
+      .join(setsA, "id_a").join(setsB, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-dup pairs: sign-LSH bucketing (multi-table for recall) then
+    * exact cosine ≥ threshold within candidates. */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, threshold: Double = 0.95,
+                            planesPerTable: Int = 12, tables: Int = 4,
+                            seed: Long = 42L): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), V.l2normalize(col(vecCol)).as("v"))
+    val banded = (0 until tables).map { t =>
+      val planes = V.hyperplanes(dim, planesPerTable, seed + t)
+      vecs.select(col("id"), col("v"), lit(t).as("table"),
+        V.signBucket(col("v"), planes).as("bucket"))
+    }.reduce(_ union _)
+
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), V.dot(col("v_a"), col("v_b")).as("cosine"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("cosine")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => V}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column (`array<float>`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The query set is broadcast, so the
+  *    corpus is scanned once with no shuffle of the corpus side; per-query top-k is
+  *    a bounded window. Right when |queries| is small (the usual batch-scoring
+  *    shape). This is the correctness baseline.
+  *  - [[lshTopK]] — sign-LSH (random hyperplane) bucketing, multi-table for
+  *    recall: corpus and queries hash to buckets, candidates meet in a bucket
+  *    equi-join, exact cosine re-ranks. At 100 TB the bucket join shuffles only
+  *    (table, bucket, id, vec) and touches ~|corpus|/2^planes per bucket instead
+  *    of the whole corpus per query — the IVF-style scale path.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * Output: (query_id, neighbor_id, cosine, rank), rank 1..k, ties broken by
+    * neighbor id for determinism. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        V.dot(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Approximate top-k via multi-table sign-LSH with exact re-ranking.
+    * Recall rises with `tables`; candidate cost falls with `planesPerTable`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              planesPerTable: Int = 10, tables: Int = 8, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
+
+    def banded(df: DataFrame, vec: String): DataFrame =
+      (0 until tables).map { t =>
+        val planes = V.hyperplanes(dim, planesPerTable, seed + t)
+        df.withColumn("table", lit(t))
+          .withColumn("bucket", V.signBucket(col(vec), planes))
+      }.reduce(_ union _)
+
+    val candidates = banded(c, "cv")
+      .join(broadcast(banded(q, "qv")), Seq("table", "bucket"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(first(col("qv")).as("qv"), first(col("cv")).as("cv"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"), V.dot(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+}

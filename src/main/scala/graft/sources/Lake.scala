@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Lake-table catalog over the driver-generated parquet test lake.
+  *
+  * The reference delegates all relational work to the source RDBMS — the whole SQL
+  * text is shipped to SQL Server / Oracle (reference
+  * `src/Worker/Jobs/DataIngestionJob.cs:84-112`,
+  * `src/Infrastructure/DataExtraction/SqlServerDataSource.cs:55-59`). Spark-first, the
+  * equivalent query surface is: register each lake table as a temp view once, then let
+  * `spark.sql` / DataFrame ops plan against the parquet scans. Predicate pushdown,
+  * column pruning and partition pruning then come free from Catalyst, replacing the
+  * remote database's optimizer.
+  *
+  * At 100 TB the only change is the path: these would be partitioned/bucketed
+  * catalog tables (`spark.table(name)`) instead of loose parquet files; every
+  * downstream operator in this library is written against the DataFrame, not the
+  * path, so nothing else changes.
+  */
+object Lake {
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // The events table stores TIMESTAMP(NANOS), which Spark reads only as raw
+    // nanos-since-epoch longs (spark.sql.legacy.parquet.nanosAsLong=true — set by
+    // Verify/Bench/test sessions). Surface it as a real TimestampType, truncated
+    // to Spark's microsecond precision.
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every lake table as a temp view named after the table, so raw-SQL
+    * extraction (reference `ExtractionType.Query`) is a straight `spark.sql(text)`. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "spark structured streaming processes unbounded data with watermarks and state"),
+    (5L, "completely different text about cooking pasta with tomatoes and fresh basil leaves"),
+    (6L, "THE QUICK BROWN FOX jumps over the lazy dog near the river bank today") // case variant of 1
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per identical text") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 4L, 5L, 6L)) // 2 dropped (dup of 1)
+  }
+
+  test("exactGroups reports group sizes") {
+    val out = Dedup.exactGroups(docs, "doc_id", "text")
+      .filter(col("dup_count") > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("fingerprint dedup also folds case/whitespace variants") {
+    val out = Dedup.byFingerprint(docs, "doc_id", "text")
+      .filter(col("dup_count") > 1).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("keep_id") == 1L)
+    assert(out(0).getAs[Long]("dup_count") == 3L) // 1, 2, and case-variant 6
+  }
+
+  test("minhash LSH finds the planted near-dup pair and skips unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
+  }
+
+  test("minhash jaccard values are exact (verified against set arithmetic)") {
+    val row = Dedup.minhashPairs(docs, "doc_id", "text",
+      shingleN = 2, numHashes = 32, bands = 16, threshold = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Double]("jaccard") == 1.0)
+  }
+
+  test("simhash pairs: exact dup has hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+  }
+
+  test("ngram jaccard exact pairs match minhash-verified jaccard") {
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 2, threshold = 0.4)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out.contains((1L, 3L)))
+    assert(out((1L, 3L)) > 0.4 && out((1L, 3L)) < 1.0)
+  }
+
+  test("embedding near-dup finds planted duplicate vector") {
+    val base = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val nearDup = base.clone(); nearDup(0) = base(0) + 0.001f
+    val other = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat)
+    val df = Seq((1L, base.toSeq), (2L, nearDup.toSeq), (3L, other.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planesPerTable = 4, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import graft.config.{DatasetConfig, SourceConfig, TransformConfig}
+import graft.pipeline.IngestionPipeline
+import graft.sinks.CtlManifest
+import org.apache.hadoop.fs.Path
+
+import java.nio.file.Files
+import java.time.{ZoneOffset, ZonedDateTime}
+
+/** End-to-end: the SURVEY §7.2 minimum slice — parameterized SQL extraction over
+  * the lake, cleansing + validation, single-file parquet + CTL, all atomic. */
+class PipelineSpec extends SparkSpec {
+
+  private val now = ZonedDateTime.of(2026, 8, 12, 12, 0, 0, 0, ZoneOffset.UTC)
+
+  private def tradesConfig = DatasetConfig(
+    datasetId = "trades-test",
+    source = SourceConfig(extractionType = "Query",
+      sqlText = """SELECT l_orderkey, l_shipdate, l_quantity, l_returnflag FROM lineitem
+                  |WHERE l_shipdate BETWEEN :StartDate AND :EndDate""".stripMargin,
+      parameters = Map("StartDate" -> "1996-01-01", "EndDate" -> "1996-12-31")),
+    transformations = Seq(
+      TransformConfig("DataCleansing", order = 1, config = Map("trimWhitespace" -> true)),
+      TransformConfig("DataValidation", order = 2,
+        config = Map("requiredColumns" -> List("l_orderkey", "l_shipdate")))))
+
+  test("full pipeline: extract -> transform -> parquet + ctl, counts and checksum agree") {
+    val dest = Files.createTempDirectory("graft-pipe").toString
+    val ctx = IngestionPipeline.run(spark, tradesConfig, sf0001, dest, now = now)
+    assert(ctx.errors.isEmpty, ctx.errors.mkString("; "))
+    assert(!ctx.failed)
+    assert(ctx.rowCount.exists(_ > 0))
+
+    // data file exists with the templated name and the right row count
+    val dataFile = new java.io.File(dest, ctx.dataFileName.get)
+    assert(dataFile.exists())
+    assert(spark.read.parquet(dataFile.toString).count() == ctx.rowCount.get)
+
+    // ctl exists, recordCount matches, checksum matches an independent SHA-256
+    val ctl = ctx.ctl.get
+    assert(ctl.recordCount == ctx.rowCount.get)
+    val fs = new Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ctl.checksum == CtlManifest.sha256OfFile(fs, new Path(dataFile.toString)))
+    assert(ctl.datasetName == "trades-test_20260812120000")
+    val ctlFile = new java.io.File(dest, ctx.dataFileName.get.replace(".parquet", ".ctl"))
+    assert(ctlFile.exists())
+  }
+
+  test("validation failure is Critical and aborts before any write") {
+    val dest = Files.createTempDirectory("graft-pipe-fail").toString
+    val bad = tradesConfig.copy(transformations = Seq(
+      TransformConfig("DataValidation", order = 1,
+        config = Map("requiredColumns" -> List("no_such_column")))))
+    val ctx = IngestionPipeline.run(spark, bad, sf0001, dest, now = now)
+    assert(ctx.failed)
+    assert(ctx.errors.exists(e => e.stage == "Transformation" &&
+      e.severity == IngestionPipeline.Severity.Critical))
+    assert(ctx.writtenPath.isEmpty)
+    assert(new java.io.File(dest).listFiles().forall(_.getName.startsWith(".tmp") == false),
+      "no data files should be committed")
+  }
+
+  test("environment gating skips non-matching transforms end to end") {
+    val dest = Files.createTempDirectory("graft-pipe-env").toString
+    val cfg = tradesConfig.copy(transformations = Seq(
+      TransformConfig("DataValidation", order = 1, environments = Seq("Development"),
+        config = Map("requiredColumns" -> List("no_such_column")))))
+    // the failing validation step is gated to Development; Production run succeeds
+    val ctx = IngestionPipeline.run(spark, cfg, sf0001, dest, environment = "Production", now = now)
+    assert(!ctx.failed)
+    assert(ctx.rowCount.exists(_ > 0))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Similarity
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Seq(1f, 0f, 0f)),
+    (2L, Seq(0.9f, 0.1f, 0f)), // closest to 1
+    (3L, Seq(0f, 1f, 0f)),
+    (4L, Seq(0f, 0.9f, 0.1f)), // closest to 3
+    (5L, Seq(0f, 0f, 1f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 1),
+      "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(2L, 3L))
+    assert(out(0).getAs[Int]("rank") == 1)
+    assert(out(0).getAs[Double]("cosine") > 0.98)
+  }
+
+  test("bruteForceTopK excludes self by default") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 4)
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    // every query gets exactly k=4 neighbors (corpus of 5, minus self)
+    val counts = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 4))
+  }
+
+  test("lshTopK rank-1 recall vs brute force on real embeddings") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // this corpus's true NNs sit near cosine 0.5 (collision prob ≈ 0.67/plane),
+    // so recall needs few planes per table and many tables
+    val approx = Similarity.lshTopK(e, queries, "vec_id", "embedding",
+      k = 1, dim = 64, planesPerTable = 4, tables = 12)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact.count { case (q, n) => approx.get(q).contains(n) }
+    // multi-table sign-LSH should recover the true NN for most queries
+    assert(hits >= (exact.size * 0.6).toInt, s"recall too low: $hits/${exact.size}")
+  }
+
+  test("deterministic across runs (seeded hyperplanes)") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") === 3)
+    val a = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(_.toString).toSeq
+    val b = Similarity.lshTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}

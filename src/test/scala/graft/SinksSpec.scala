@@ -1,0 +1,97 @@
+package graft
+
+import graft.sinks.{CtlManifest, ParquetSink}
+import org.apache.hadoop.fs.Path
+
+import java.nio.file.Files
+import java.time.{ZoneOffset, ZonedDateTime}
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir() = Files.createTempDirectory("graft-sink").toString
+
+  test("writeSingleFile produces exactly one parquet file with the given name") {
+    val dir = tmpDir()
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    val res = ParquetSink.writeSingleFile(df, dir, "out.parquet")
+    assert(res.path.endsWith("/out.parquet"))
+    val files = new java.io.File(dir).listFiles().filterNot(_.getName.startsWith("."))
+    assert(files.map(_.getName).toSeq == Seq("out.parquet"))
+    assert(spark.read.parquet(res.path).count() == 3)
+  }
+
+  test("writeSingleFile honors overwriteExisting=false") {
+    val dir = tmpDir()
+    val df = Seq((1, "a")).toDF("id", "v")
+    ParquetSink.writeSingleFile(df, dir, "out.parquet")
+    intercept[IllegalStateException] {
+      ParquetSink.writeSingleFile(df, dir, "out.parquet", overwrite = false)
+    }
+  }
+
+  test("compression codec config is honored (gzip vs snappy file bytes differ)") {
+    val dir1 = tmpDir(); val dir2 = tmpDir()
+    val df = Seq.tabulate(1000)(i => (i, s"value-$i")).toDF("id", "v")
+    val a = ParquetSink.writeSingleFile(df, dir1, "a.parquet", compression = "Snappy")
+    val b = ParquetSink.writeSingleFile(df, dir2, "b.parquet", compression = "Gzip")
+    assert(a.bytes != b.bytes)
+    assert(spark.read.parquet(b.path).count() == 1000)
+  }
+
+  test("CTL record matches reference contract: count, checksum, name, CSV shape") {
+    val dir = tmpDir()
+    val df = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val res = ParquetSink.writeSingleFile(df, dir, "data.parquet")
+    val now = ZonedDateTime.of(2026, 8, 12, 10, 0, 0, 0, ZoneOffset.UTC)
+    val rec = CtlManifest.forFile(spark, res.path, 2, "ds1", "Parquet", now)
+    assert(rec.recordCount == 2)
+    assert(rec.datasetName == "ds1_20260812100000")
+    assert(rec.refDate == "2026-08-12")
+    // checksum equals an independently computed SHA-256 of the file bytes
+    val bytes = Files.readAllBytes(java.nio.file.Paths.get(res.path.stripPrefix("file:")))
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    assert(rec.checksum == md.digest(bytes).map("%02x".format(_)).mkString)
+    val csv = CtlManifest.toCsv(rec)
+    val lines = csv.split("\r\n")
+    assert(lines(0) == "RecordCount,RefDate,Checksum,Timestamp,DatasetName,Source")
+    assert(lines(1).startsWith("2,2026-08-12,"))
+  }
+
+  test("CTL CSV escaping is RFC-4180") {
+    val rec = CtlManifest.CtlRecord(1, "2026-01-01", "abc", "t", "name,with\"quote", "s")
+    val csv = CtlManifest.toCsv(rec)
+    assert(csv.contains("\"name,with\"\"quote\""))
+  }
+
+  test("CTL write is atomic and lands next to the data") {
+    val dir = tmpDir()
+    val rec = CtlManifest.CtlRecord(5, "2026-01-01", "h", "ts", "n", "s")
+    val p = CtlManifest.write(spark, dir, "data.ctl", rec)
+    assert(new java.io.File(dir, "data.ctl").exists())
+    assert(Files.readString(java.nio.file.Paths.get(p.stripPrefix("file:")))
+      .startsWith("RecordCount"))
+  }
+
+  test("partitioned write + directory manifest aggregates all part files") {
+    val dir = tmpDir() + "/out"
+    val df = Seq.tabulate(100)(i => (i, i % 5)).toDF("id", "bucket").repartition(4)
+    val res = ParquetSink.writePartitioned(df, dir)
+    assert(res.files.size > 1)
+    val rec = CtlManifest.forDirectory(spark, dir, 100, "ds", "Parquet")
+    assert(rec.recordCount == 100)
+    assert(rec.checksum.length == 64)
+    // deterministic: recompute equals
+    val rec2 = CtlManifest.forDirectory(spark, dir, 100, "ds", "Parquet")
+    assert(rec.checksum == rec2.checksum)
+  }
+
+  test("listPartFiles skips _SUCCESS and hidden files") {
+    val dir = tmpDir() + "/out"
+    Seq((1, "a")).toDF("id", "v").write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = ParquetSink.listPartFiles(fs, new Path(dir))
+    assert(files.nonEmpty)
+    assert(files.forall(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
+  }
+}

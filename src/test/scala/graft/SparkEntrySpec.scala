@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke coverage of the driver contract: every query runs at sf0.001 and the
+  * flagship entry returns rows. (Value-level correctness is gated by the driver's
+  * DuckDB compare at sf0.01 — locally reproduced by tools/compare_oracle.py.) */
+class SparkEntrySpec extends SparkSpec {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("all queries execute at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      try { fn(spark, sf0001).limit(1).collect(); None }
+      catch { case e: Throwable => Some(s"$name: ${e.getMessage}") }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("minhash pairs finds near-dup structure in the synthetic documents") {
+    val pairs = SparkEntry.queries("d03_minhash_pairs")(spark, sf0001)
+    // jaccard bounded and ids ordered
+    val bad = pairs.filter(col("jaccard") > 1.0 || col("jaccard") < 0.0 ||
+      col("id_a") >= col("id_b")).count()
+    assert(bad == 0)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import graft.functions.{TextFunctions => T}
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[A](c: org.apache.spark.sql.Column, text: String): A =
+    Seq(text).toDF("t").select(c.as("r")).collect()(0).getAs[A]("r")
+
+  test("tokenCount handles empty / multi-space / mixed-case") {
+    assert(one[Int](T.tokenCount(col("t")), "hello  world foo") == 3)
+    assert(one[Int](T.tokenCount(col("t")), "") == 0)
+    assert(one[Int](T.tokenCount(col("t")), "   ") == 0)
+  }
+
+  test("wordShingles produces n-grams in order; short text -> empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(T.wordShingles(col("t"), 2).as("r")).collect()(0).getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    assert(Seq("a b").toDF("t").select(T.wordShingles(col("t"), 3).as("r"))
+      .collect()(0).getSeq[String](0).isEmpty)
+  }
+
+  test("minhash signatures: identical texts match, different texts differ") {
+    val df = Seq("the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy dog",
+      "completely different words here entirely now").toDF("t")
+    val sigs = df.select(T.minhashSignature(T.wordShingles(col("t"), 2), 16).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs(0).toSeq == sigs(1).toSeq)
+    assert(sigs(0).toSeq != sigs(2).toSeq)
+    assert(sigs(0).length == 16)
+  }
+
+  test("simhash: near-identical texts are close in Hamming distance") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog and runs far away today"),
+      ("b", "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      ("c", "entirely unrelated content about database query optimization engines")).toDF("id", "t")
+    val m = df.select(col("id"), T.simhash64(T.tokens(col("t"))).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m("a"), m("b")) < ham(m("a"), m("c")))
+    assert(ham(m("a"), m("b")) <= 12)
+  }
+
+  test("fingerprint is whitespace/case-invariant") {
+    val fps = Seq("Hello   World", "hello world", "goodbye world").toDF("t")
+      .select(T.fingerprint(col("t")).as("f")).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("langId picks the dominant stopword language, und when none") {
+    assert(one[String](T.langId(col("t")),
+      "the cat and the dog sat on the mat for a while") == "en")
+    assert(one[String](T.langId(col("t")),
+      "el perro y el gato en la casa de los abuelos") == "es")
+    assert(one[String](T.langId(col("t")),
+      "der Hund und die Katze sind nicht im Haus") == "de")
+    assert(one[String](T.langId(col("t")), "zzz qqq xxx") == "und")
+  }
+
+  test("quality score: natural prose scores higher than junk") {
+    val good = one[Double](T.qualityScore(col("t")),
+      "the researchers published a detailed analysis of the system and its " +
+        "performance for a wide range of workloads in the field")
+    val junk = one[Double](T.qualityScore(col("t")), "$$$ !!! ### @@@ %%%")
+    assert(good > junk)
+    assert(good >= 0.0 && good <= 1.0)
+  }
+
+  test("punct/upper ratios and bpe token count") {
+    assert(one[Double](T.punctRatio(col("t")), "ab!?") == 0.5)
+    assert(one[Double](T.upperRatio(col("t")), "AbCd") == 0.5)
+    assert(one[Int](T.bpeTokenCount(col("t")), "hello, world 42") == 2 + 1 + 2) // hello , world 4 2
+  }
+}

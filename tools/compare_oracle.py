@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's t2 gate: run Verify's parquet dumps against
+DuckDB oracle SQL on the same lake, compare schema/rows/values exactly.
+
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json, sys, glob, os
+import duckdb
+
+out_dir, sf_dir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+all_q = sorted(d for d in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, d)))
+fails = 0
+for name in all_q:
+    files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+    got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
+    if name not in oracle:
+        print(f"ROWS-ONLY {name}: {len(got)} rows, cols={list(got.columns)}")
+        if len(got) == 0:
+            print(f"  WARN {name}: zero rows")
+        continue
+    try:
+        want = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    gc, wc = sorted(got.columns), sorted(want.columns)
+    if gc != wc:
+        print(f"FAIL {name}: columns {gc} vs {wc}"); fails += 1; continue
+    g = got[gc].sort_values(gc, kind="mergesort").reset_index(drop=True)
+    w = want[wc].sort_values(wc, kind="mergesort").reset_index(drop=True)
+    if len(g) != len(w):
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
+    # exact compare cell by cell (stringified to dodge dtype wrappers)
+    mism = 0
+    for c in gc:
+        a, b = g[c].astype(str), w[c].astype(str)
+        bad = (a != b)
+        if bad.any():
+            mism += int(bad.sum())
+            i = bad.idxmax()
+            print(f"  {name}.{c}: {int(bad.sum())} mismatches, e.g. row {i}: "
+                  f"{a[i]!r} vs {b[i]!r} (dtypes {g[c].dtype}/{w[c].dtype})")
+    if mism:
+        print(f"FAIL {name}: {mism} cell mismatches"); fails += 1
+    else:
+        print(f"OK   {name}: {len(g)} rows x {len(gc)} cols exact match")
+missing = sorted(set(oracle) - set(all_q))
+if missing:
+    print(f"WARN: oracle entries with no output: {missing}")
+print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {len(all_q) - fails}/{len(all_q)} queries clean")
+sys.exit(1 if fails else 0)
