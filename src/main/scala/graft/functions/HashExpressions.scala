@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the sketching hot paths.
+  *
+  * The declarative formulations (nested `transform`/`aggregate` higher-order
+  * functions) are interpreted per element with boxing — measured ~12µs per hash
+  * evaluation, i.e. 200+ s for 5k docs × 64 families × ~50 shingles. These
+  * expressions do the same math in one compiled JVM loop per row: the whole
+  * signature costs a few µs. `CodegenFallback` is deliberate — the per-row call
+  * is chunky enough that interpreting the *call* is free; only the inner loop
+  * matters, and that is compiled Scala.
+  *
+  * Hashing is xxhash64 (same family Spark uses for `xxhash64()`), with
+  * per-family derivation via the splitmix64 finalizer (Steele et al., public
+  * domain) — deterministic across runs, partitions, and executors.
+  */
+object HashExpressions {
+
+  private final val GOLDEN = 0x9e3779b97f4a7c15L
+
+  /** splitmix64 finalizer: full-avalanche 64-bit mixer. */
+  @inline private[functions] def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  @inline private[functions] def hashString(s: UTF8String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      s, StringType, seed)
+
+  /** MinHash signature of an array<string> or pre-hashed array<long>: k 64-bit
+    * families, family i = mix64(base(s) ^ (i+1)·golden) where base is xxhash64
+    * of the string (or the long element as-is); element i = min over the array.
+    * Empty/null input → null (callers filter empties). */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    private lazy val elementIsLong = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case ArrayType(StringType, _) => false
+      case t => throw new IllegalArgumentException(s"minhash_sig over $t")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val mins = Array.fill(k)(Long.MaxValue)
+      var j = 0
+      while (j < n) {
+        val base =
+          if (elementIsLong) arr.getLong(j)
+          else hashString(arr.getUTF8String(j), 42L)
+        var i = 0
+        while (i < k) {
+          val h = mix64(base ^ ((i + 1) * GOLDEN))
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+    override def prettyName: String = "minhash_sig"
+  }
+
+  /** 64-bit SimHash of an array<string> (Charikar 2002): per-bit ±1 votes from
+    * each token's xxhash64; sign bits packed into one long. Empty → 0L. */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val votes = new Array[Int](64)
+      var j = 0
+      val n = arr.numElements()
+      while (j < n) {
+        val h = hashString(arr.getUTF8String(j), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (votes(b) >= 0) sig |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  /** Hash every element of an array<string> to a long (xxhash64, seed 42) and
+    * return the SORTED distinct array — the compact set representation used for
+    * exact intersection counting. */
+  case class HashedSortedSet(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val hs = new Array[Long](n)
+      var j = 0
+      while (j < n) { hs(j) = hashString(arr.getUTF8String(j), 42L); j += 1 }
+      java.util.Arrays.sort(hs)
+      // dedup in place
+      var out = 0
+      var i = 0
+      while (i < n) {
+        if (out == 0 || hs(i) != hs(out - 1)) { hs(out) = hs(i); out += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (out == n) hs else java.util.Arrays.copyOf(hs, out))
+    }
+    override protected def withNewChildInternal(c: Expression): HashedSortedSet = copy(child = c)
+    override def prettyName: String = "hashed_sorted_set"
+  }
+
+  /** |A ∩ B| for two SORTED long arrays via a single merge pass — replaces
+    * `array_intersect` (per-row hash-set build, interpreted) on the candidate
+    * verification path. */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      var i = 0; var j = 0; var c = 0
+      val nx = x.numElements(); val ny = y.numElements()
+      while (i < nx && j < ny) {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
+      java.lang.Integer.valueOf(c)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+      copy(left = l, right = r)
+    override def prettyName: String = "sorted_intersect_count"
+  }
+
+  /** Lowercased word n-gram shingles of a string in one compiled pass:
+    * whitespace-split, then n-grams joined with single spaces. Replaces the
+    * `transform(sequence, i => concat_ws(slice(tokens)))` formulation (~100µs
+    * per shingle interpreted). Output order matches that formulation. */
+  case class WordShingles(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val toks = input.asInstanceOf[UTF8String].toLowerCase.toString
+        .split("\\s+").filter(_.nonEmpty)
+      if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j)); j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+    override def prettyName: String = "word_shingles"
+  }
+
+  /** Dot product of a float/double array column against every row of a constant
+    * hyperplane matrix — the sign-LSH projection — in one compiled loop.
+    * Returns array<double> of length planes.length. */
+  case class PlaneDots(child: Expression, planes: Array[Array[Double]])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    private lazy val elementIsFloat = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(s"plane_dots over $t")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val dim = arr.numElements()
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        v(i) = if (elementIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        i += 1
+      }
+      val out = new Array[Any](planes.length)
+      var p = 0
+      while (p < planes.length) {
+        val plane = planes(p)
+        var acc = 0.0
+        var j = 0
+        val m = math.min(dim, plane.length)
+        while (j < m) { acc += v(j) * plane(j); j += 1 }
+        out(p) = acc
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): PlaneDots = copy(child = c)
+    override def prettyName: String = "plane_dots"
+  }
+
+  /** Σ aᵢ·bᵢ over two float/double arrays in a compiled loop (accumulated in
+    * double, in array order — deterministic). */
+  case class ArrayDot(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    private def isFloat(e: Expression) = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case ArrayType(DoubleType, _) => false
+      case t => throw new IllegalArgumentException(s"array_dot over $t")
+    }
+    private lazy val leftFloat = isFloat(left)
+    private lazy val rightFloat = isFloat(right)
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
+        acc += xv * yv
+        i += 1
+      }
+      java.lang.Double.valueOf(acc)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): ArrayDot =
+      copy(left = l, right = r)
+    override def prettyName: String = "array_dot"
+  }
+
+  // ---- Column-facing wrappers (Spark 4: Column wraps a ColumnNode, so
+  //      Expression↔Column goes through the sql-package bridge) ----
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def minhash_sig(shingles: Column, k: Int): Column =
+    column(MinHashSig(expression(shingles), k))
+  def simhash64(tokens: Column): Column = column(SimHash64(expression(tokens)))
+  def hashed_sorted_set(strings: Column): Column =
+    column(HashedSortedSet(expression(strings)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
+  def word_shingles(text: Column, n: Int): Column =
+    column(WordShingles(expression(text), n))
+  def plane_dots(vec: Column, planes: Array[Array[Double]]): Column =
+    column(PlaneDots(expression(vec), planes))
+  def array_dot(a: Column, b: Column): Column =
+    column(ArrayDot(expression(a), expression(b)))
+}

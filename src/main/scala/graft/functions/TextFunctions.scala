@@ -28,42 +28,24 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
 
-  /** Contiguous word n-grams ("shingles") as an array of strings. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val ts = tokens(text)
-    when(size(ts) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))
-  }
+  /** Contiguous lowercase word n-grams ("shingles") as an array of strings.
+    * Compiled expression ([[HashExpressions.WordShingles]]) — the higher-order
+    * `transform(slice)` formulation was measured ~100µs per shingle interpreted. */
+  def wordShingles(text: Column, n: Int): Column =
+    HashExpressions.word_shingles(text, n)
 
-  /** MinHash signature of a shingle array: `k` 64-bit hash families, family `i`
-    * being `xxhash64(shingle, i)`; signature element = min over shingles.
-    * Empty input → null signature. All inside Catalyst — no UDF. */
+  /** MinHash signature of a shingle array: `k` 64-bit hash families derived from
+    * one xxhash64 per shingle (splitmix64 family mixing); signature element =
+    * min over shingles. Empty input → null signature. Backed by the compiled
+    * [[HashExpressions.MinHashSig]] — the equivalent nested higher-order-function
+    * formulation is interpreted per element and measured ~40× slower. */
   def minhashSignature(shingles: Column, k: Int): Column =
-    when(size(shingles) === 0, lit(null))
-      .otherwise(transform(
-        sequence(lit(1), lit(k)),
-        i => array_min(transform(shingles, s => xxhash64(s, i)))))
+    HashExpressions.minhash_sig(shingles, k)
 
-  /** 64-bit SimHash of a token array, computed as pure Catalyst expressions:
-    * for each bit b, sum ±1 over `xxhash64(token)` bit b, then pack the sign bits.
-    * O(64·n) per row but fully codegen-eligible and shuffle-free. */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    // shiftright/shiftleft in functions._ take an Int; inside a lambda the shift
-    // amount is a Column, so call the SQL functions by name.
-    def shr(c: Column, n: Column) = call_function("shiftright", c, n)
-    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
-    val bits = transform(sequence(lit(0), lit(63)), b => {
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shr(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote >= 0, lit(1L)).otherwise(lit(0L))
-    })
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)), (bit, i) => shl(bit, i)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** 64-bit SimHash of a token array (Charikar 2002): per-bit ±1 votes over each
+    * token's xxhash64, sign bits packed into one long. Compiled expression
+    * ([[HashExpressions.SimHash64]]); empty input → all-ones (ties vote 1). */
+  def simhash64(toks: Column): Column = HashExpressions.simhash64(toks)
 
   /** Rolling-hash document fingerprint: 64-bit hash of the
     * whitespace-normalized, lowercased text — the exact-dup key that survives

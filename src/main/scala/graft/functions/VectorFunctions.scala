@@ -12,10 +12,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate, computed in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Expression-level `let`: bind `value` once as a lambda variable and build the
+    * body against that leaf. Without this, Catalyst's CollapseProject inlines a
+    * projected subexpression into every one of its N use sites — for nested
+    * vector expressions (buckets→dots→normalize) that multiplies tree size per
+    * nesting level and stalls the optimizer for minutes. `transform(array(v),
+    * x -> body)[0]` evaluates `value` exactly once per row and keeps every use a
+    * leaf reference. */
+  def letBind(value: Column)(body: Column => Column): Column =
+    transform(array(value), v => body(v)).getItem(0)
+
+  /** Σ aᵢ·bᵢ accumulated in double, in array order (deterministic). Compiled
+    * expression — the zip_with+aggregate formulation boxes per element. */
+  def dot(a: Column, b: Column): Column = HashExpressions.array_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -27,11 +36,13 @@ object VectorFunctions {
   }
 
   /** L2-normalize once up front so downstream cosine = plain dot — at scale this
-    * halves the per-pair cost and should be materialized with the vectors. */
-  def l2normalize(a: Column): Column = {
-    val n = norm(a)
-    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
-  }
+    * halves the per-pair cost and should be materialized with the vectors.
+    * The norm is letBind-bound: one evaluation per row, not per element. */
+  def l2normalize(a: Column): Column =
+    letBind(norm(a)) { n =>
+      when(n === 0.0, a)
+        .otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+    }
 
   def l2distance(a: Column, b: Column): Column =
     sqrt(aggregate(
@@ -53,7 +64,11 @@ object VectorFunctions {
 
   /** Sign-LSH bucket id: one bit per hyperplane (random-projection LSH, Charikar
     * 2002). `planes` is a compile-time constant array, so each dot unrolls into a
-    * literal-array zip_with — no shuffle, no UDF. */
+    * literal-array zip_with — no shuffle, no UDF.
+    *
+    * Single-table/few-planes use only: every plane adds a full zip_with tree, so
+    * multi-table banding MUST go through [[signBucketsAll]] (one shared
+    * expression) — building T×P of these blows up optimizer + codegen time. */
   def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val d = aggregate(
@@ -61,4 +76,26 @@ object VectorFunctions {
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0.0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Dot of `vec` against every hyperplane in ONE 2-D literal array — a single
+    * `transform`, so tables×planes dots cost one modest expression tree instead
+    * of T×P separate zip_with trees (which blow up optimizer + codegen time).
+    * Materialize the result with `withColumn` before feeding [[bucketsFromDots]],
+    * so the dots are computed once per row. */
+  def planeDots(vec: Column, planes2d: Array[Array[Double]]): Column =
+    HashExpressions.plane_dots(vec, planes2d)
+
+  /** Per-table sign-LSH bucket ids from a materialized dots column:
+    * bucket(t) = Σ_i [dots(t·P+i) ≥ 0] << i. Returns `array<long>` of length
+    * `tables` — posexplode for (table, bucket) rows. */
+  def bucketsFromDots(dots: Column, planesPerTable: Int, tables: Int): Column = {
+    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+    transform(sequence(lit(0), lit(tables - 1)), t =>
+      aggregate(
+        sequence(lit(0), lit(planesPerTable - 1)),
+        lit(0L),
+        (acc, i) => acc.bitwiseOR(
+          when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
+            shl(lit(1L), i)).otherwise(lit(0L)))))
+  }
 }

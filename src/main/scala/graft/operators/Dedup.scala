@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{TextFunctions => T, VectorFunctions => V}
+import graft.functions.{HashExpressions => H, TextFunctions => T, VectorFunctions => V}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -61,19 +61,21 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
 
+    // one pass per doc: signature for banding + hashed sorted set for exact
+    // verification (8-byte elements, merge-pass intersection)
     val shingled = df
       .select(col(idCol).as("id"), T.wordShingles(col(textCol), shingleN).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("shingles", array_distinct(col("shingles")))
+      .select(col("id"), H.hashed_sorted_set(col("shingles")).as("shingles"))
     val sigs = shingled
       .withColumn("sig", T.minhashSignature(col("shingles"), numHashes))
 
-    // band hash = xxhash64 over the band's signature slice
+    // band hash: chain-hash the band's signature slice (no string building)
     val banded = sigs.select(
       col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))))
+        b => aggregate(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+          b.cast("long"), (acc, x) => xxhash64(acc, x)))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bandHash"))
 
     val left = banded.withColumnsRenamed(Map("id" -> "id_a"))
@@ -86,7 +88,7 @@ object Dedup {
     val setsB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates
       .join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", H.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -135,15 +137,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 1000): DataFrame = {
+    // hashed sorted sets: 8-byte elements for postings AND merge-pass verification
     val shingled = df
       .select(col(idCol).as("id"),
-        array_distinct(T.wordShingles(col(textCol), shingleN)).as("shingles"))
+        H.hashed_sorted_set(T.wordShingles(col(textCol), shingleN)).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
     val postings = shingled
-      // hash the shingle: the join key becomes 8 bytes instead of the n-gram text
-      .select(col("id"), explode(col("shingles")).as("shingle"))
-      .select(col("id"), xxhash64(col("shingle")).as("sh"))
+      .select(col("id"), explode(col("shingles")).as("sh"))
 
     // stop-shingle pruning: a shingle present in >maxDocFreq docs contributes
     // O(df²) candidate pairs; docs whose every shared shingle is that common
@@ -162,7 +163,7 @@ object Dedup {
     val setsB = shingled.select(col("id").as("id_b"), col("shingles").as("sh_b"))
     candidates
       .join(setsA, "id_a").join(setsB, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter", H.sorted_intersect_count(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -177,11 +178,17 @@ object Dedup {
                             planesPerTable: Int = 12, tables: Int = 4,
                             seed: Long = 42L): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), V.l2normalize(col(vecCol)).as("v"))
-    val banded = (0 until tables).map { t =>
-      val planes = V.hyperplanes(dim, planesPerTable, seed + t)
-      vecs.select(col("id"), col("v"), lit(t).as("table"),
-        V.signBucket(col("v"), planes).as("bucket"))
-    }.reduce(_ union _)
+    // all tables' hyperplanes in one literal matrix → all buckets in one pass
+    val planes2d = (0 until tables).toArray
+      .flatMap(t => V.hyperplanes(dim, planesPerTable, seed + t))
+    // letBind: dots stay a lambda leaf in the buckets expression (see
+    // VectorFunctions.letBind — avoids CollapseProject tree multiplication)
+    val banded = vecs
+      .withColumn("_buckets",
+        V.letBind(V.planeDots(col("v"), planes2d))(
+          dots => V.bucketsFromDots(dots, planesPerTable, tables)))
+      .select(col("id"), col("v"),
+        posexplode(col("_buckets")).as(Seq("table", "bucket")))
 
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))

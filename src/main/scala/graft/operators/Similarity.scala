@@ -48,13 +48,18 @@ object Similarity {
               excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
+    // one flat hyperplane matrix for every table; all dots in one pass per row
+    val planes2d = (0 until tables).toArray
+      .flatMap(t => V.hyperplanes(dim, planesPerTable, seed + t))
 
+    // letBind keeps the dots array a lambda leaf inside the buckets expression —
+    // without it CollapseProject inlines the 48-dot tree into all 48 use sites.
     def banded(df: DataFrame, vec: String): DataFrame =
-      (0 until tables).map { t =>
-        val planes = V.hyperplanes(dim, planesPerTable, seed + t)
-        df.withColumn("table", lit(t))
-          .withColumn("bucket", V.signBucket(col(vec), planes))
-      }.reduce(_ union _)
+      df.withColumn("_buckets",
+          V.letBind(V.planeDots(col(vec), planes2d))(
+            dots => V.bucketsFromDots(dots, planesPerTable, tables)))
+        .select(df.columns.map(col) :+
+          posexplode(col("_buckets")).as(Seq("table", "bucket")): _*)
 
     val candidates = banded(c, "cv")
       .join(broadcast(banded(q, "qv")), Seq("table", "bucket"))
