@@ -35,7 +35,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // BASELINE.md comparison: the reference's end-to-end ingestion class is
+    // extract -> transform -> single-file snappy parquet + CTL manifest
+    // (~19.4k rows/s single-threaded). Same pipeline, same shape, full lineitem.
+    val dest = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+    val cfg = graft.config.DatasetConfig(
+      datasetId = "bench-ingest",
+      source = graft.config.SourceConfig(extractionType = "Query",
+        sqlText = "SELECT * FROM lineitem"),
+      transformations = Seq(graft.config.TransformConfig("DataCleansing",
+        order = 1, config = Map("trimWhitespace" -> true))))
+    val t0 = System.nanoTime()
+    val ctx = graft.pipeline.IngestionPipeline.run(spark, cfg, sfDir, dest)
+    val pipeSec = (System.nanoTime() - t0) / 1e9
+    val pipeRows = ctx.rowCount.getOrElse(0L)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pipeline_rows":$pipeRows,"pipeline_sec":$pipeSec,""" +
+      s""""pipeline_rows_per_sec":${if (pipeSec > 0) pipeRows / pipeSec else 0.0},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -247,6 +247,117 @@ object SparkEntry {
         .withColumn("l_linenumber", bi(col("l_linenumber")))
     }),
 
+    // full outer join of per-nation aggregates.
+    "q21_outer_join" -> ((s, dir) => {
+      val cA = t(s, dir, "customer").groupBy(bi(col("c_nationkey")).as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sA = t(s, dir, "supplier").groupBy(bi(col("s_nationkey")).as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      cA.join(sA, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+    }),
+
+    // CUBE over two dimensions.
+    "q22_cube" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .cube(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumd(col("o_totalprice")).as("revenue"))
+    }),
+
+    // GROUPING SETS via the SQL surface.
+    "q23_grouping_sets" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      s.sql("""SELECT r_name, n_name, count(*) AS n_customers
+              |FROM customer
+              |JOIN nation ON c_nationkey = n_nationkey
+              |JOIN region ON n_regionkey = r_regionkey
+              |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin)
+    }),
+
+    // IN + NOT EXISTS subqueries (decorrelated into semi/anti joins).
+    "q24_in_exists" -> ((s, dir) => {
+      Lake.registerAll(s, dir)
+      s.sql("""SELECT c_custkey FROM customer
+              |WHERE c_custkey IN (SELECT o_custkey FROM orders
+              |                    WHERE o_totalprice > 450000)
+              |  AND NOT EXISTS (SELECT 1 FROM orders o2
+              |                  WHERE o2.o_custkey = c_custkey
+              |                    AND o2.o_orderstatus = 'F')""".stripMargin)
+    }),
+
+    // date/time function surface.
+    "q25_date_funcs" -> ((s, dir) =>
+      t(s, dir, "orders").select(
+        col("o_orderkey"),
+        bi(year(col("o_orderdate"))).as("yr"),
+        bi(month(col("o_orderdate"))).as("mo"),
+        bi(quarter(col("o_orderdate"))).as("qtr"),
+        bi(dayofmonth(col("o_orderdate"))).as("dom"),
+        date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+        bi(datediff(to_date(col("o_orderdate")), lit("1995-01-01"))).as("days_since"),
+        last_day(col("o_orderdate")).as("month_end"))),
+
+    // string function surface.
+    "q26_string_funcs" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        regexp_replace(col("p_type"), "A", "@").as("type_sub"),
+        reverse(col("p_brand")).as("brand_rev"),
+        split(col("p_brand"), "#").getItem(1).as("brand_num"),
+        col("p_name").like("%5%").as("has_five"),
+        bi(instr(col("p_name"), "a")).as("first_a"))),
+
+    // generator/UNNEST: explode document words into a term-frequency table.
+    "q27_explode_words" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))),
+
+    // CASE bucketing.
+    "q28_case_buckets" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
+    // window-function suite: rank/dense_rank/lag + running decimal sum.
+    "q29_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          bi(rank().over(w)).as("rnk"),
+          bi(dense_rank().over(w)).as("drnk"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_order"),
+          sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
+    }),
+
+    // ---- Structured Streaming surface (SURVEY §2.7 extension) ----
+
+    // watermarked tumbling-window aggregation, run to completion with
+    // Trigger.AvailableNow — must equal the batch GROUP BY over the same data.
+    "st01_stream_hourly" -> ((s, dir) =>
+      graft.streaming.EventsStream.runAvailableNow(s, dir,
+        graft.streaming.EventsStream.hourlyByType,
+        s"st01_${java.util.UUID.randomUUID().toString.take(8)}")),
+
+    // gap-based sessionization (window-function formulation; the streaming
+    // flatMapGroupsWithState twin is exercised in StreamingSpec).
+    "st02_sessionize" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionizeBatch(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"),
+          unix_timestamp(col("session_start")).as("session_start_s"),
+          unix_timestamp(col("session_end")).as("session_end_s"),
+          col("n_events"), col("value_sum"))),
+
     // ---- training-data extension operators (SURVEY §7.1(7)) ----
 
     // exact dedup groups over document text.
@@ -459,6 +570,92 @@ object SparkEntry {
         |  l_quantity, l_extendedprice, TRIM(l_returnflag) AS l_returnflag, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""".stripMargin,
+    "q21_outer_join" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nk, COALESCE(c.n_cust, 0) AS n_cust,
+        |  COALESCE(s.n_supp, 0) AS n_supp
+        |FROM (SELECT CAST(c_nationkey AS BIGINT) AS nk, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT CAST(s_nationkey AS BIGINT) AS nk, count(*) AS n_supp
+        |                 FROM supplier GROUP BY 1) s ON c.nk = s.nk""".stripMargin,
+    "q22_cube" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_mktsegment, o_orderpriority)""".stripMargin,
+    "q23_grouping_sets" ->
+      """SELECT r_name, n_name, count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())""".stripMargin,
+    "q24_in_exists" ->
+      """SELECT c_custkey FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c_custkey
+        |                    AND o2.o_orderstatus = 'F')""".stripMargin,
+    "q25_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+        |FROM orders""".stripMargin,
+    "q26_string_funcs" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS brand_pad,
+        |  regexp_replace(p_type, 'A', '@', 'g') AS type_sub,
+        |  reverse(p_brand) AS brand_rev,
+        |  split_part(p_brand, '#', 2) AS brand_num,
+        |  p_name LIKE '%5%' AS has_five,
+        |  CAST(strpos(p_name, 'a') AS BIGINT) AS first_a
+        |FROM part""".stripMargin,
+    "q27_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> '' GROUP BY word""".stripMargin,
+    "q28_case_buckets" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q29_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  lag(o_orderkey, 1) OVER w AS prev_order,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "st01_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st02_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |flagged AS (
+        |  SELECT user_id, value, ts_s,
+        |    CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        |sessions AS (
+        |  SELECT user_id, value, ts_s,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, min(ts_s) AS session_start_s, max(ts_s) AS session_end_s,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "d01_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text",
     "t02_token_stats" ->

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference has no streaming at all — its "streaming-ness" is cron
+  * re-execution of batch jobs (SURVEY §2.7). This module is the Spark-native
+  * extension: the same lake table consumed as a stream, with event-time
+  * watermarks, tumbling-window aggregation, and custom session state — the three
+  * primitives a training-data pipeline needs for incremental ingestion.
+  *
+  * `Trigger.AvailableNow` processes everything currently in the source and then
+  * stops — the exact semantic replacement for the reference's cron batch runs
+  * (`JobSchedulingService.cs:61-66`), but with checkpointed exactly-once state
+  * across runs at scale.
+  */
+object EventsStream {
+
+  /** The events schema (streaming reads need it declared up front; batch infers
+    * it from the footer). ts arrives as TIMESTAMP(NANOS) → long nanos under
+    * `nanosAsLong` (see graft.sources.Lake). */
+  private val eventsSchemaDDL =
+    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+  /** Open the events parquet as a file stream with a proper event-time column.
+    * (File streaming sources take a directory; pathGlobFilter selects the one
+    * table out of the shared lake directory.) */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchemaDDL)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. Late rows beyond
+    * the watermark are dropped — state stays bounded no matter how long the
+    * stream runs. */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Run a streaming aggregation over everything currently in the lake and
+    * return the complete result as a DataFrame (AvailableNow + in-memory sink).
+    * This is how the Verify harness exercises the streaming path. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+                      agg: DataFrame => DataFrame,
+                      queryName: String): DataFrame = {
+    val q = agg(readEvents(spark, dir)).writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$queryName").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  // ---- custom session state (flatMapGroupsWithState) ----
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, sum: Double)
+  final case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                           session_end: java.sql.Timestamp, n_events: Long,
+                           value_sum: Double)
+
+  /** Gap-based sessionization: events for a user belong to one session until a
+    * `gapMinutes` silence. Implemented with flatMapGroupsWithState + event-time
+    * timeout — per-user state is one running session, emitted on expiry.
+    *
+    * State is keyed by user_id, so the only shuffle is the groupByKey; state
+    * size is O(active users), not O(events) — the 100 TB-safe shape. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var emitted = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = math.max(s.end, t), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  emitted ::= Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            emitted.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode sessionization with the same gap semantics, for verification:
+    * a window-function formulation (lag + cumulative session ids) that any SQL
+    * engine can mirror. */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > gapMinutes * 60L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .drop("session_id")
+  }
+}

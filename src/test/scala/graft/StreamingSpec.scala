@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.Lake
+import graft.streaming.EventsStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+class StreamingSpec extends SparkSpec {
+
+  test("AvailableNow windowed aggregation equals the batch GROUP BY") {
+    val streamed = EventsStream.runAvailableNow(spark, sf0001,
+      EventsStream.hourlyByType, "t_stream_hourly")
+      .orderBy("window_start", "event_type").collect()
+    val batch = Lake.table(spark, sf0001, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
+  test("flatMapGroupsWithState sessionization emits watermark-expired sessions " +
+    "that match the batch formulation") {
+    import spark.implicits._
+    val gap = 30
+    val events = spark.readStream
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sf0001)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventsStream.Event]
+    val q = EventsStream.sessionize(events, gap).writeStream
+      .format("memory").queryName("t_sessions")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ckpt-sess").toString)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("t_sessions")
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    val batch = EventsStream.sessionizeBatch(
+      Lake.table(spark, sf0001, "events"), gap)
+      .select(col("user_id"), unix_timestamp(col("session_start")).as("s"),
+        unix_timestamp(col("session_end")).as("e"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+
+    // the stream can only emit sessions whose timeout passed the final
+    // watermark; everything it emits must be a real batch session
+    assert(streamed.nonEmpty, "no sessions emitted")
+    assert(streamed.subsetOf(batch),
+      s"streamed sessions not in batch result: ${streamed.diff(batch).take(3)}")
+    // and it must cover most of them (watermark = max ts - 2h holds back only
+    // the tail)
+    assert(streamed.size >= batch.size / 2,
+      s"too few sessions: ${streamed.size} of ${batch.size}")
+  }
+}
