@@ -145,12 +145,40 @@ object IngestionPipeline {
       ctx.copy(ctl = Some(record), ctlPath = Some(path))
     }
 
+  /** Stage 5 — Upload (`UploadHandler.cs:22-126`): when the config declares a
+    * FileSystem destination, place the committed parquet + CTL there with the
+    * declared retry/overwrite/local-copy semantics. With no configured
+    * destination the write stage's placement already IS the final location. */
+  def upload(stagingDir: String): Stage =
+    stage("Upload", Severity.Error) { ctx =>
+      ctx.config.upload.fileSystemConfig match {
+        case Some(fsCfg) if fsCfg.basePath.nonEmpty || fsCfg.relativePath.nonEmpty =>
+          val spark = ctx.data.map(_.sparkSession).get
+          val dest =
+            if (fsCfg.basePath.nonEmpty) s"${fsCfg.basePath}/${fsCfg.relativePath}"
+            else s"$stagingDir/${fsCfg.relativePath}"
+          val dataName = ctx.dataFileName.get
+          val ctlName = dataName.replaceAll("\\.parquet$", "") + ".ctl"
+          val placed = graft.sinks.Upload.place(spark, ctx.writtenPath.get, dest,
+            dataName, ctx.config.upload)
+          graft.sinks.Upload.place(spark, ctx.ctlPath.get, dest, ctlName,
+            ctx.config.upload)
+          // the staging copies served their purpose; the destination is canonical
+          val fs = graft.sinks.Upload.hadoopFs(spark, stagingDir)
+          fs.delete(new org.apache.hadoop.fs.Path(ctx.writtenPath.get), false)
+          fs.delete(new org.apache.hadoop.fs.Path(ctx.ctlPath.get), false)
+          ctx.copy(writtenPath = Some(placed.destination))
+        case _ => ctx
+      }
+    }
+
   /** Run the full chain for one dataset config. */
   def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
           environment: String = "Production",
           now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC)): RunContext = {
     val stages: Seq[Stage] =
-      Seq(extract(spark, lakeDir), transform, write(destDir), ctl(destDir))
+      Seq(extract(spark, lakeDir), transform, write(destDir), ctl(destDir),
+        upload(destDir))
     stages.foldLeft(RunContext(config, environment, now))((ctx, s) => s(ctx))
   }
 }

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import graft.config.DatasetConfig
+
+import java.time.ZonedDateTime
+import java.util.concurrent.{ConcurrentHashMap, Executors, ScheduledExecutorService, TimeUnit}
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Per-dataset cron scheduling with the reference's semantics
+  * (`/root/reference/src/Worker/Services/JobSchedulingService.cs:24-75`):
+  * one schedule per enabled dataset, in-memory store, and — critically —
+  * no overlapping runs of the same dataset (`[DisallowConcurrentExecution]`,
+  * `DataIngestionJob.cs:10`): a fire that arrives while the previous run is
+  * still going is skipped, not queued.
+  *
+  * Cron dialect: the reference uses Quartz 6/7-field expressions
+  * (`sec min hour dom mon dow [year]`, e.g. `0 *&#47;2 * * * ?`). [[QuartzCron]]
+  * supports the subset the reference's configs use: numbers, `*`, `?`, ranges
+  * `a-b`, lists `a,b`, and steps `*&#47;n` / `a/n`, on the first six fields.
+  */
+object QuartzCron {
+
+  final case class Field(matches: Int => Boolean)
+
+  /** Parse one cron field into a predicate. */
+  private[pipeline] def parseField(spec: String, min: Int, max: Int): Field = {
+    if (spec == "*" || spec == "?") return Field(_ => true)
+    val preds = spec.split(",").toSeq.map { part =>
+      part.split("/") match {
+        case Array(base, step) =>
+          val stepN = step.toInt
+          val start = if (base == "*") min else base.split("-")(0).toInt
+          val end = base.split("-") match {
+            case Array(_, e) => e.toInt
+            case _ => max
+          }
+          (v: Int) => v >= start && v <= end && (v - start) % stepN == 0
+        case Array(range) if range.contains("-") =>
+          val Array(a, b) = range.split("-").map(_.toInt)
+          (v: Int) => v >= a && v <= b
+        case Array(single) =>
+          val n = single.toInt
+          (v: Int) => v == n
+      }
+    }
+    Field(v => preds.exists(_(v)))
+  }
+
+  final case class Schedule(sec: Field, minute: Field, hour: Field,
+                            dom: Field, month: Field, dow: Field) {
+    def matches(t: ZonedDateTime): Boolean =
+      sec.matches(t.getSecond) && minute.matches(t.getMinute) &&
+        hour.matches(t.getHour) && dom.matches(t.getDayOfMonth) &&
+        month.matches(t.getMonthValue) &&
+        dow.matches(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+
+    /** Next fire time strictly after `from` (second resolution; bounded scan —
+      * fine for schedules with at-least-minutely density; a year guard caps
+      * pathological expressions). */
+    def next(from: ZonedDateTime): Option[ZonedDateTime] = {
+      var t = from.plusSeconds(1).withNano(0)
+      val limit = from.plusDays(366)
+      while (t.isBefore(limit)) {
+        if (matches(t)) return Some(t)
+        // skip in the largest safe increments
+        t = if (!month.matches(t.getMonthValue))
+          t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0).withSecond(0)
+        else if (!dom.matches(t.getDayOfMonth) || !dow.matches(t.getDayOfWeek.getValue % 7))
+          t.plusDays(1).withHour(0).withMinute(0).withSecond(0)
+        else if (!hour.matches(t.getHour))
+          t.plusHours(1).withMinute(0).withSecond(0)
+        else if (!minute.matches(t.getMinute))
+          t.plusMinutes(1).withSecond(0)
+        else t.plusSeconds(1)
+      }
+      None
+    }
+  }
+
+  def parse(expr: String): Schedule = {
+    val f = expr.trim.split("\\s+")
+    require(f.length >= 6, s"Quartz cron needs >= 6 fields: '$expr'")
+    Schedule(
+      parseField(f(0), 0, 59), parseField(f(1), 0, 59), parseField(f(2), 0, 23),
+      parseField(f(3), 1, 31), parseField(f(4), 1, 12), parseField(f(5), 0, 7))
+  }
+}
+
+/** Driver-side scheduler loop: evaluates each enabled dataset's cron every
+  * second and launches runs on a work pool, skipping fires whose previous run
+  * is still in flight. The job body is injected, so tests (and alternative
+  * runners) decide what a "run" is. */
+final class DatasetScheduler(datasets: Seq[DatasetConfig],
+                             runJob: DatasetConfig => Unit,
+                             clock: () => ZonedDateTime) {
+  private val running = new ConcurrentHashMap[String, AtomicBoolean]()
+  private val fired = new ConcurrentHashMap[String, java.lang.Long]()
+  private var ticker: ScheduledExecutorService = _
+  private val workers = Executors.newCachedThreadPool()
+
+  val schedules: Map[String, QuartzCron.Schedule] =
+    datasets.filter(_.enabled)
+      .map(d => d.datasetId -> QuartzCron.parse(d.cronExpression)).toMap
+
+  /** One scheduler tick: fire every dataset whose cron matches `now` and whose
+    * previous run has finished (DisallowConcurrentExecution — the gate is held
+    * until the job completes on the worker pool, so a fire that lands during a
+    * long run is skipped, not queued). `execute` is the launch strategy; tests
+    * pass `r => r.run()` for synchronous determinism. Returns ids launched. */
+  def tick(now: ZonedDateTime,
+           execute: Runnable => Unit = workers.execute(_)): Seq[String] = {
+    val epochSec = now.toEpochSecond
+    datasets.filter(_.enabled).flatMap { d =>
+      val sched = schedules(d.datasetId)
+      val last = Option(fired.get(d.datasetId)).map(_.longValue).getOrElse(Long.MinValue)
+      if (sched.matches(now) && last != epochSec) {
+        val gate = running.computeIfAbsent(d.datasetId, _ => new AtomicBoolean(false))
+        if (gate.compareAndSet(false, true)) {
+          fired.put(d.datasetId, epochSec)
+          execute(() => try runJob(d) finally gate.set(false))
+          Some(d.datasetId)
+        } else None // previous run still going -> skip this fire
+      } else None
+    }
+  }
+
+  /** Is this dataset's previous run still in flight? (test/observability hook) */
+  def isRunning(datasetId: String): Boolean =
+    Option(running.get(datasetId)).exists(_.get())
+
+  def start(): Unit = {
+    ticker = Executors.newSingleThreadScheduledExecutor()
+    ticker.scheduleAtFixedRate(() => tick(clock()), 0, 1, TimeUnit.SECONDS)
+  }
+
+  /** Stop ticking and wait for in-flight runs to drain — callers may tear down
+    * shared resources (the SparkSession) right after. */
+  def stop(): Unit = {
+    if (ticker != null) { ticker.shutdownNow(); () }
+    workers.shutdown()
+    workers.awaitTermination(120, TimeUnit.SECONDS)
+    ()
+  }
+}

@@ -1,0 +1,91 @@
+package graft.sinks
+
+import graft.config.UploadConfig
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Post-write placement semantics from the reference's upload layer, implemented
+  * as *declared* rather than as the dead code shipped (SURVEY §4.2):
+  *
+  *  - bounded retry with backoff (`UploadConfiguration.{EnableRetry,MaxRetries}`,
+  *    `DatasetConfiguration.cs:68-69` — declared, never enforced by the
+  *    reference's providers);
+  *  - overwrite control (`OverwriteExisting`, always-true in the reference,
+  *    `FileSystemUploadProvider.cs:88`);
+  *  - optional local copy, non-fatal on failure (`UploadHandler.cs:84-87,
+  *    131-163`).
+  *
+  * "Upload" for a Spark engine is a Hadoop-FileSystem move: the same code path
+  * covers local FS, HDFS, and (with the right hadoop jars) ABFS/S3.
+  */
+object Upload {
+
+  final case class UploadResult(destination: String, attempts: Int,
+                                localCopy: Option[String], bytes: Long)
+
+  def place(spark: SparkSession, srcFile: String, destDir: String,
+            fileName: String, cfg: UploadConfig,
+            sleep: Long => Unit = Thread.sleep): UploadResult = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new Path(srcFile)
+    val srcFs = src.getFileSystem(conf)
+    val dest = new Path(destDir)
+    val destFs = dest.getFileSystem(conf)
+    val target = new Path(dest, fileName)
+    val maxAttempts = if (cfg.enableRetry) math.max(1, cfg.maxRetries) else 1
+
+    var attempt = 0
+    var done = false
+    var lastError: Throwable = null
+    while (!done && attempt < maxAttempts) {
+      attempt += 1
+      try {
+        destFs.mkdirs(dest)
+        if (destFs.exists(target)) {
+          if (!cfg.overwriteExisting)
+            throw new IllegalStateException(
+              s"Destination exists and overwriteExisting=false: $target")
+          destFs.delete(target, false)
+        }
+        // atomic within one FS; copy+rename across FSs
+        if (srcFs.getUri == destFs.getUri) {
+          val tmp = new Path(dest, s".tmp-upload-${java.util.UUID.randomUUID()}")
+          FileUtil.copy(srcFs, src, destFs, tmp, false, conf)
+          if (!destFs.rename(tmp, target))
+            throw new IllegalStateException(s"rename failed: $tmp -> $target")
+        } else {
+          FileUtil.copy(srcFs, src, destFs, target, false, conf)
+        }
+        done = true
+      } catch {
+        case e: IllegalStateException if e.getMessage.contains("overwriteExisting") =>
+          throw e // config refusal — retrying cannot help
+        case e: Throwable =>
+          lastError = e
+          if (attempt < maxAttempts) sleep(100L * attempt)
+      }
+    }
+    if (!done) throw new RuntimeException(
+      s"Upload failed after $attempt attempts: ${lastError.getMessage}", lastError)
+
+    // optional local copy — failures are non-fatal (UploadHandler.cs:84-87)
+    val localCopy =
+      if (cfg.keepLocalCopy && cfg.localCopyPath.nonEmpty) {
+        try {
+          val lc = new Path(cfg.localCopyPath)
+          val lcFs = lc.getFileSystem(conf)
+          lcFs.mkdirs(lc)
+          val lcTarget = new Path(lc, fileName)
+          if (lcFs.exists(lcTarget)) lcFs.delete(lcTarget, false)
+          FileUtil.copy(destFs, target, lcFs, lcTarget, false, conf)
+          Some(lcTarget.toString)
+        } catch { case _: Throwable => None }
+      } else None
+
+    UploadResult(target.toString, attempt, localCopy,
+      destFs.getFileStatus(target).getLen)
+  }
+
+  private[graft] def hadoopFs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.config.DatasetConfig
+import graft.pipeline.{DatasetScheduler, QuartzCron}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.time.{ZoneOffset, ZonedDateTime}
+
+class SchedulerSpec extends AnyFunSuite {
+
+  private def at(h: Int, m: Int, s: Int) =
+    ZonedDateTime.of(2026, 8, 12, h, m, s, 0, ZoneOffset.UTC)
+
+  test("Quartz cron parsing: the reference's own expressions") {
+    // dataset-sales-sqlserver.json: every 2 minutes
+    val every2m = QuartzCron.parse("0 */2 * * * ?")
+    assert(every2m.matches(at(10, 0, 0)))
+    assert(every2m.matches(at(10, 2, 0)))
+    assert(!every2m.matches(at(10, 1, 0)))
+    assert(!every2m.matches(at(10, 2, 30)))
+    // dataset-hr-oracle.json: every minute
+    val everyMin = QuartzCron.parse("0 * * * * ?")
+    assert(everyMin.matches(at(23, 59, 0)))
+    assert(!everyMin.matches(at(23, 59, 1)))
+    // default: top of every hour
+    val hourly = QuartzCron.parse("0 0 * * * ?")
+    assert(hourly.matches(at(7, 0, 0)))
+    assert(!hourly.matches(at(7, 30, 0)))
+  }
+
+  test("ranges, lists, and stepped ranges") {
+    val s = QuartzCron.parse("0 10-20/5 9,17 * * ?")
+    assert(s.matches(at(9, 10, 0)))
+    assert(s.matches(at(17, 15, 0)))
+    assert(s.matches(at(9, 20, 0)))
+    assert(!s.matches(at(9, 12, 0)))
+    assert(!s.matches(at(12, 10, 0)))
+  }
+
+  test("next() finds the following fire time") {
+    val every2m = QuartzCron.parse("0 */2 * * * ?")
+    assert(every2m.next(at(10, 0, 0)).contains(at(10, 2, 0)))
+    assert(every2m.next(at(10, 1, 59)).contains(at(10, 2, 0)))
+    val hourly = QuartzCron.parse("0 0 * * * ?")
+    assert(hourly.next(at(10, 0, 0)).contains(at(11, 0, 0)))
+  }
+
+  test("tick fires matching enabled datasets once per matching second") {
+    var runs = List.empty[String]
+    val ds = Seq(
+      DatasetConfig(datasetId = "a", cronExpression = "0 * * * * ?"),
+      DatasetConfig(datasetId = "b", cronExpression = "0 */2 * * * ?"),
+      DatasetConfig(datasetId = "off", enabled = false, cronExpression = "0 * * * * ?"))
+    val sched = new DatasetScheduler(ds, d => runs ::= d.datasetId, () => at(10, 1, 0))
+    val launched = sched.tick(at(10, 1, 0), r => r.run())
+    assert(launched == Seq("a")) // b fires only on even minutes; off disabled
+    assert(sched.tick(at(10, 1, 0), r => r.run()).isEmpty) // same second: no refire
+    assert(sched.tick(at(10, 2, 0), r => r.run()).sorted == Seq("a", "b"))
+    assert(runs.sorted == List("a", "a", "b"))
+  }
+
+  test("DisallowConcurrentExecution: overlapping fire is skipped, not queued") {
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val started = new java.util.concurrent.CountDownLatch(1)
+    var runs = 0
+    val ds = Seq(DatasetConfig(datasetId = "slow", cronExpression = "* * * * * ?"))
+    val sched = new DatasetScheduler(ds,
+      _ => { runs += 1; started.countDown(); gate.await() }, () => at(0, 0, 0))
+    val t = new Thread(() => { sched.tick(at(0, 0, 0), r => r.run()); () })
+    t.start()
+    started.await()
+    // a second fire while the first still runs must be skipped
+    assert(sched.isRunning("slow"))
+    assert(sched.tick(at(0, 0, 1), r => r.run()).isEmpty)
+    gate.countDown(); t.join()
+    assert(runs == 1)
+    // after completion the next fire goes through
+    assert(sched.tick(at(0, 0, 2), r => r.run()) == Seq("slow"))
+    assert(runs == 2)
+  }
+}
