@@ -76,7 +76,10 @@ object HashExpressions {
   }
 
   /** 64-bit SimHash of an array<string> (Charikar 2002): per-bit ±1 votes from
-    * each token's xxhash64; sign bits packed into one long. Empty → 0L. */
+    * each token's xxhash64; sign bits packed into one long. Empty → all-ones
+    * (-1L), since zero votes pass the `>= 0` sign test — callers bucketing
+    * signatures must filter empty-token inputs or every degenerate document
+    * lands at hamming 0 from every other (see Dedup.simhashPairs). */
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType

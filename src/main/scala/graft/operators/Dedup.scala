@@ -33,10 +33,18 @@ object Dedup {
   }
 
   /** Exact-dup groups: one row per duplicated key with the surviving id and the
-    * group size (droppable rows = dup_count - 1). */
+    * group size (droppable rows = dup_count - 1).
+    *
+    * The grouping key is fingerprint-led: `(xxhash64(key), key)`. Map-side
+    * partial aggregation collapses duplicates before the exchange (shuffled
+    * volume = distinct keys per partition, not raw rows), and the 8-byte hash
+    * leading the composite key means partitioning and any sort-fallback compare
+    * fingerprints before ever touching document-length text. The exact key stays
+    * in the group as the 64-bit-collision guard, so results are exact. */
   def exactGroups(df: DataFrame, idCol: String, keyCol: String): DataFrame =
-    df.groupBy(col(keyCol))
+    df.groupBy(xxhash64(col(keyCol)).as("_fp"), col(keyCol))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("_fp")
 
   /** Normalized-text dedup: exact dedup over the whitespace/case-normalized
     * fingerprint (catches formatting-only dups). */
@@ -104,9 +112,14 @@ object Dedup {
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
     val bitsPerChunk = 64 / chunks
-    val sigs = df.select(
-      col(idCol).as("id"),
-      T.simhash64(T.tokens(col(textCol))).as("simhash"))
+    // Empty/whitespace-only docs all hash to the all-ones signature (zero votes
+    // pass the sign test — HashExpressions.SimHash64) and would form a quadratic
+    // hamming-0 bucket; they carry no content to near-dup on, so drop them (the
+    // same guard minhashPairs applies via size(shingles) > 0).
+    val sigs = df
+      .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("id"), T.simhash64(col("toks")).as("simhash"))
 
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),

@@ -106,6 +106,22 @@ object IngestionPipeline {
         Transforms.applyAll(_, ctx.config.transformations, ctx.environment)))
     }
 
+  /** Does this config route outputs through a separate Upload stage? When it
+    * does, the write stage's placement is only staging; when it doesn't, the
+    * write IS final placement and must honor `overwriteExisting`. */
+  private[pipeline] def hasUploadDestination(cfg: DatasetConfig): Boolean =
+    cfg.upload.fileSystemConfig.exists(f =>
+      f.basePath.nonEmpty || f.relativePath.nonEmpty) ||
+      cfg.upload.azureBlobConfig.exists(_.containerName.nonEmpty)
+
+  /** The config's `rowGroupSize` declares *rows* (`DatasetConfiguration.cs:58`,
+    * default 5000) while `parquet.block.size` is *bytes*; the bridge assumes an
+    * estimated 256 B/row (TPC-H-ish wide rows land 100-300 B encoded). This is
+    * an estimate by design — deriving exact bytes/row would need a pre-pass over
+    * the data. Divergence from the reference (which ignores the knob entirely,
+    * `ParquetWriterService.cs:44`) is recorded in SURVEY §7.4(6). */
+  private val EstimatedBytesPerRow = 256L
+
   /** Stages 3+5 — Parquet write placed directly at the destination
     * (`ParquetGenerationHandler.cs:23-84` + `UploadHandler.cs:22-126` /
     * `FileSystemUploadProvider.cs:23-106` collapse into one atomic write: Spark
@@ -120,10 +136,14 @@ object IngestionPipeline {
       val obs = org.apache.spark.sql.Observation()
       val df = df0.observe(obs, org.apache.spark.sql.functions.count(
         org.apache.spark.sql.functions.lit(1)).as("rows"))
+      // A staging write (an Upload stage follows) may always overwrite its own
+      // scratch; a final-placement write must honor overwriteExisting
+      // (the refusal lives in ParquetSink.writeSingleFile).
+      val overwrite = hasUploadDestination(ctx.config) || ctx.config.upload.overwriteExisting
       val res = ParquetSink.writeSingleFile(df, destDir, fileName,
         compression = cfg.compressionCodec,
-        rowGroupSize = math.max(cfg.rowGroupSize.toLong * 256L, 1L << 20),
-        overwrite = ctx.config.upload.overwriteExisting || true)
+        rowGroupSize = math.max(cfg.rowGroupSize.toLong * EstimatedBytesPerRow, 1L << 20),
+        overwrite = overwrite)
       val n = obs.get("rows").asInstanceOf[Long]
       ctx.copy(dataFileName = Some(fileName), writtenPath = Some(res.path),
         writtenBytes = Some(res.bytes), rowCount = Some(n))
@@ -146,39 +166,63 @@ object IngestionPipeline {
     }
 
   /** Stage 5 — Upload (`UploadHandler.cs:22-126`): when the config declares a
-    * FileSystem destination, place the committed parquet + CTL there with the
-    * declared retry/overwrite/local-copy semantics. With no configured
-    * destination the write stage's placement already IS the final location. */
-  def upload(stagingDir: String): Stage =
+    * FileSystem or AzureBlob destination, place the committed parquet + CTL
+    * there with the declared retry/overwrite/local-copy semantics. With no
+    * configured destination the write stage's placement already IS the final
+    * location.
+    *
+    * AzureBlob maps onto the same Hadoop-FS seam: `azureBlobConfig` resolves to
+    * an `abfss://container@.../blobPath` URI (see [[graft.sinks.Upload.azureContainerUri]])
+    * and the reference provider's semantics carry over — container auto-create ≈
+    * `mkdirs`, always-overwrite (`AzureBlobStorageProvider.cs:33,39`). */
+  def upload(stagingDir: String,
+             azureUriTemplate: String = graft.sinks.Upload.defaultAzureUriTemplate): Stage =
     stage("Upload", Severity.Error) { ctx =>
-      ctx.config.upload.fileSystemConfig match {
-        case Some(fsCfg) if fsCfg.basePath.nonEmpty || fsCfg.relativePath.nonEmpty =>
+      val dest: Option[(String, graft.config.UploadConfig)] =
+        ctx.config.upload.fileSystemConfig match {
+          case Some(fsCfg) if fsCfg.basePath.nonEmpty || fsCfg.relativePath.nonEmpty =>
+            Some((
+              if (fsCfg.basePath.nonEmpty) s"${fsCfg.basePath}/${fsCfg.relativePath}"
+              else s"$stagingDir/${fsCfg.relativePath}",
+              ctx.config.upload))
+          case _ =>
+            ctx.config.upload.azureBlobConfig match {
+              case Some(abCfg) if abCfg.containerName.nonEmpty =>
+                val containerUri =
+                  graft.sinks.Upload.azureContainerUri(azureUriTemplate, abCfg.containerName)
+                val d = if (abCfg.blobPath.nonEmpty) s"$containerUri/${abCfg.blobPath}"
+                        else containerUri
+                // blob uploads always overwrite (AzureBlobStorageProvider.cs:39)
+                Some((d, ctx.config.upload.copy(overwriteExisting = true)))
+              case _ => None
+            }
+        }
+      dest match {
+        case Some((destDir, uploadCfg)) =>
           val spark = ctx.data.map(_.sparkSession).get
-          val dest =
-            if (fsCfg.basePath.nonEmpty) s"${fsCfg.basePath}/${fsCfg.relativePath}"
-            else s"$stagingDir/${fsCfg.relativePath}"
           val dataName = ctx.dataFileName.get
           val ctlName = dataName.replaceAll("\\.parquet$", "") + ".ctl"
-          val placed = graft.sinks.Upload.place(spark, ctx.writtenPath.get, dest,
-            dataName, ctx.config.upload)
-          graft.sinks.Upload.place(spark, ctx.ctlPath.get, dest, ctlName,
-            ctx.config.upload)
+          val placed = graft.sinks.Upload.place(spark, ctx.writtenPath.get, destDir,
+            dataName, uploadCfg)
+          graft.sinks.Upload.place(spark, ctx.ctlPath.get, destDir, ctlName,
+            uploadCfg)
           // the staging copies served their purpose; the destination is canonical
           val fs = graft.sinks.Upload.hadoopFs(spark, stagingDir)
           fs.delete(new org.apache.hadoop.fs.Path(ctx.writtenPath.get), false)
           fs.delete(new org.apache.hadoop.fs.Path(ctx.ctlPath.get), false)
           ctx.copy(writtenPath = Some(placed.destination))
-        case _ => ctx
+        case None => ctx
       }
     }
 
   /** Run the full chain for one dataset config. */
   def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
           environment: String = "Production",
-          now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC)): RunContext = {
+          now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC),
+          azureUriTemplate: String = graft.sinks.Upload.defaultAzureUriTemplate): RunContext = {
     val stages: Seq[Stage] =
       Seq(extract(spark, lakeDir), transform, write(destDir), ctl(destDir),
-        upload(destDir))
+        upload(destDir, azureUriTemplate))
     stages.foldLeft(RunContext(config, environment, now))((ctx, s) => s(ctx))
   }
 }

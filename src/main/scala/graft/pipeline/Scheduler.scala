@@ -16,35 +16,66 @@ import java.util.concurrent.atomic.AtomicBoolean
   * Cron dialect: the reference uses Quartz 6/7-field expressions
   * (`sec min hour dom mon dow [year]`, e.g. `0 *&#47;2 * * * ?`). [[QuartzCron]]
   * supports the subset the reference's configs use: numbers, `*`, `?`, ranges
-  * `a-b`, lists `a,b`, and steps `*&#47;n` / `a/n`, on the first six fields.
+  * `a-b`, lists `a,b`, steps `*&#47;n` / `a/n`, and `SUN-SAT` / `JAN-DEC` names,
+  * on the first six fields. Quartz's numeric day-of-week convention is
+  * `1=SUN .. 7=SAT` (NOT the unix-cron 0=SUN) — `JobSchedulingService.cs:61-66`
+  * hands expressions straight to Quartz, so that is the convention matched here.
+  * The calendar-position tokens `L`/`W`/`#` are rejected loudly rather than
+  * silently mis-parsed.
   */
 object QuartzCron {
 
   final case class Field(matches: Int => Boolean)
 
-  /** Parse one cron field into a predicate. */
-  private[pipeline] def parseField(spec: String, min: Int, max: Int): Field = {
+  private val dowNames = Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")
+    .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+  private val monthNames = Seq("JAN", "FEB", "MAR", "APR", "MAY", "JUN",
+    "JUL", "AUG", "SEP", "OCT", "NOV", "DEC")
+    .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  /** Parse one cron field into a predicate. `names` maps Quartz mnemonic tokens
+    * (SUN..SAT / JAN..DEC) to their numeric values before numeric parsing. */
+  private[pipeline] def parseField(spec0: String, min: Int, max: Int,
+                                   names: Map[String, Int] = Map.empty,
+                                   fieldName: String = "field"): Field = {
+    if (spec0.contains("L") || spec0.contains("W") || spec0.contains("#"))
+      throw new UnsupportedOperationException(
+        s"Quartz '$spec0' in $fieldName: calendar tokens L/W/# are not supported")
+    val spec = names.foldLeft(spec0.toUpperCase) { case (s, (name, num)) =>
+      s.replace(name, num.toString)
+    }
     if (spec == "*" || spec == "?") return Field(_ => true)
+    if (!spec.matches("[0-9,\\-*/]+"))
+      throw new IllegalArgumentException(s"Unparseable Quartz $fieldName: '$spec0'")
+    def bounded(n: Int): Int = {
+      require(n >= min && n <= max,
+        s"Quartz $fieldName value $n out of range [$min,$max] in '$spec0'")
+      n
+    }
     val preds = spec.split(",").toSeq.map { part =>
       part.split("/") match {
         case Array(base, step) =>
           val stepN = step.toInt
-          val start = if (base == "*") min else base.split("-")(0).toInt
+          val start = if (base == "*") min else bounded(base.split("-")(0).toInt)
           val end = base.split("-") match {
-            case Array(_, e) => e.toInt
+            case Array(_, e) => bounded(e.toInt)
             case _ => max
           }
           (v: Int) => v >= start && v <= end && (v - start) % stepN == 0
         case Array(range) if range.contains("-") =>
-          val Array(a, b) = range.split("-").map(_.toInt)
+          val Array(a, b) = range.split("-").map(s => bounded(s.toInt))
           (v: Int) => v >= a && v <= b
         case Array(single) =>
-          val n = single.toInt
+          val n = bounded(single.toInt)
           (v: Int) => v == n
       }
     }
     Field(v => preds.exists(_(v)))
   }
+
+  /** java.time DayOfWeek (1=MON..7=SUN) → Quartz numeric DOW (1=SUN..7=SAT). */
+  private[pipeline] def quartzDow(t: ZonedDateTime): Int =
+    t.getDayOfWeek.getValue % 7 + 1
 
   final case class Schedule(sec: Field, minute: Field, hour: Field,
                             dom: Field, month: Field, dow: Field) {
@@ -52,7 +83,7 @@ object QuartzCron {
       sec.matches(t.getSecond) && minute.matches(t.getMinute) &&
         hour.matches(t.getHour) && dom.matches(t.getDayOfMonth) &&
         month.matches(t.getMonthValue) &&
-        dow.matches(t.getDayOfWeek.getValue % 7) // cron: 0=Sunday
+        dow.matches(quartzDow(t))
 
     /** Next fire time strictly after `from` (second resolution; bounded scan —
       * fine for schedules with at-least-minutely density; a year guard caps
@@ -65,7 +96,7 @@ object QuartzCron {
         // skip in the largest safe increments
         t = if (!month.matches(t.getMonthValue))
           t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0).withSecond(0)
-        else if (!dom.matches(t.getDayOfMonth) || !dow.matches(t.getDayOfWeek.getValue % 7))
+        else if (!dom.matches(t.getDayOfMonth) || !dow.matches(quartzDow(t)))
           t.plusDays(1).withHour(0).withMinute(0).withSecond(0)
         else if (!hour.matches(t.getHour))
           t.plusHours(1).withMinute(0).withSecond(0)
@@ -81,8 +112,12 @@ object QuartzCron {
     val f = expr.trim.split("\\s+")
     require(f.length >= 6, s"Quartz cron needs >= 6 fields: '$expr'")
     Schedule(
-      parseField(f(0), 0, 59), parseField(f(1), 0, 59), parseField(f(2), 0, 23),
-      parseField(f(3), 1, 31), parseField(f(4), 1, 12), parseField(f(5), 0, 7))
+      parseField(f(0), 0, 59, fieldName = "second"),
+      parseField(f(1), 0, 59, fieldName = "minute"),
+      parseField(f(2), 0, 23, fieldName = "hour"),
+      parseField(f(3), 1, 31, fieldName = "day-of-month"),
+      parseField(f(4), 1, 12, monthNames, "month"),
+      parseField(f(5), 1, 7, dowNames, "day-of-week"))
   }
 }
 

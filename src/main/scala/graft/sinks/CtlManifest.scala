@@ -30,7 +30,11 @@ object CtlManifest {
       datasetName: String,
       source: String)
 
-  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+  // ISO-8601 round-trip ("o") format, 7 fractional digits at UTC — the reference
+  // writes BOTH RefDate and Timestamp with `DateTime.ToString("o")`
+  // (CtlGenerationHandler.cs:70-72, e.g. 2026-01-12T10:30:00.0000000Z), so
+  // downstream CTL consumers parse one shape for both fields.
+  private val tsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSS'Z'")
   private val nameFmt = DateTimeFormatter.ofPattern("yyyyMMddHHmmss")
 
   def sha256OfFile(fs: FileSystem, file: Path): String = {
@@ -71,9 +75,9 @@ object CtlManifest {
                     source: String, now: ZonedDateTime): CtlRecord =
     CtlRecord(
       recordCount = recordCount,
-      refDate = now.toLocalDate.toString,
+      refDate = now.withZoneSameInstant(ZoneOffset.UTC).format(tsFmt),
       checksum = checksum,
-      timestamp = now.format(tsFmt),
+      timestamp = now.withZoneSameInstant(ZoneOffset.UTC).format(tsFmt),
       datasetName = s"${datasetId}_${now.format(nameFmt)}",
       source = source)
 

@@ -23,6 +23,23 @@ object Upload {
   final case class UploadResult(destination: String, attempts: Int,
                                 localCopy: Option[String], bytes: Long)
 
+  /** Azure Blob destination mapping (`AzureBlobStorageProvider.cs:21-56`): the
+    * reference's bespoke `BlobServiceClient` becomes a Hadoop-FS URI — with the
+    * hadoop-azure jars on the classpath, `abfss://container@account.dfs.core.
+    * windows.net/path` goes through the exact same [[place]] code path as local
+    * FS and HDFS. The template carries the deployment's storage account (the
+    * reference keeps it in `AzureBlobOptions.ConnectionString`, app-level not
+    * dataset-level); `{container}` is substituted per dataset. Tests point the
+    * template at a `file://` directory to exercise the full path without Azure. */
+  val defaultAzureUriTemplate: String =
+    sys.env.getOrElse("GRAFT_AZURE_CONTAINER_URI",
+      "abfss://{container}@account.dfs.core.windows.net")
+
+  def azureContainerUri(template: String, containerName: String): String = {
+    require(containerName.nonEmpty, "azureBlobConfig.containerName is empty")
+    template.replace("{container}", containerName)
+  }
+
   def place(spark: SparkSession, srcFile: String, destDir: String,
             fileName: String, cfg: UploadConfig,
             sleep: Long => Unit = Thread.sleep): UploadResult = {
@@ -47,14 +64,17 @@ object Upload {
               s"Destination exists and overwriteExisting=false: $target")
           destFs.delete(target, false)
         }
-        // atomic within one FS; copy+rename across FSs
-        if (srcFs.getUri == destFs.getUri) {
-          val tmp = new Path(dest, s".tmp-upload-${java.util.UUID.randomUUID()}")
+        // tmp-then-rename on the DESTINATION fs in both branches: a copy that
+        // dies mid-flight must never leave a partial file at `target`, or a
+        // retry with overwriteExisting=false would mistake it for a completed
+        // upload and refuse permanently.
+        val tmp = new Path(dest, s".tmp-upload-${java.util.UUID.randomUUID()}")
+        try {
           FileUtil.copy(srcFs, src, destFs, tmp, false, conf)
           if (!destFs.rename(tmp, target))
             throw new IllegalStateException(s"rename failed: $tmp -> $target")
-        } else {
-          FileUtil.copy(srcFs, src, destFs, target, false, conf)
+        } finally {
+          if (destFs.exists(tmp)) destFs.delete(tmp, false)
         }
         done = true
       } catch {

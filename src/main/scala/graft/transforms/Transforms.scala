@@ -58,14 +58,11 @@ object Transforms {
     private val emailRe = "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$"
     def apply(df: DataFrame, config: Map[String, Any]): DataFrame = {
       val required = stringSeq(config, "requiredColumns")
-      val missing = required.filterNot(df.columns.map(_.toLowerCase).toSet
-        .contains(_: String))
-      val missingCi = required.filterNot(r =>
+      val missing = required.filterNot(r =>
         df.columns.exists(_.equalsIgnoreCase(r)))
-      if (missingCi.nonEmpty)
+      if (missing.nonEmpty)
         throw new IllegalArgumentException(
-          s"DataValidation: required columns missing: ${missingCi.mkString(", ")}")
-      val _ = missing
+          s"DataValidation: required columns missing: ${missing.mkString(", ")}")
       val emailCol = config.get("emailColumn").map(_.toString)
       if (flag(config, "validateEmail", default = false) && emailCol.nonEmpty)
         df.filter(col(emailCol.get).rlike(emailRe) || col(emailCol.get).isNull)

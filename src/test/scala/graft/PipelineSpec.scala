@@ -61,6 +61,49 @@ class PipelineSpec extends SparkSpec {
       "no data files should be committed")
   }
 
+  test("direct-write path honors overwriteExisting=false (the config default)") {
+    val dest = Files.createTempDirectory("graft-pipe-ow").toString
+    // no upload destination configured -> the write stage IS final placement
+    val ctx1 = IngestionPipeline.run(spark, tradesConfig, sf0001, dest, now = now)
+    assert(!ctx1.failed)
+    val firstBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(dest, ctx1.dataFileName.get))
+    // same templated name (same clock) + overwriteExisting=false -> refusal,
+    // recorded as a Critical write-stage error; the existing file is untouched
+    val ctx2 = IngestionPipeline.run(spark, tradesConfig, sf0001, dest, now = now)
+    assert(ctx2.failed)
+    assert(ctx2.errors.exists(e => e.stage == "ParquetWrite" &&
+      e.message.contains("overwriteExisting=false")))
+    assert(Files.readAllBytes(java.nio.file.Paths.get(dest, ctx1.dataFileName.get))
+      .sameElements(firstBytes))
+    // opting in to overwrite succeeds
+    val ow = tradesConfig.copy(upload = tradesConfig.upload.copy(overwriteExisting = true))
+    val ctx3 = IngestionPipeline.run(spark, ow, sf0001, dest, now = now)
+    assert(!ctx3.failed, ctx3.errors.mkString("; "))
+  }
+
+  test("azureBlobConfig routes upload through the container URI template") {
+    val dest = Files.createTempDirectory("graft-pipe-az-stage").toString
+    val blobRoot = Files.createTempDirectory("graft-pipe-az-store").toString
+    val cfg = tradesConfig.copy(upload = tradesConfig.upload.copy(
+      provider = "AzureBlob",
+      azureBlobConfig = Some(graft.config.AzureBlobConfig(
+        containerName = "datalake", blobPath = "ingest/trades"))))
+    // file:// stand-in for abfss://{container}@account... — same Hadoop-FS path
+    val ctx = IngestionPipeline.run(spark, cfg, sf0001, dest, now = now,
+      azureUriTemplate = s"file:$blobRoot/{container}")
+    assert(!ctx.failed, ctx.errors.mkString("; "))
+    val placedData = new java.io.File(
+      s"$blobRoot/datalake/ingest/trades/${ctx.dataFileName.get}")
+    val placedCtl = new java.io.File(
+      s"$blobRoot/datalake/ingest/trades/${ctx.dataFileName.get.replace(".parquet", ".ctl")}")
+    assert(placedData.exists(), s"blob data missing: $placedData")
+    assert(placedCtl.exists(), s"blob ctl missing: $placedCtl")
+    assert(spark.read.parquet(placedData.toString).count() == ctx.rowCount.get)
+    // staging copies are cleaned up after placement
+    assert(!new java.io.File(dest, ctx.dataFileName.get).exists())
+  }
+
   test("environment gating skips non-matching transforms end to end") {
     val dest = Files.createTempDirectory("graft-pipe-env").toString
     val cfg = tradesConfig.copy(transformations = Seq(

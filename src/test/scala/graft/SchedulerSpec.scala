@@ -37,6 +37,39 @@ class SchedulerSpec extends AnyFunSuite {
     assert(!s.matches(at(12, 10, 0)))
   }
 
+  test("Quartz numeric day-of-week uses 1=SUN..7=SAT") {
+    // 2026-08-12 is a Wednesday -> Quartz 4. Quartz Monday is 2.
+    val wed = QuartzCron.parse("0 0 12 ? * 4")
+    assert(wed.matches(at(12, 0, 0)))
+    val mon = QuartzCron.parse("0 0 12 ? * 2")
+    assert(!mon.matches(at(12, 0, 0)))
+    // 7 = Saturday must be expressible (2026-08-15 is a Saturday)
+    val sat = QuartzCron.parse("0 0 12 ? * 7")
+    assert(sat.matches(ZonedDateTime.of(2026, 8, 15, 12, 0, 0, 0, ZoneOffset.UTC)))
+    assert(!sat.matches(at(12, 0, 0)))
+  }
+
+  test("day and month names: MON-FRI, SAT,SUN, JAN-DEC") {
+    val weekdays = QuartzCron.parse("0 0 9 ? * MON-FRI")
+    assert(weekdays.matches(at(9, 0, 0))) // Wednesday
+    assert(!weekdays.matches(ZonedDateTime.of(2026, 8, 15, 9, 0, 0, 0, ZoneOffset.UTC)))
+    val weekend = QuartzCron.parse("0 0 9 ? * SAT,SUN")
+    assert(!weekend.matches(at(9, 0, 0)))
+    assert(weekend.matches(ZonedDateTime.of(2026, 8, 16, 9, 0, 0, 0, ZoneOffset.UTC)))
+    val aug = QuartzCron.parse("0 0 9 * AUG ?")
+    assert(aug.matches(at(9, 0, 0)))
+    val dec = QuartzCron.parse("0 0 9 * DEC ?")
+    assert(!dec.matches(at(9, 0, 0)))
+  }
+
+  test("L/W/# calendar tokens are rejected, not silently mis-parsed") {
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 L * ?") }
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 15W * ?") }
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 ? * 6#3") }
+    // out-of-range numeric DOW (unix-cron 0=SUN habit) fails loudly too
+    intercept[IllegalArgumentException] { QuartzCron.parse("0 0 12 ? * 0") }
+  }
+
   test("next() finds the following fire time") {
     val every2m = QuartzCron.parse("0 */2 * * * ?")
     assert(every2m.next(at(10, 0, 0)).contains(at(10, 2, 0)))

@@ -90,6 +90,13 @@ class UploadSpec extends SparkSpec {
     assert(res.bytes == 4)
   }
 
+  test("azureContainerUri substitutes the container into the template") {
+    assert(Upload.azureContainerUri(
+      "abfss://{container}@acct.dfs.core.windows.net", "raw") ==
+      "abfss://raw@acct.dfs.core.windows.net")
+    intercept[IllegalArgumentException](Upload.azureContainerUri("x", ""))
+  }
+
   test("keepLocalCopy writes a secondary copy, non-fatal if impossible") {
     val src = Files.createTempDirectory("up-src4").toString
     val dst = Files.createTempDirectory("up-dst4").toString

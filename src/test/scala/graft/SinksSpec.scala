@@ -47,7 +47,10 @@ class SinksSpec extends SparkSpec {
     val rec = CtlManifest.forFile(spark, res.path, 2, "ds1", "Parquet", now)
     assert(rec.recordCount == 2)
     assert(rec.datasetName == "ds1_20260812100000")
-    assert(rec.refDate == "2026-08-12")
+    // both RefDate and Timestamp carry the reference's ISO-8601 round-trip ("o")
+    // shape (CtlGenerationHandler.cs:70-72): 7 fractional digits, UTC 'Z'
+    assert(rec.refDate == "2026-08-12T10:00:00.0000000Z")
+    assert(rec.timestamp == "2026-08-12T10:00:00.0000000Z")
     // checksum equals an independently computed SHA-256 of the file bytes
     val bytes = Files.readAllBytes(java.nio.file.Paths.get(res.path.stripPrefix("file:")))
     val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -55,7 +58,7 @@ class SinksSpec extends SparkSpec {
     val csv = CtlManifest.toCsv(rec)
     val lines = csv.split("\r\n")
     assert(lines(0) == "RecordCount,RefDate,Checksum,Timestamp,DatasetName,Source")
-    assert(lines(1).startsWith("2,2026-08-12,"))
+    assert(lines(1).startsWith("2,2026-08-12T10:00:00.0000000Z,"))
   }
 
   test("CTL CSV escaping is RFC-4180") {
