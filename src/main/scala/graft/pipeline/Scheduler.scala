@@ -38,12 +38,15 @@ object QuartzCron {
   private[pipeline] def parseField(spec0: String, min: Int, max: Int,
                                    names: Map[String, Int] = Map.empty,
                                    fieldName: String = "field"): Field = {
-    if (spec0.contains("L") || spec0.contains("W") || spec0.contains("#"))
-      throw new UnsupportedOperationException(
-        s"Quartz '$spec0' in $fieldName: calendar tokens L/W/# are not supported")
+    // substitute mnemonic names BEFORE rejecting calendar tokens: WED contains
+    // 'W' and JUL contains 'L', so the L/W/# check must only see what's left
+    // after name substitution (names are matched case-insensitively, as Quartz does)
     val spec = names.foldLeft(spec0.toUpperCase) { case (s, (name, num)) =>
       s.replace(name, num.toString)
     }
+    if (spec.contains("L") || spec.contains("W") || spec.contains("#"))
+      throw new UnsupportedOperationException(
+        s"Quartz '$spec0' in $fieldName: calendar tokens L/W/# are not supported")
     if (spec == "*" || spec == "?") return Field(_ => true)
     if (!spec.matches("[0-9,\\-*/]+"))
       throw new IllegalArgumentException(s"Unparseable Quartz $fieldName: '$spec0'")
@@ -111,6 +114,12 @@ object QuartzCron {
   def parse(expr: String): Schedule = {
     val f = expr.trim.split("\\s+")
     require(f.length >= 6, s"Quartz cron needs >= 6 fields: '$expr'")
+    // Quartz requires exactly one of day-of-month / day-of-week to be '?'
+    // (specifying both is rejected by Quartz, not silently ANDed) — fail loud
+    // like the unsupported-calendar-token policy above.
+    if (f(3) != "?" && f(3) != "*" && f(5) != "?" && f(5) != "*")
+      throw new UnsupportedOperationException(
+        s"Quartz '$expr': specifying both day-of-month and day-of-week is not supported; use '?' in one")
     Schedule(
       parseField(f(0), 0, 59, fieldName = "second"),
       parseField(f(1), 0, 59, fieldName = "minute"),

@@ -62,6 +62,30 @@ class SchedulerSpec extends AnyFunSuite {
     assert(!dec.matches(at(9, 0, 0)))
   }
 
+  test("WED and JUL parse despite containing W/L (names substitute before the token check)") {
+    // 2026-08-12 is a Wednesday
+    val wed = QuartzCron.parse("0 0 9 ? * WED")
+    assert(wed.matches(at(9, 0, 0)))
+    assert(!wed.matches(ZonedDateTime.of(2026, 8, 13, 9, 0, 0, 0, ZoneOffset.UTC)))
+    // lowercase names parse identically (Quartz is case-insensitive)
+    val wedLower = QuartzCron.parse("0 0 9 ? * wed")
+    assert(wedLower.matches(at(9, 0, 0)))
+    val jul = QuartzCron.parse("0 0 9 * JUL ?")
+    assert(!jul.matches(at(9, 0, 0))) // August
+    assert(jul.matches(ZonedDateTime.of(2026, 7, 12, 9, 0, 0, 0, ZoneOffset.UTC)))
+  }
+
+  test("specifying both day-of-month and day-of-week is rejected (Quartz requires '?')") {
+    // Quartz rejects this outright; silently ANDing them would be a semantic
+    // divergence ('0 0 12 15 * 2' would fire only on Mondays falling on the 15th)
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 15 * 2") }
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 1-5 * MON") }
+    // one-sided constraints stay valid
+    QuartzCron.parse("0 0 12 15 * ?")
+    QuartzCron.parse("0 0 12 ? * MON")
+    QuartzCron.parse("0 0 12 * * ?")
+  }
+
   test("L/W/# calendar tokens are rejected, not silently mis-parsed") {
     intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 L * ?") }
     intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 15W * ?") }
