@@ -19,10 +19,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // best of 2 runs per query: run 1 absorbs codegen/JIT warmup and any
-    // transient host noise; the reported number is the real plan cost
+    // per query: one discarded warmup run (codegen/JIT/broadcast build), then
+    // median of 3 timed runs, with an explicit GC between queries — a single
+    // long-lived JVM accumulating 44 queries' codegen caches showed 30x-inflated
+    // readings on arbitrary queries under best-of-2 (BENCH_r01/r02 outliers).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -30,7 +32,11 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      once() // warmup, discarded
+      val median = (1 to 3).map(_ => once()).sorted.apply(1)
+      spark.catalog.clearCache()
+      System.gc()
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -340,14 +340,45 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
     }),
 
+    // ---- JDBC extraction (SURVEY §2.1: the reference's actual job) ----
+
+    // text-query extraction over a live RDBMS (embedded Derby stand-in): lake
+    // customer rows round-trip through Spark's JDBC writer into Derby, then
+    // extract back through the JDBC relation with a bound parameter — the
+    // reference's raw-SQL path (SqlServerDataSource.cs:47-59). The oracle runs
+    // the equivalent SELECT against the original parquet, closing the loop.
+    "q30_jdbc_extract" -> ((s, dir) => {
+      val url = graft.sources.JdbcHarness.ensureCustomer(s, dir)
+      graft.sources.Jdbc.readQuery(s, url,
+        """SELECT "c_custkey", "c_name", "c_acctbal" FROM customer
+          |WHERE "c_acctbal" >= :MinBal""".stripMargin,
+        Map("MinBal" -> 1000L))
+    }),
+
+    // stored-procedure extraction: CallableStatement against a Derby procedure
+    // with an IN parameter and a dynamic result set — the reference's
+    // StoredProcedure path (SqlServerDataSource.cs:20-73; Oracle REF CURSOR
+    // flavor shares the reader with refCursorType set, OracleDataSource.cs:85-108).
+    "q31_jdbc_proc" -> ((s, dir) => {
+      val url = graft.sources.JdbcHarness.ensureCustomer(s, dir)
+      graft.sources.Jdbc.readCallable(s, url, "TOP_CUSTOMERS", Map("minBal" -> 1000.0))
+    }),
+
     // ---- Structured Streaming surface (SURVEY §2.7 extension) ----
 
-    // watermarked tumbling-window aggregation, run to completion with
-    // Trigger.AvailableNow — must equal the batch GROUP BY over the same data.
-    "st01_stream_hourly" -> ((s, dir) =>
-      graft.streaming.EventsStream.runAvailableNow(s, dir,
+    // watermarked tumbling-window aggregation through the PRODUCTION streaming
+    // path: Append mode to a parquet sink (bounded state, no driver
+    // materialization). Emits exactly the watermark-closed windows — the batch
+    // equivalent is GROUP BY hour restricted to windows whose end is at or
+    // before max(ts) - 2h (the final watermark). The Complete+memory variant
+    // stays in StreamingSpec as the equivalence harness only.
+    "st01_stream_hourly" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st01-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         graft.streaming.EventsStream.hourlyByType,
-        s"st01_${java.util.UUID.randomUUID().toString.take(8)}")),
+        s"$out/data", s"$out/ckpt")
+    }),
 
     // gap-based sessionization (window-function formulation; the streaming
     // flatMapGroupsWithState twin is exercised in StreamingSpec).
@@ -364,9 +395,12 @@ object SparkEntry {
     "d01_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(t(s, dir, "documents"), "doc_id", "text")),
 
-    // normalized-fingerprint dedup (xxhash64 — not DuckDB-expressible).
+    // normalized-fingerprint dedup. The plan groups by the 8-byte xxhash64
+    // fingerprint (the 100 TB shuffle key); the output keeps the oracle-able
+    // columns — DuckDB reproduces the same groups via the normalized text.
     "d02_dedup_fingerprint" -> ((s, dir) =>
-      Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")),
+      Dedup.byFingerprint(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("keep_id"), col("dup_count"))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
     "d03_minhash_pairs" -> ((s, dir) =>
@@ -390,10 +424,14 @@ object SparkEntry {
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         dim = 64, threshold = 0.45, planesPerTable = 6, tables = 8)),
 
-    // exact brute-force cosine top-k (correctness baseline for ANN).
+    // exact brute-force cosine top-k (correctness baseline for ANN). The
+    // oracle compares ranks, not scores: both engines compute cosine in double,
+    // but accumulation-order differences in the last ulp would flake a
+    // hash-compare on the score itself; neighbor identity + rank is exact.
     "s01_ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"), bi(col("rank")).as("rank"))
     }),
 
     // sign-LSH ANN with exact re-rank. Plane/table budget sized for this
@@ -405,14 +443,15 @@ object SparkEntry {
         k = 5, dim = 64, planesPerTable = 4, tables = 12)
     }),
 
-    // text analysis: language-ID + quality + token counts + fingerprint.
+    // text analysis: language-ID + quality + token counts. (The xxhash64
+    // fingerprint feature is exercised by d02's grouping and unit tests — it
+    // has no DuckDB equivalent, so it stays out of the oracle-checked output.)
     "t01_text_features" -> ((s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id"),
         T.langId(col("text")).as("lang_pred"),
         bi(T.tokenCount(col("text"))).as("n_tokens"),
         bi(T.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
-        T.fingerprint(col("text")).as("fingerprint"),
         T.qualityScore(col("text")).as("quality"))),
 
     // token stats expressible identically in ANSI SQL (exact integer outputs).
@@ -633,11 +672,23 @@ object SparkEntry {
         |    AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    // q30/q31 extract lake `customer` data back out of an embedded RDBMS; the
+    // oracle is the same predicate on the original parquet table.
+    "q30_jdbc_extract" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 1000",
+    "q31_jdbc_proc" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 1000",
+    // Append-mode streaming emits exactly the watermark-closed windows:
+    // window end <= max(ts) - 2h (the final watermark after AvailableNow's
+    // no-data flush batch). The batch equivalent restricts to those windows.
     "st01_stream_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM events
+        |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        |GROUP BY 1, 2""".stripMargin,
     "st02_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
@@ -658,6 +709,98 @@ object SparkEntry {
         |FROM sessions GROUP BY user_id, session_id""".stripMargin,
     "d01_dedup_exact" ->
       "SELECT text, min(doc_id) AS keep_id, count(*) AS dup_count FROM documents GROUP BY text",
+    // d02's Spark plan groups by xxhash64(normalized text); the oracle groups by
+    // the normalized text itself — identical groups absent 64-bit collisions.
+    "d02_dedup_fingerprint" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+    // d05: at sf0.01 maxDocFreq (1000) exceeds the corpus (500 docs), so the
+    // inverted-index prune is inactive and the output equals all-pairs exact
+    // 3-gram Jaccard >= 0.4 — which DuckDB computes directly with list ops.
+    "d05_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |         THEN list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |        FROM documents)
+        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
+        |WHERE inter / (la + lb - inter) >= 0.4""".stripMargin,
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, c.embedding) /
+        |      (sqrt(list_dot_product(q.qv, q.qv))
+        |       * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "t01_text_features" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','on','for','with','as','at','by','it','this','that')))
+        |      AS DOUBLE) AS n_stop,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','and','of','to','in','is','that',
+        |      'it','was','for','with','as','his','they','at'))) AS BIGINT) AS s_en,
+        |    CAST(len(list_filter(toks, t -> t IN ('el','la','de','que','y','en','un','una',
+        |      'los','las','se','del','por','con','no'))) AS BIGINT) AS s_es,
+        |    CAST(len(list_filter(toks, t -> t IN ('le','la','les','de','des','et','un',
+        |      'une','du','est','que','pour','dans','qui','pas'))) AS BIGINT) AS s_fr,
+        |    CAST(len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht',
+        |      'ein','eine','mit','auf','für','den','von','zu','im'))) AS BIGINT) AS s_de,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+        |      AS n_bpe,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
+        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper
+        |  FROM f)
+        |SELECT doc_id,
+        |  CASE WHEN s_en = 0 AND s_es = 0 AND s_fr = 0 AND s_de = 0 THEN 'und'
+        |       WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+        |       WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+        |       WHEN s_fr >= s_de THEN 'fr'
+        |       ELSE 'de' END AS lang_pred,
+        |  n_tokens, n_bpe AS n_bpe_tokens,
+        |  round(
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 5.0, 1.0)
+        |      * 0.3 +
+        |    greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+        |      ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 4.0) * 0.2 +
+        |    greatest(0.0, 1.0 - (CASE WHEN n_letters = 0 THEN 0.0
+        |      ELSE CAST(n_upper AS DOUBLE) / n_letters END)) * 0.1,
+        |  6) AS quality
+        |FROM g""".stripMargin,
+    "m03_frame_sample" ->
+      """SELECT media_id, n_frames,
+        |  unnest(list_filter(range(0, n_frames), i -> i % 2 = 0)) AS frame_idx
+        |FROM (SELECT doc_id AS media_id,
+        |        greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1)
+        |          AS n_frames
+        |      FROM documents)""".stripMargin,
     "t02_token_stats" ->
       """SELECT doc_id,
         |  CAST(length(text) AS BIGINT) AS n_chars_actual,

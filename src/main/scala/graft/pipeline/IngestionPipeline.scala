@@ -73,28 +73,50 @@ object IngestionPipeline {
       }
     }
 
-  /** Stage 1 — Extraction (`ExtractionHandler.cs:23-86`). `Query` extraction runs
-    * the configured SQL text over the registered lake views — the Spark analogue of
-    * the reference shipping SQL text to the source DB. Parameters bind via Spark's
-    * named-parameter API (`:name` placeholders), matching the reference's `@name` /
-    * `:name` binding (`SqlServerDataSource.cs:47-59`, `OracleDataSource.cs:153-168`). */
-  def extract(spark: SparkSession, lakeDir: String): Stage =
+  /** Stage 1 — Extraction (`ExtractionHandler.cs:23-86`).
+    *
+    * Source dispatch mirrors `DataSourceFactory.cs:19-27`: `SqlServer` /
+    * `Oracle` / `Jdbc` sources extract over JDBC ([[graft.sources.Jdbc]] — text
+    * queries through Spark's JDBC relation, stored procs / packages through a
+    * CallableStatement), with the connection-string template looked up by
+    * `connectionStringKey` (the reference's appsettings `ConnectionStrings`
+    * map, `DataIngestionJob.cs:62-81`) and `{vault:...}` placeholders resolved
+    * through the [[graft.sources.SecretResolver]] seam.
+    *
+    * `Parquet` (lake) sources run `Query` extraction as SQL text over the
+    * registered lake views — the Spark analogue of the reference shipping SQL
+    * text to the source DB — with parameters bound via Spark's named-parameter
+    * API, matching the reference's `@name` / `:name` binding
+    * (`SqlServerDataSource.cs:47-59`, `OracleDataSource.cs:153-168`). */
+  def extract(spark: SparkSession, lakeDir: String,
+              connectionStrings: Map[String, String] = Map.empty,
+              secrets: graft.sources.SecretResolver = graft.sources.SecretResolver.FromEnv): Stage =
     stage("Extraction", Severity.Critical) { ctx =>
-      Lake.registerAll(spark, lakeDir)
       val src = ctx.config.source
-      val df = src.extractionType.toLowerCase match {
-        case "query" =>
-          val sql =
-            if (src.sqlText.nonEmpty) src.sqlText
-            else scala.io.Source.fromFile(src.sqlFilePath).mkString
-          if (src.parameters.nonEmpty) spark.sql(sql, src.parameters) else spark.sql(sql)
-        case "table" => // lake-engine extension: whole-table extraction
-          Lake.table(spark, lakeDir, src.procedureName)
-        case other =>
-          // StoredProcedure / Package target a live RDBMS (reference
-          // OracleDataSource.cs:53-138) — not reachable against the parquet lake.
-          throw new UnsupportedOperationException(
-            s"extractionType=$other requires a JDBC source; lake engine supports Query/Table")
+      val df = src.`type`.toLowerCase match {
+        case "sqlserver" | "oracle" | "jdbc" =>
+          val template = connectionStrings.getOrElse(src.connectionStringKey,
+            throw new IllegalArgumentException(
+              s"No connection string configured for key '${src.connectionStringKey}'"))
+          val connStr = new graft.sources.ConnectionStringBuilder(secrets).build(template)
+          graft.sources.Jdbc.extract(spark, src, connStr)
+        case _ =>
+          Lake.registerAll(spark, lakeDir)
+          src.extractionType.toLowerCase match {
+            case "query" =>
+              val sql =
+                if (src.sqlText.nonEmpty) src.sqlText
+                else scala.io.Source.fromFile(src.sqlFilePath).mkString
+              if (src.parameters.nonEmpty) spark.sql(sql, src.parameters) else spark.sql(sql)
+            case "table" => // lake-engine extension: whole-table extraction
+              Lake.table(spark, lakeDir, src.procedureName)
+            case other =>
+              // StoredProcedure / Package target a live RDBMS (reference
+              // OracleDataSource.cs:53-138) — not reachable against the parquet lake.
+              throw new UnsupportedOperationException(
+                s"extractionType=$other requires a JDBC source (source.type = " +
+                  "SqlServer/Oracle/Jdbc); the lake engine supports Query/Table")
+          }
       }
       ctx.copy(data = Some(df))
     }
@@ -219,10 +241,12 @@ object IngestionPipeline {
   def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
           environment: String = "Production",
           now: ZonedDateTime = ZonedDateTime.now(ZoneOffset.UTC),
-          azureUriTemplate: String = graft.sinks.Upload.defaultAzureUriTemplate): RunContext = {
+          azureUriTemplate: String = graft.sinks.Upload.defaultAzureUriTemplate,
+          connectionStrings: Map[String, String] = Map.empty,
+          secrets: graft.sources.SecretResolver = graft.sources.SecretResolver.FromEnv): RunContext = {
     val stages: Seq[Stage] =
-      Seq(extract(spark, lakeDir), transform, write(destDir), ctl(destDir),
-        upload(destDir, azureUriTemplate))
+      Seq(extract(spark, lakeDir, connectionStrings, secrets), transform,
+        write(destDir), ctl(destDir), upload(destDir, azureUriTemplate))
     stages.foldLeft(RunContext(config, environment, now))((ctx, s) => s(ctx))
   }
 }

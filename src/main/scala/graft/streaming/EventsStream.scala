@@ -47,9 +47,11 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
-  /** Run a streaming aggregation over everything currently in the lake and
-    * return the complete result as a DataFrame (AvailableNow + in-memory sink).
-    * This is how the Verify harness exercises the streaming path. */
+  /** TEST/VERIFY HARNESS ONLY: run a streaming aggregation to completion and
+    * return the complete result via the in-memory sink. `Complete` + memory
+    * materializes the whole aggregate on the driver every trigger — fine for
+    * equivalence checks over test data, a scale-killer in production (the
+    * shipped path is [[runAvailableNowToFiles]]). */
   def runAvailableNow(spark: SparkSession, dir: String,
                       agg: DataFrame => DataFrame,
                       queryName: String): DataFrame = {
@@ -63,6 +65,31 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Production streaming path: watermark-closed windows **append** to a
+    * parquet sink. State stays bounded (only open windows), nothing ever
+    * materializes on the driver, and the checkpoint makes re-runs exactly-once
+    * — the 100 TB-safe shape.
+    *
+    * Append semantics under `Trigger.AvailableNow`: after the sources drain, a
+    * final no-data micro-batch advances the watermark to `max(ts) - delay`, so
+    * every window with `window.end <= max(ts) - delay` is emitted; windows
+    * still inside the watermark delay stay in state for the *next* run (they
+    * are not lost — that is the streaming contract for late data). Returns the
+    * emitted rows read back from the sink. */
+  def runAvailableNowToFiles(spark: SparkSession, dir: String,
+                             agg: DataFrame => DataFrame,
+                             outDir: String, checkpointDir: String): DataFrame = {
+    val q = agg(readEvents(spark, dir)).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outDir)
   }
 
   // ---- custom session state (flatMapGroupsWithState) ----

@@ -20,6 +20,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("Append-to-files production path emits exactly the watermark-closed windows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-st01-test")
+    val streamed = EventsStream.runAvailableNowToFiles(spark, sf0001,
+      EventsStream.hourlyByType, s"$out/data", s"$out/ckpt")
+      .orderBy("window_start", "event_type").collect()
+    val ev = Lake.table(spark, sf0001, "events")
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = ev
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 2 HOURS"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} windows, batch-closed ${batch.length}")
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization emits watermark-expired sessions " +
     "that match the batch formulation") {
     import spark.implicits._
