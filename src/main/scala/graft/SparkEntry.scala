@@ -340,6 +340,31 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
     }),
 
+    // ColumnMapping rename step through the config-driven chain (the
+    // README-documented extension step, README.md:1693-1749).
+    "q32_column_mapping" -> ((s, dir) => {
+      val steps = Seq(TransformConfig("ColumnMapping", order = 1,
+        config = Map("mappings" -> Map(
+          "s_suppkey" -> "supplier_id", "s_name" -> "supplier_name",
+          "s_acctbal" -> "balance"))))
+      Transforms.applyAll(t(s, dir, "supplier"), steps)
+        .select(col("supplier_id"), col("supplier_name"), col("balance"),
+          bi(col("s_nationkey")).as("nation_id"))
+    }),
+
+    // null-sentinel compat mode (ParquetWriterService.cs:183-262 semantics,
+    // SURVEY §7.4(1)): manufactured nulls (customers without orders) coerce to
+    // the reference's numeric-zero sentinels.
+    "q33_null_sentinels" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val agg = o.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_spent"))
+      val joined = c.select(col("c_custkey"))
+        .join(agg, c("c_custkey") === agg("o_custkey"), "left")
+        .select(col("c_custkey"), col("n_orders"), col("total_spent"))
+      Transforms.applyAll(joined, Seq(TransformConfig("NullSentinels", order = 1)))
+    }),
+
     // ---- JDBC extraction (SURVEY §2.1: the reference's actual job) ----
 
     // text-query extraction over a live RDBMS (embedded Derby stand-in): lake
@@ -390,6 +415,25 @@ object SparkEntry {
           col("n_events"), col("value_sum"))),
 
     // ---- training-data extension operators (SURVEY §7.1(7)) ----
+
+    // AS-OF join: each purchase enriched with the user's latest click at or
+    // before the purchase instant — one key-shuffle + one linear window pass
+    // (operators.AsofJoin), never a per-key range explosion.
+    "o01_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsofJoin.lastAtOrBefore(
+          purchases, clicks.withColumn("click_ts", col("ts")),
+          Seq("user_id"), "ts",
+          struct(col("click_id"), col("click_ts")), "_m")
+        .select(col("purchase_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          col("_m.click_id").as("click_id"),
+          unix_timestamp(col("_m.click_ts")).as("click_ts_s"))
+    }),
 
     // exact dedup groups over document text.
     "d01_dedup_exact" -> ((s, dir) =>
@@ -672,6 +716,31 @@ object SparkEntry {
         |    AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    "q32_column_mapping" ->
+      """SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
+        |  s_acctbal AS balance, CAST(s_nationkey AS BIGINT) AS nation_id
+        |FROM supplier""".stripMargin,
+    "q33_null_sentinels" ->
+      """SELECT c_custkey, COALESCE(n_orders, 0) AS n_orders,
+        |  COALESCE(total_spent, CAST(0 AS DOUBLE)) AS total_spent
+        |FROM customer
+        |LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+        |             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |               AS total_spent
+        |           FROM orders GROUP BY 1) o ON c_custkey = o_custkey""".stripMargin,
+    "o01_asof_join" ->
+      """WITH purchases AS (
+        |  SELECT event_id AS purchase_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.purchase_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s,
+        |  c.click_id,
+        |  CAST(floor(epoch(c.ts)) AS BIGINT) AS click_ts_s
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
     // q30/q31 extract lake `customer` data back out of an embedded RDBMS; the
     // oracle is the same predicate on the original parquet table.
     "q30_jdbc_extract" ->

@@ -1,0 +1,72 @@
+package graft
+
+import graft.sources.Bucketing
+import org.apache.spark.sql.functions._
+
+/** Plan-shape assertions for the scale-critical properties: filter/projection
+  * pushdown, broadcast dimensions, fingerprint-keyed exchanges, and bucketed
+  * co-located joins. These are the properties that decide whether a plan
+  * survives a 100x scale-up — pinned here so a refactor cannot silently
+  * regress them. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q01: shipdate range filter and projection push into the parquet scan") {
+    val p = plan("q01_filter_sort")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // unused wide columns must not reach the scan
+    assert(!p.contains("l_tax") && !p.contains("l_suppkey"),
+      s"projection not pruned:\n$p")
+  }
+
+  test("q04: dimension tables broadcast; no cartesian anywhere") {
+    val p = plan("q04_join_multiway")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d01: dedup exchange is keyed by the xxhash64 fingerprint") {
+    val p = plan("d01_dedup_exact")
+    assert(p.contains("xxhash64"), p)
+  }
+
+  test("s01: query side broadcasts — the corpus is never shuffled") {
+    val p = plan("s01_ann_bruteforce")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bucketed co-located join: same-key bucketed tables join with no Exchange") {
+    val orders = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_mktsegment")
+    // drop catalog entries AND stale warehouse dirs from previous JVMs (the
+    // in-memory catalog is fresh per session, the filesystem location is not)
+    Seq("b_orders", "b_customer").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      org.apache.commons.io.FileUtils.deleteQuietly(loc)
+    }
+    Bucketing.writeBucketed(orders, "b_orders", Seq("o_custkey"), 8)
+    Bucketing.writeBucketed(customer, "b_customer", Seq("c_custkey"), 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join to resolve as sort-merge so the assertion is about
+      // bucketing, not about one side being broadcast-small
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_orders")
+        .join(spark.table("b_customer"), col("o_custkey") === col("c_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      // and it computes the right thing
+      val expected = orders.join(customer, col("o_custkey") === col("c_custkey")).count()
+      assert(j.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
