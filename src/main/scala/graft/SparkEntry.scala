@@ -544,6 +544,14 @@ object SparkEntry {
         bi(T.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
         T.qualityScore(col("text")).as("quality"))),
 
+    // deterministic content-keyed train/valid/test split (md5-bucketed; see
+    // operators.DatasetSplit for why content-keyed beats rand() at 100 TB).
+    "t03_train_split" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        graft.operators.DatasetSplit.assign(col("text"),
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -956,12 +964,42 @@ object SparkEntry {
         |      ELSE CAST(n_upper AS DOUBLE) / n_letters END)) * 0.1,
         |  6) AS quality
         |FROM g""".stripMargin,
+    // m01's decoder is a STUB, but a deterministic one: features derive from
+    // java.util.Arrays.hashCode over the payload bytes. The oracle re-computes
+    // that 32-bit fold in SQL (valid because this corpus is pure ASCII, so
+    // ascii(char) == byte), turning the whole mapPartitions plumbing — batching,
+    // schema, row alignment — into an exactly-checked path.
+    "m01_media_features" ->
+      """WITH hashed AS (
+        |  SELECT doc_id AS media_id, 'image' AS media_type,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |    ((list_reduce(list_prepend(CAST(1 AS BIGINT),
+        |        list_transform(range(1, length(text)+1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |      (acc, b) -> (acc * 31 + b) % 4294967296)
+        |      + 2147483648) % 4294967296) - 2147483648 AS jh
+        |  FROM documents),
+        |a AS (SELECT *, abs(jh) AS absh FROM hashed)
+        |SELECT media_id, media_type, n_bytes,
+        |  CAST(absh % 1920 + 1 AS INTEGER) AS width,
+        |  CAST((absh // 1920) % 1080 + 1 AS INTEGER) AS height,
+        |  CAST(3 AS INTEGER) AS channels,
+        |  CAST(absh % 256 AS DOUBLE) / 255.0 AS mean_intensity
+        |FROM a""".stripMargin,
     "m03_frame_sample" ->
       """SELECT media_id, n_frames,
         |  unnest(list_filter(range(0, n_frames), i -> i % 2 = 0)) AS frame_idx
         |FROM (SELECT doc_id AS media_id,
         |        greatest(CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT), 1)
         |          AS n_frames
+        |      FROM documents)""".stripMargin,
+    "t03_train_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 0.8 THEN 'train'
+        |       WHEN b < 0.9 THEN 'valid'
+        |       ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS DOUBLE)
+        |          / 4294967296.0 AS b
         |      FROM documents)""".stripMargin,
     "t02_token_stats" ->
       """SELECT doc_id,
