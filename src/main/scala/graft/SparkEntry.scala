@@ -437,6 +437,21 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // stream-static enrichment: the events stream joined to the static
+    // customer dimension, run through the production Append file sink. No
+    // state store — every micro-batch joins against the dimension and emits,
+    // so the result equals the batch join exactly.
+    "st03_stream_enrich" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st03-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        ev => graft.streaming.EventsStream.enrichWithStatic(
+            ev, Lake.table(s, dir, "customer"), "user_id", "c_custkey")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("c_mktsegment"), bi(col("c_nationkey")).as("c_nationkey")),
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // gap-based sessionization (window-function formulation; the streaming
     // flatMapGroupsWithState twin is exercised in StreamingSpec).
     "st02_sessionize" -> ((s, dir) =>
@@ -509,10 +524,14 @@ object SparkEntry {
 
     // embedding cosine near-dup pairs (sign-LSH candidates, exact verify).
     // This corpus has no true near-dups (max pairwise cosine ≈ 0.51), so the
-    // demo threshold is 0.45 with a generous multi-table recall budget.
+    // demo threshold is 0.45 — a regime where sign-LSH needs a wide table
+    // budget: collision prob/plane at cos≈0.46 is ~0.65, so 4-plane tables
+    // hit ~0.18 each and 16 tables give ~96% expected recall (12-14 of the 14
+    // qualifying pairs; measured 13). At production thresholds (≥0.9, ~0.9
+    // prob/plane) the same recall costs far fewer, more selective tables.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 6, tables = 8)),
+        dim = 64, threshold = 0.45, planesPerTable = 4, tables = 16)),
 
     // exact brute-force cosine top-k (correctness baseline for ANN). The
     // oracle compares ranks, not scores: both engines compute cosine in double,
@@ -836,6 +855,10 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
+    "st03_stream_enrich" ->
+      """SELECT event_id, user_id, event_type, c_mktsegment,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
     "st02_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),

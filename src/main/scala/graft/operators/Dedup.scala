@@ -203,13 +203,21 @@ object Dedup {
       .select(col("id"), col("v"),
         posexplode(col("_buckets")).as(Seq("table", "bucket")))
 
-    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("table", "bucket"))
+    // candidate pairs carry only ids through the bucket join + distinct (16
+    // bytes/row); vectors re-attach by id afterwards, so each distinct pair is
+    // dotted exactly ONCE — multi-table recall must not multiply either the
+    // shuffled vector bytes or the dot-product count (same shape as
+    // minhashPairs' candidate verification).
+    val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = vecs.select(col("id").as("id_a"), col("v").as("v_a"))
+    val vb = vecs.select(col("id").as("id_b"), col("v").as("v_b"))
+    candidates
+      .join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"), V.dot(col("v_a"), col("v_b")).as("cosine"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(first(col("cosine")).as("cosine"))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }

@@ -15,17 +15,80 @@ import java.util.concurrent.atomic.AtomicBoolean
   *
   * Cron dialect: the reference uses Quartz 6/7-field expressions
   * (`sec min hour dom mon dow [year]`, e.g. `0 *&#47;2 * * * ?`). [[QuartzCron]]
-  * supports the subset the reference's configs use: numbers, `*`, `?`, ranges
-  * `a-b`, lists `a,b`, steps `*&#47;n` / `a/n`, and `SUN-SAT` / `JAN-DEC` names,
-  * on the first six fields. Quartz's numeric day-of-week convention is
-  * `1=SUN .. 7=SAT` (NOT the unix-cron 0=SUN) — `JobSchedulingService.cs:61-66`
-  * hands expressions straight to Quartz, so that is the convention matched here.
-  * The calendar-position tokens `L`/`W`/`#` are rejected loudly rather than
-  * silently mis-parsed.
+  * supports numbers, `*`, `?`, ranges `a-b`, lists `a,b`, steps `*&#47;n` /
+  * `a/n`, `SUN-SAT` / `JAN-DEC` names, and the calendar-position tokens:
+  * day-of-month `L` / `L-n` / `LW` / `nW`, day-of-week `xL` / `x#n` — the full
+  * dialect the reference's Quartz engine accepts. Quartz's numeric day-of-week
+  * convention is `1=SUN .. 7=SAT` (NOT the unix-cron 0=SUN) —
+  * `JobSchedulingService.cs:61-66` hands expressions straight to Quartz, so
+  * that is the convention matched here. `nW` with `n` past the month's end
+  * clamps to the last day before choosing the nearest weekday.
   */
 object QuartzCron {
 
   final case class Field(matches: Int => Boolean)
+
+  /** Day-of-month matcher — needs the full date for the calendar tokens. */
+  private[pipeline] sealed trait DomSpec {
+    def matches(d: java.time.LocalDate): Boolean
+  }
+  private[pipeline] object DomSpec {
+    final case class Plain(f: Field) extends DomSpec {
+      def matches(d: java.time.LocalDate): Boolean = f.matches(d.getDayOfMonth)
+    }
+    /** `L` / `L-n`: (n days before the) last day of the month. */
+    final case class Last(offset: Int) extends DomSpec {
+      def matches(d: java.time.LocalDate): Boolean =
+        d.getDayOfMonth == d.lengthOfMonth() - offset
+    }
+    /** `LW`: last weekday (Mon-Fri) of the month. */
+    case object LastWeekday extends DomSpec {
+      def matches(d: java.time.LocalDate): Boolean =
+        d.getDayOfMonth == {
+          val last = d.withDayOfMonth(d.lengthOfMonth())
+          (last.getDayOfWeek.getValue match {
+            case 6 => last.minusDays(1) // Sat -> Fri
+            case 7 => last.minusDays(2) // Sun -> Fri
+            case _ => last
+          }).getDayOfMonth
+        }
+    }
+    /** `nW`: nearest weekday to day `n` without leaving the month. */
+    final case class NearestWeekday(n: Int) extends DomSpec {
+      def matches(d: java.time.LocalDate): Boolean = {
+        val target = d.withDayOfMonth(math.min(n, d.lengthOfMonth()))
+        val fire = target.getDayOfWeek.getValue match {
+          case 6 => // Saturday: Friday, unless that leaves the month -> Monday
+            if (target.getDayOfMonth == 1) target.plusDays(2) else target.minusDays(1)
+          case 7 => // Sunday: Monday, unless that leaves the month -> Friday
+            if (target.getDayOfMonth == target.lengthOfMonth()) target.minusDays(2)
+            else target.plusDays(1)
+          case _ => target
+        }
+        d.getDayOfMonth == fire.getDayOfMonth
+      }
+    }
+  }
+
+  /** Day-of-week matcher — calendar tokens need the date, not just the dow. */
+  private[pipeline] sealed trait DowSpec {
+    def matches(d: java.time.LocalDate): Boolean
+  }
+  private[pipeline] object DowSpec {
+    final case class Plain(f: Field) extends DowSpec {
+      def matches(d: java.time.LocalDate): Boolean = f.matches(quartzDowOf(d))
+    }
+    /** `xL`: the last weekday `x` (Quartz numbering) of the month. */
+    final case class LastOfMonth(qdow: Int) extends DowSpec {
+      def matches(d: java.time.LocalDate): Boolean =
+        quartzDowOf(d) == qdow && d.getDayOfMonth + 7 > d.lengthOfMonth()
+    }
+    /** `x#n`: the nth weekday `x` of the month. */
+    final case class Nth(qdow: Int, n: Int) extends DowSpec {
+      def matches(d: java.time.LocalDate): Boolean =
+        quartzDowOf(d) == qdow && (d.getDayOfMonth - 1) / 7 + 1 == n
+    }
+  }
 
   private val dowNames = Seq("SUN", "MON", "TUE", "WED", "THU", "FRI", "SAT")
     .zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
@@ -41,12 +104,11 @@ object QuartzCron {
     // substitute mnemonic names BEFORE rejecting calendar tokens: WED contains
     // 'W' and JUL contains 'L', so the L/W/# check must only see what's left
     // after name substitution (names are matched case-insensitively, as Quartz does)
-    val spec = names.foldLeft(spec0.toUpperCase) { case (s, (name, num)) =>
-      s.replace(name, num.toString)
-    }
+    val spec = substituteNames(spec0, names)
     if (spec.contains("L") || spec.contains("W") || spec.contains("#"))
       throw new UnsupportedOperationException(
-        s"Quartz '$spec0' in $fieldName: calendar tokens L/W/# are not supported")
+        s"Quartz '$spec0' in $fieldName: calendar tokens L/W/# are only valid " +
+          "in the day-of-month / day-of-week fields")
     if (spec == "*" || spec == "?") return Field(_ => true)
     if (!spec.matches("[0-9,\\-*/]+"))
       throw new IllegalArgumentException(s"Unparseable Quartz $fieldName: '$spec0'")
@@ -76,17 +138,58 @@ object QuartzCron {
     Field(v => preds.exists(_(v)))
   }
 
+  private def substituteNames(spec0: String, names: Map[String, Int]): String =
+    names.foldLeft(spec0.toUpperCase) { case (s, (name, num)) =>
+      s.replace(name, num.toString)
+    }
+
+  /** Parse the day-of-month field, calendar tokens included. */
+  private[pipeline] def parseDom(spec0: String): DomSpec = {
+    val spec = spec0.toUpperCase
+    spec match {
+      case "L" => DomSpec.Last(0)
+      case s if s.matches("L-\\d+") => DomSpec.Last(s.drop(2).toInt)
+      case "LW" => DomSpec.LastWeekday
+      case s if s.matches("\\d+W") =>
+        val n = s.dropRight(1).toInt
+        require(n >= 1 && n <= 31, s"Quartz day-of-month ${n}W out of range in '$spec0'")
+        DomSpec.NearestWeekday(n)
+      case _ => DomSpec.Plain(parseField(spec0, 1, 31, fieldName = "day-of-month"))
+    }
+  }
+
+  /** Parse the day-of-week field, calendar tokens included (names substitute
+    * first, so `FRIL` arrives here as `6L` and `MON#2` as `2#2`). */
+  private[pipeline] def parseDow(spec0: String): DowSpec = {
+    val spec = substituteNames(spec0, dowNames)
+    spec match {
+      case "L" => DowSpec.Plain(Field(_ == 7)) // bare L in dow = Saturday
+      case s if s.matches("\\d+L") =>
+        val d = s.dropRight(1).toInt
+        require(d >= 1 && d <= 7, s"Quartz day-of-week ${d}L out of range in '$spec0'")
+        DowSpec.LastOfMonth(d)
+      case s if s.matches("\\d+#\\d+") =>
+        val Array(d, n) = s.split("#").map(_.toInt)
+        require(d >= 1 && d <= 7 && n >= 1 && n <= 5,
+          s"Quartz day-of-week $d#$n out of range in '$spec0'")
+        DowSpec.Nth(d, n)
+      case _ => DowSpec.Plain(parseField(spec0, 1, 7, dowNames, "day-of-week"))
+    }
+  }
+
   /** java.time DayOfWeek (1=MON..7=SUN) → Quartz numeric DOW (1=SUN..7=SAT). */
   private[pipeline] def quartzDow(t: ZonedDateTime): Int =
     t.getDayOfWeek.getValue % 7 + 1
+  private[pipeline] def quartzDowOf(d: java.time.LocalDate): Int =
+    d.getDayOfWeek.getValue % 7 + 1
 
   final case class Schedule(sec: Field, minute: Field, hour: Field,
-                            dom: Field, month: Field, dow: Field) {
+                            dom: DomSpec, month: Field, dow: DowSpec) {
     def matches(t: ZonedDateTime): Boolean =
       sec.matches(t.getSecond) && minute.matches(t.getMinute) &&
-        hour.matches(t.getHour) && dom.matches(t.getDayOfMonth) &&
+        hour.matches(t.getHour) && dom.matches(t.toLocalDate) &&
         month.matches(t.getMonthValue) &&
-        dow.matches(quartzDow(t))
+        dow.matches(t.toLocalDate)
 
     /** Next fire time strictly after `from` (second resolution; bounded scan —
       * fine for schedules with at-least-minutely density; a year guard caps
@@ -99,7 +202,7 @@ object QuartzCron {
         // skip in the largest safe increments
         t = if (!month.matches(t.getMonthValue))
           t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0).withSecond(0)
-        else if (!dom.matches(t.getDayOfMonth) || !dow.matches(quartzDow(t)))
+        else if (!dom.matches(t.toLocalDate) || !dow.matches(t.toLocalDate))
           t.plusDays(1).withHour(0).withMinute(0).withSecond(0)
         else if (!hour.matches(t.getHour))
           t.plusHours(1).withMinute(0).withSecond(0)
@@ -124,9 +227,9 @@ object QuartzCron {
       parseField(f(0), 0, 59, fieldName = "second"),
       parseField(f(1), 0, 59, fieldName = "minute"),
       parseField(f(2), 0, 23, fieldName = "hour"),
-      parseField(f(3), 1, 31, fieldName = "day-of-month"),
+      parseDom(f(3)),
       parseField(f(4), 1, 12, monthNames, "month"),
-      parseField(f(5), 1, 7, dowNames, "day-of-week"))
+      parseDow(f(5)))
   }
 }
 

@@ -104,6 +104,16 @@ object EventsStream {
     spark.read.parquet(outDir)
   }
 
+  /** Stream-static enrichment join: the streaming side joins a static
+    * (batch) dimension — Spark broadcasts or re-plans the static side per
+    * micro-batch, no state store involved, so Append emits every joined row
+    * immediately. This is the streaming twin of the pipeline's broadcast
+    * lookup step and the shape a 100 TB incremental-ingest enrichment takes:
+    * only the new micro-batch's rows are ever in flight. */
+  def enrichWithStatic(events: DataFrame, dim: DataFrame,
+                       eventKey: String, dimKey: String): DataFrame =
+    events.join(dim, events(eventKey) === dim(dimKey), "inner")
+
   // ---- custom session state (flatMapGroupsWithState) ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -86,12 +86,64 @@ class SchedulerSpec extends AnyFunSuite {
     QuartzCron.parse("0 0 12 * * ?")
   }
 
-  test("L/W/# calendar tokens are rejected, not silently mis-parsed") {
-    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 L * ?") }
-    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 15W * ?") }
-    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 ? * 6#3") }
+  private def on(y: Int, mo: Int, d: Int, h: Int = 12) =
+    ZonedDateTime.of(y, mo, d, h, 0, 0, 0, ZoneOffset.UTC)
+
+  test("day-of-month L / L-n: (offset from) the last day of the month") {
+    val last = QuartzCron.parse("0 0 12 L * ?")
+    assert(last.matches(on(2026, 8, 31)))
+    assert(!last.matches(on(2026, 8, 30)))
+    assert(last.matches(on(2024, 2, 29))) // leap February
+    assert(!last.matches(on(2024, 2, 28)))
+    val lMinus2 = QuartzCron.parse("0 0 12 L-2 * ?")
+    assert(lMinus2.matches(on(2026, 8, 29)))
+    assert(!lMinus2.matches(on(2026, 8, 31)))
+  }
+
+  test("day-of-month LW: last weekday of the month") {
+    val lw = QuartzCron.parse("0 0 12 LW * ?")
+    assert(lw.matches(on(2026, 8, 31)))  // Aug 31 2026 is a Monday
+    assert(!lw.matches(on(2026, 8, 28)))
+    assert(lw.matches(on(2026, 5, 29)))  // May 31 2026 is a Sunday -> Fri 29th
+    assert(!lw.matches(on(2026, 5, 31)))
+  }
+
+  test("day-of-month nW: nearest weekday without leaving the month") {
+    val w15 = QuartzCron.parse("0 0 12 15W * ?")
+    assert(w15.matches(on(2026, 8, 14)))  // Aug 15 2026 Sat -> Fri 14th
+    assert(!w15.matches(on(2026, 8, 15)))
+    assert(w15.matches(on(2026, 3, 16)))  // Mar 15 2026 Sun -> Mon 16th
+    val w1 = QuartzCron.parse("0 0 12 1W * ?")
+    assert(w1.matches(on(2026, 8, 3)))    // Aug 1 Sat: Friday leaves month -> Mon 3rd
+    assert(!w1.matches(on(2026, 8, 1)))
+    val w31 = QuartzCron.parse("0 0 12 31W * ?")
+    assert(w31.matches(on(2026, 2, 27)))  // Feb clamps to 28th (Sat) -> Fri 27th
+  }
+
+  test("day-of-week xL and x#n: last / nth weekday of the month (Quartz 6=FRI)") {
+    val lastFri = QuartzCron.parse("0 0 12 ? * 6L")
+    assert(lastFri.matches(on(2026, 8, 28)))
+    assert(!lastFri.matches(on(2026, 8, 21)))
+    val friL = QuartzCron.parse("0 0 12 ? * FRIL")
+    assert(friL.matches(on(2026, 8, 28)))
+    val thirdFri = QuartzCron.parse("0 0 12 ? * 6#3")
+    assert(thirdFri.matches(on(2026, 8, 21)))
+    assert(!thirdFri.matches(on(2026, 8, 14)) && !thirdFri.matches(on(2026, 8, 28)))
+    val secondMon = QuartzCron.parse("0 0 12 ? * MON#2")
+    assert(secondMon.matches(on(2026, 8, 10)))
+    // bare L in the dow field means Saturday
+    assert(QuartzCron.parse("0 0 12 ? * L").matches(on(2026, 8, 15)))
+  }
+
+  test("calendar tokens outside dom/dow, and bad values, still fail loudly") {
+    intercept[UnsupportedOperationException] { QuartzCron.parse("L 0 12 * * ?") }
+    intercept[IllegalArgumentException] { QuartzCron.parse("0 0 12 ? * 8L") }
+    intercept[IllegalArgumentException] { QuartzCron.parse("0 0 12 ? * 6#6") }
+    intercept[IllegalArgumentException] { QuartzCron.parse("0 0 12 99W * ?") }
     // out-of-range numeric DOW (unix-cron 0=SUN habit) fails loudly too
     intercept[IllegalArgumentException] { QuartzCron.parse("0 0 12 ? * 0") }
+    // L-constrained dom combined with a constrained dow is still rejected
+    intercept[UnsupportedOperationException] { QuartzCron.parse("0 0 12 L * MON") }
   }
 
   test("next() finds the following fire time") {
