@@ -452,6 +452,21 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // stream-stream interval join (watermarks on both sides + time-range
+    // condition = bounded join state): purchases x same-user clicks within
+    // the preceding hour, through the production Append file sink. Inner
+    // stream-stream joins emit on match, so bounded input equals the batch
+    // interval join.
+    "st04_stream_join" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st04-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
+          .select(col("purchase_id"), col("click_id"),
+            (unix_timestamp(col("p_ts")) - unix_timestamp(col("c_ts"))).as("gap_s")),
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // gap-based sessionization (window-function formulation; the streaming
     // flatMapGroupsWithState twin is exercised in StreamingSpec).
     "st02_sessionize" -> ((s, dir) =>
@@ -855,6 +870,13 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
+    "st04_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
     "st03_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment,
         |  CAST(c_nationkey AS BIGINT) AS c_nationkey

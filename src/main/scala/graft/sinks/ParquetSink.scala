@@ -88,6 +88,39 @@ object ParquetSink {
     WriteResult(destDir, files.map(_.toString), files.map(p => fs.getFileStatus(p).getLen).sum)
   }
 
+  /** Compact a parquet directory's small files into ~`targetBytes` files —
+    * the small-files problem is the chronic failure mode of incremental
+    * ingestion at scale (every streaming micro-batch / cron run adds part
+    * files; a 100 TB table accumulates millions, and scan planning + NN load
+    * degrade long before the data does). Rewrites into
+    * `ceil(totalBytes / targetBytes)` partitions, then swaps the directory
+    * atomically-enough for an uncatalogued lake path (write aside + rename).
+    * Returns the new layout. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetBytes: Long = 128L * 1024 * 1024,
+              compression: String = "Snappy"): WriteResult = {
+    val dest = new Path(dir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val currentBytes = listPartFiles(fs, dest).map(p => fs.getFileStatus(p).getLen).sum
+    val parts = math.max(1, math.ceil(currentBytes.toDouble / targetBytes).toInt)
+    val tmp = new Path(dest.getParent, s".compact-${UUID.randomUUID()}")
+    // the rewrite action completes before any rename, so the source directory
+    // is never read and replaced concurrently
+    spark.read.parquet(dir).repartition(parts).write
+      .option("compression", codecOption(compression))
+      .mode("overwrite")
+      .parquet(tmp.toString)
+    val old = new Path(dest.getParent, s".old-${UUID.randomUUID()}")
+    if (!fs.rename(dest, old)) throw new IllegalStateException(s"rename away failed: $dest")
+    if (!fs.rename(tmp, dest)) {
+      fs.rename(old, dest) // restore
+      throw new IllegalStateException(s"rename into place failed: $tmp -> $dest")
+    }
+    fs.delete(old, true)
+    val files = listPartFiles(fs, dest)
+    WriteResult(dir, files.map(_.toString), files.map(p => fs.getFileStatus(p).getLen).sum)
+  }
+
   private[graft] def listPartFiles(fs: FileSystem, dir: Path): Seq[Path] = {
     val it = fs.listFiles(dir, true)
     val buf = Seq.newBuilder[Path]

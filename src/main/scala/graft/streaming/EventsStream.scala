@@ -114,6 +114,28 @@ object EventsStream {
                        eventKey: String, dimKey: String): DataFrame =
     events.join(dim, events(eventKey) === dim(dimKey), "inner")
 
+  /** Stream-stream interval join: each purchase matched to the same user's
+    * clicks in the preceding `windowBack`. BOTH sides carry watermarks and the
+    * join condition carries a time range — that pair is what lets Spark bound
+    * the join state (each side's buffered rows are evicted once the other
+    * side's watermark passes the range), so state is O(rows within the
+    * interval), not O(stream). Inner joins emit on match, so with bounded
+    * input the result equals the batch interval join exactly. */
+  def purchaseClickJoin(events: DataFrame, windowBack: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowBack") &&
+        col("c_ts") <= col("p_ts"))
+  }
+
   // ---- custom session state (flatMapGroupsWithState) ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

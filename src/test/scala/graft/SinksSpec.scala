@@ -97,4 +97,18 @@ class SinksSpec extends SparkSpec {
     assert(files.nonEmpty)
     assert(files.forall(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")))
   }
+
+  test("compact collapses a many-small-files directory, preserving the data") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+    df.repartition(20).write.parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = ParquetSink.listPartFiles(fs, new Path(dir)).size
+    assert(before == 20)
+    val res = ParquetSink.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.files.size < before, s"still ${res.files.size} files")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == df.count())
+    assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
 }
