@@ -452,6 +452,20 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // streaming exact dedup of an at-least-once source: the stream unioned
+    // with itself simulates upstream redelivery; dropDuplicatesWithinWatermark
+    // removes the duplicates with state bounded by the watermark delay. The
+    // deduped stream equals the original events exactly.
+    "st05_stream_dedup" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st05-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        ev => graft.streaming.EventsStream.streamingDedup(ev.union(ev), "event_id")
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_timestamp(col("ts")).as("ts_s")),
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // stream-stream interval join (watermarks on both sides + time-range
     // condition = bounded join state): purchases x same-user clicks within
     // the preceding hour, through the production Append file sink. Inner
@@ -870,6 +884,10 @@ object SparkEntry {
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
+    "st05_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |FROM events""".stripMargin,
     "st04_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s

@@ -136,6 +136,18 @@ object EventsStream {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Streaming exact dedup for at-least-once sources:
+    * `dropDuplicatesWithinWatermark` keeps a key's state only until the
+    * watermark passes its event time + delay, so state is bounded by the
+    * duplication window, not stream history — the difference between a dedup
+    * that survives a year of uptime and one that OOMs. Duplicates of the same
+    * event (same event time) are always within any delay of each other, so
+    * redelivered records are removed exactly. */
+  def streamingDedup(events: DataFrame, keyCol: String): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCol)
+
   // ---- custom session state (flatMapGroupsWithState) ----
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
