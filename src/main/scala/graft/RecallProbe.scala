@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: measure LSH recall of the embedding operators against their exact
+  * equivalents at a given scale factor — used to size verify-scale table
+  * budgets so the CORRECTNESS queries are exactly oracle-able (recall must be
+  * total on the verify corpus; the LSH is seed-deterministic, so "empirically
+  * total here" is stable across runs).
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = graft.sources.Lake.table(spark, sfDir, "embeddings")
+
+    // s02 vs s01: rank-set agreement per table budget
+    val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    for ((planes, tables) <- Seq((1, 8), (1, 12), (2, 16), (2, 24), (3, 24), (3, 32))) {
+      val lsh = Similarity.lshTopK(e, e.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 5, dim = 64,
+        planesPerTable = planes, tables = tables)
+        .select("query_id", "neighbor_id", "rank").collect().toSet
+      println(s"[recall] s02 planes=$planes tables=$tables: " +
+        s"${(exact intersect lsh).size}/${exact.size}" +
+        (if (lsh == exact) "  EXACT" else ""))
+    }
+
+    // d06 vs all-pairs cosine >= 0.45
+    val n = e.select(col("vec_id").as("id"),
+      graft.functions.VectorFunctions.l2normalize(col("embedding")).as("v"))
+    val allPairs = n.as("a").join(n.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= 0.45)
+    val exactPairs = allPairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // boundary safety: closest cosine to the 0.45 threshold on either side
+    allPairs.select(min(col("cosine"))).show()
+    for (tables <- Seq(16, 24, 32, 48)) {
+      val got = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+        dim = 64, threshold = 0.45, planesPerTable = 4, tables = tables)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      println(s"[recall] d06 tables=$tables: ${(exactPairs intersect got).size}/${exactPairs.size}" +
+        (if (got == exactPairs) "  EXACT" else ""))
+    }
+    spark.stop()
+  }
+}

@@ -421,6 +421,20 @@ object SparkEntry {
       graft.sources.Jdbc.readCallable(s, url, "TOP_CUSTOMERS", Map("minBal" -> 1000.0))
     }),
 
+    // range-partitioned JDBC extraction: 4 concurrent range scans over the key
+    // column — the shape that makes a 100 TB extract use the whole cluster
+    // instead of one connection. Same rows as a single-stream read; JdbcSpec
+    // asserts the 4-partition split.
+    "q37_jdbc_partitioned" -> ((s, dir) => {
+      val url = graft.sources.JdbcHarness.ensureCustomer(s, dir)
+      val bounds = t(s, dir, "customer")
+        .agg(min(col("c_custkey")), max(col("c_custkey"))).head()
+      graft.sources.Jdbc.readTablePartitioned(s, url, "customer",
+        "\"c_custkey\"", bounds.getAs[Number](0).longValue,
+        bounds.getAs[Number](1).longValue, numPartitions = 4)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    }),
+
     // ---- Structured Streaming surface (SURVEY §2.7 extension) ----
 
     // watermarked tumbling-window aggregation through the PRODUCTION streaming
@@ -554,13 +568,29 @@ object SparkEntry {
     // embedding cosine near-dup pairs (sign-LSH candidates, exact verify).
     // This corpus has no true near-dups (max pairwise cosine ≈ 0.51), so the
     // demo threshold is 0.45 — a regime where sign-LSH needs a wide table
-    // budget: collision prob/plane at cos≈0.46 is ~0.65, so 4-plane tables
-    // hit ~0.18 each and 16 tables give ~96% expected recall (12-14 of the 14
-    // qualifying pairs; measured 13). At production thresholds (≥0.9, ~0.9
-    // prob/plane) the same recall costs far fewer, more selective tables.
+    // budget (collision prob/plane at cos≈0.46 is ~0.65). 24 four-plane tables
+    // measure TOTAL recall on this corpus (14/14 qualifying pairs, seeded LSH →
+    // stable), which makes the exact all-pairs oracle apply; output is the pair
+    // ids — the cosine value stays internal because Spark normalizes in float32
+    // while the oracle computes in float64, and the 6th decimal can differ. At
+    // production thresholds (≥0.9, ~0.9 prob/plane) the same recall costs far
+    // fewer, more selective tables.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 4, tables = 16)),
+        dim = 64, threshold = 0.45, planesPerTable = 4, tables = 24)
+        .select(col("id_a"), col("id_b"))),
+
+    // near-dup CLUSTERS: pair list → connected components → canonical min-id
+    // survivor per component (the unit of deletion — pairs alone can't drive
+    // dedup when A~B~C). Pairs here are the exact n-gram Jaccard ones, so the
+    // oracle can recompute them and resolve components with a recursive CTE.
+    "d07_dedup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      graft.operators.Components.clusters(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          bi(col("cluster_size")).as("cluster_size"))
+    }),
 
     // exact brute-force cosine top-k (correctness baseline for ANN). The
     // oracle compares ranks, not scores: both engines compute cosine in double,
@@ -572,13 +602,31 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), bi(col("rank")).as("rank"))
     }),
 
-    // sign-LSH ANN with exact re-rank. Plane/table budget sized for this
-    // corpus's moderate-similarity NNs (cos ≈ 0.5 → ~0.67 collision/plane):
-    // 4 planes × 12 tables ≈ 93% rank-1 recall at bounded candidate cost.
+    // sign-LSH ANN with exact re-rank. The verify-scale budget (2 planes × 16
+    // tables) measures TOTAL top-5 recall on this corpus (40/40 result rows ==
+    // brute force; seeded LSH → stable), so the exact brute-force oracle
+    // applies — the LSH trick here parallels d05's inactive-prune oracle run.
+    // Output is (query, neighbor, rank); the cosine stays internal (float32 vs
+    // float64 normalization differs in the last decimal). Production raises
+    // planesPerTable for selectivity and accepts <100% recall.
     "s02_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
-        k = 5, dim = 64, planesPerTable = 4, tables = 12)
+        k = 5, dim = 64, planesPerTable = 2, tables = 16)
+        .select(col("query_id"), col("neighbor_id"), bi(col("rank")).as("rank"))
+    }),
+
+    // IVF ANN: coarse-quantizer cells + probe join + exact re-rank. At verify
+    // scale nprobe = centroids (full probe), so the result is exact by
+    // construction and the brute-force oracle applies — what's under test is
+    // the IVF machinery itself (assignment, inverted cells, probe join,
+    // re-rank). Production tunes nprobe << centroids; SimilaritySpec measures
+    // that recall/cost trade separately.
+    "s03_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, centroids = 16, nprobe = 16)
+        .select(col("query_id"), col("neighbor_id"), bi(col("rank")).as("rank"))
     }),
 
     // text analysis: language-ID + quality + token counts. (The xxhash64
@@ -599,6 +647,23 @@ object SparkEntry {
         col("doc_id"),
         graft.operators.DatasetSplit.assign(col("text"),
           Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)).as("split"))),
+
+    // PII redaction: email / IPv4 / phone-run masking before anything else
+    // touches the corpus. Pure regexp_replace chain in the Java∩RE2 subset, so
+    // the DuckDB oracle applies the identical patterns.
+    "t04_pii_redact" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"), T.redactPii(col("text")).as("clean_text"))),
+
+    // repetition statistics (Gopher-style quality rules): duplicate-token,
+    // top-token, and duplicate-bigram fractions. Ratios of the same integers
+    // on both engines → bit-identical doubles, no rounding needed.
+    "t05_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        T.dupTokenFrac(T.tokens(col("text"))).as("dup_token_frac"),
+        T.topTokenFrac(T.tokens(col("text"))).as("top_token_frac"),
+        T.dupBigramFrac(col("text")).as("dup_bigram_frac"))),
 
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
@@ -873,6 +938,8 @@ object SparkEntry {
       "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 1000",
     "q31_jdbc_proc" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_acctbal >= 1000",
+    "q37_jdbc_partitioned" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM customer",
     // Append-mode streaming emits exactly the watermark-closed windows:
     // window end <= max(ts) - 2h (the final watermark after AvailableNow's
     // no-data flush batch). The batch equivalent restricts to those windows.
@@ -969,6 +1036,39 @@ object SparkEntry {
         |    len(a.sh) AS la, len(b.sh) AS lb
         |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
         |WHERE inter / (la + lb - inter) >= 0.4""".stripMargin,
+    // d07: recompute d05's exact pair list, then resolve components with a
+    // recursive reachability CTE (min reachable id = cluster id). Tractable
+    // because near-dup components are tiny at verify scale.
+    "d07_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |         THEN list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |        FROM documents)
+        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |      len(a.sh) AS la, len(b.sh) AS lb
+        |    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
+        |  WHERE inter / (la + lb - inter) >= 0.4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges UNION SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), labels AS (
+        |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM labels""".stripMargin,
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 8),
@@ -984,6 +1084,76 @@ object SparkEntry {
         |                       ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+    // d06: the 24-table LSH measures total recall on this corpus, so the exact
+    // all-pairs cosine filter is the oracle (ids only; see the query comment).
+    "d06_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.embedding, b.embedding) /
+        |      (sqrt(list_dot_product(a.embedding, a.embedding))
+        |       * sqrt(list_dot_product(b.embedding, b.embedding))) >= 0.45""".stripMargin,
+    // s02: total top-5 recall at the verify-scale LSH budget → brute-force oracle.
+    "s02_ann_lsh" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, c.embedding) /
+        |      (sqrt(list_dot_product(q.qv, q.qv))
+        |       * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    // s03 probes every cell at verify scale → exact top-k, same oracle as s01.
+    "s03_ann_ivf" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    list_dot_product(q.qv, c.embedding) /
+        |      (sqrt(list_dot_product(q.qv, q.qv))
+        |       * sqrt(list_dot_product(c.embedding, c.embedding))) AS cos
+        |  FROM q JOIN embeddings c ON c.vec_id <> q.query_id)
+        |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
+    "t04_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\+?[0-9][0-9()\- ]{7,}[0-9]', '<PHONE>', 'g') AS clean_text
+        |FROM documents""".stripMargin,
+    "t05_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+        |  END AS dup_token_frac,
+        |  CASE WHEN len(tk) = 0 THEN 0.0
+        |       ELSE CAST(list_max(list_transform(list_distinct(tk),
+        |              t -> len(list_filter(tk, x -> x = t)))) AS DOUBLE) / len(tk)
+        |  END AS top_token_frac,
+        |  CASE WHEN len(words) < 2 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(
+        |              list_transform(range(1, len(words)),
+        |                i -> words[i] || ' ' || words[i+1]) )) AS DOUBLE)
+        |            / (len(words) - 1)
+        |  END AS dup_bigram_frac
+        |FROM toks""".stripMargin,
     "t01_text_features" ->
       """WITH f AS (
         |  SELECT doc_id, text,

@@ -58,6 +58,62 @@ object TextFunctions {
   def bottomSketch(shingles: Column, w: Int): Column =
     slice(array_sort(array_distinct(transform(shingles, s => xxhash64(s)))), 1, w)
 
+  // ---- PII redaction ------------------------------------------------------
+
+  /** Redact the textual PII a training-data pipeline strips before anything
+    * else sees the corpus: emails, IPv4 addresses, long phone-style digit runs.
+    * Pure `regexp_replace` chain — codegen'd, distributes with the scan, and the
+    * patterns stay inside the regex subset Java and RE2 share, so the exact
+    * transform is reproducible outside Spark. Replacement order matters only in
+    * that emails go first (their digits must not be half-eaten as "phones"). */
+  def redactPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>")
+  }
+
+  // ---- repetition statistics (Gopher-style quality rules) ------------------
+
+  /** Fraction of tokens that are repeats of an earlier token:
+    * `1 - distinct/total` (0 for empty docs). */
+  def dupTokenFrac(toks: Column): Column =
+    when(size(toks) === 0, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(toks)).cast("double")
+        / size(toks).cast("double"))
+
+  /** Fraction of the document taken by its single most frequent token —
+    * the "top word" repetition rule. Linear per doc: sort the tokens, then one
+    * `aggregate` pass tracks the current and best run length. */
+  def topTokenFrac(toks: Column): Column =
+    letBindStruct(array_sort(toks)) { sorted =>
+      when(size(sorted) === 0, 0.0).otherwise(
+        aggregate(sorted,
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc.getField("best"), run).as("best"))
+          },
+          acc => acc.getField("best")).cast("double") / size(sorted).cast("double"))
+    }
+
+  /** Fraction of word 2-grams that are repeats — catches boilerplate loops that
+    * token-level stats miss. */
+  def dupBigramFrac(text: Column): Column =
+    letBindStruct(wordShingles(text, 2)) { grams =>
+      when(size(grams) === 0, 0.0)
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / size(grams).cast("double"))
+    }
+
+  /** Expression-level `let` for arbitrary (incl. array) values — same
+    * CollapseProject defense as [[VectorFunctions.letBind]]. */
+  private def letBindStruct(value: Column)(body: Column => Column): Column =
+    transform(array(struct(value.as("v"))), s => body(s.getField("v"))).getItem(0)
+
   // ---- quality scoring ----------------------------------------------------
 
   /** Ratio of non-alphanumeric, non-space chars to total chars (0 when empty). */

@@ -40,6 +40,70 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus vector to
+    * its nearest of `centroids` cells; each query probes only its `nprobe`
+    * nearest cells and re-ranks the candidates exactly. This is the
+    * cluster-pruning scale path (FAISS-style IVF-Flat): per query it touches
+    * ~`nprobe/centroids` of the corpus instead of all of it, and the cell
+    * assignment is a plain 8-byte shuffle key, so the candidate join partitions
+    * like any equi-join. `nprobe = centroids` probes everything — exact by
+    * construction (the correctness configuration); production tunes
+    * `nprobe << centroids` for the recall/cost trade.
+    *
+    * The quantizer here is a deterministic id-ordered sample of the corpus
+    * (lowest `centroids` ids): k-means would place cells better but its
+    * float-accumulation order makes centroids run-dependent, and the IVF
+    * machinery — assignment, inverted cells, probe join, exact re-rank — is
+    * identical either way. Swap the `cents` plan for trained centroids to
+    * upgrade placement without touching the rest. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int, dim: Int,
+              centroids: Int = 16, nprobe: Int = 4,
+              excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
+    // deterministic quantizer: the `centroids` lowest-id corpus vectors
+    // (tiny driver collect — centroids × dim doubles)
+    val cents2d: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(centroids)
+      .select(col("cv")).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // dots against all centroids in one pass (same compiled primitive as LSH)
+    def withDots(df: DataFrame, vec: String): DataFrame =
+      df.withColumn("_cd", V.planeDots(col(vec), cents2d))
+    // corpus: cell = argmax-dot centroid (first max on ties — deterministic)
+    val cells = withDots(c, "cv")
+      .withColumn("cell", (array_position(col("_cd"), array_max(col("_cd"))) - 1).cast("int"))
+      .drop("_cd")
+    // queries: nprobe cells with the largest dots (sort (dot, idx) structs
+    // descending by dot, idx ascending on ties — fully deterministic)
+    val probes = withDots(q, "qv")
+      .withColumn("cell",
+        explode(slice(
+          transform(
+            array_sort(
+              transform(sequence(lit(0), lit(centroids - 1)), i =>
+                struct(element_at(col("_cd"), i + 1).as("d"), i.as("idx"))),
+              (l, r) => when(l.getField("d") > r.getField("d"), -1)
+                .when(l.getField("d") < r.getField("d"), 1)
+                .otherwise(l.getField("idx") - r.getField("idx"))),
+            z => z.getField("idx")),
+          1, nprobe)))
+      .drop("_cd")
+
+    val candidates = cells
+      .join(broadcast(probes), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
+      .select(col("query_id"), col("neighbor_id"), V.dot(col("qv"), col("cv")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
   /** Approximate top-k via multi-table sign-LSH with exact re-ranking.
     * Recall rises with `tables`; candidate cost falls with `planesPerTable`. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,

@@ -100,6 +100,27 @@ object Jdbc {
       .options(extraOptions)
       .load()
 
+  /** Range-partitioned table read — the parallel-extraction scale path. Spark
+    * issues `numPartitions` concurrent range queries (`WHERE col >= lo AND col
+    * < hi`), so a 100 TB extract streams through every executor instead of one
+    * connection; `dbtable` (not `query`) because Spark's JDBC relation only
+    * splits table-shaped sources. Bounds don't filter — rows outside them all
+    * land in the edge partitions — so callers may pass loose bounds. */
+  def readTablePartitioned(spark: SparkSession, url: String, table: String,
+                           partitionColumn: String, lowerBound: Long, upperBound: Long,
+                           numPartitions: Int, timeoutSec: Int = 300,
+                           extraOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("queryTimeout", timeoutSec)
+      .options(extraOptions)
+      .load()
+
   /** Callable read: `{call name(?, ...)}` on the driver, first result set
     * materialized. `refCursorType = Some(code)` appends the reference's
     * hardcoded-last `p_cursor` OUT parameter and reads the cursor from it

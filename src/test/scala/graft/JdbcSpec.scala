@@ -57,6 +57,23 @@ class JdbcSpec extends SparkSpec {
     assert(viaJdbc == viaLake)
   }
 
+  test("readTablePartitioned splits the read into range partitions with identical rows") {
+    val url = JdbcHarness.ensureCustomer(spark, sf0001)
+    val single = Jdbc.readQuery(spark, url,
+      """SELECT "c_custkey", "c_acctbal" FROM customer""")
+    val parts = Jdbc.readTablePartitioned(spark, url, "customer",
+      "\"c_custkey\"", lowerBound = 1L, upperBound = 150L, numPartitions = 4)
+      .select("c_custkey", "c_acctbal")
+    assert(parts.rdd.getNumPartitions == 4)
+    val a = single.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = parts.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a == b && a.nonEmpty)
+    // loose bounds must not filter: rows outside them land in edge partitions
+    val loose = Jdbc.readTablePartitioned(spark, url, "customer",
+      "\"c_custkey\"", lowerBound = 40L, upperBound = 60L, numPartitions = 3)
+    assert(loose.count() == single.count())
+  }
+
   test("readCallable drains a stored procedure's result set (driver-side DataTable contract)") {
     val url = JdbcHarness.ensureCustomer(spark, sf0001)
     val df = Jdbc.readCallable(spark, url, "TOP_CUSTOMERS", Map("minBal" -> 1000.0))

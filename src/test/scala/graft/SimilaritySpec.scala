@@ -47,6 +47,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (exact.size * 0.6).toInt, s"recall too low: $hits/${exact.size}")
   }
 
+  test("ivfTopK with full probe equals brute force; partial probe trades recall for cost") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+
+    // nprobe = centroids: every cell probed -> exact by construction
+    val full = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 5, dim = 64, centroids = 8, nprobe = 8)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+
+    // partial probe: meaningful rank-1 recall at a fraction of the candidates
+    val exact1 = exact.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    val part = Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 1, dim = 64, centroids = 8, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val hits = exact1.count { case (q, n) => part.get(q).contains(n) }
+    assert(hits >= (exact1.size * 0.5).toInt, s"ivf recall too low: $hits/${exact1.size}")
+  }
+
   test("deterministic across runs (seeded hyperplanes)") {
     val e = Lake.table(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") === 3)

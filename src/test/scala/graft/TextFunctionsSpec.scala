@@ -77,4 +77,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](T.upperRatio(col("t")), "AbCd") == 0.5)
     assert(one[Int](T.bpeTokenCount(col("t")), "hello, world 42") == 2 + 1 + 2) // hello , world 4 2
   }
+
+  test("redactPii masks emails, IPv4s, and phone runs; clean text unchanged") {
+    def red(s: String) = one[String](T.redactPii(col("t")), s)
+    assert(red("mail me at jane.doe+x@corp.example.org today") ==
+      "mail me at <EMAIL> today")
+    assert(red("server at 10.0.255.7 responded") == "server at <IP> responded")
+    assert(red("call +1 (415) 555-0199 now") == "call <PHONE> now")
+    assert(red("the quick brown fox") == "the quick brown fox")
+    // email digits must not be re-eaten as a phone
+    assert(red("a12345678901@ex.co") == "<EMAIL>")
+  }
+
+  test("repetition stats: dup/top token fractions and bigram repeats") {
+    // "a a a b": 4 tokens, 2 distinct -> dup 0.5; top "a" 3/4
+    assert(one[Double](T.dupTokenFrac(T.tokens(col("t"))), "a a a b") == 0.5)
+    assert(one[Double](T.topTokenFrac(T.tokens(col("t"))), "a a a b") == 0.75)
+    assert(one[Double](T.topTokenFrac(T.tokens(col("t"))), "x y z") == 1.0 / 3)
+    assert(one[Double](T.dupTokenFrac(T.tokens(col("t"))), "") == 0.0)
+    assert(one[Double](T.topTokenFrac(T.tokens(col("t"))), "") == 0.0)
+    // "a b a b a": bigrams (a b, b a, a b, b a) -> 4 total, 2 distinct
+    assert(one[Double](T.dupBigramFrac(col("t")), "a b a b a") == 0.5)
+    assert(one[Double](T.dupBigramFrac(col("t")), "one") == 0.0)
+  }
 }
