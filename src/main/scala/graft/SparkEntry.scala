@@ -480,6 +480,40 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // high-watermark incremental extraction (CDC-shaped ingest): two runs — the
+    // source first visible only up to a mid-range cutoff, then in full — land
+    // exactly the whole table with no duplicates: run 2's cursor predicate
+    // (ts beyond the persisted watermark) pushes into the scan and picks up
+    // precisely the rows run 1 hadn't seen.
+    "i01_incremental" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory(s"graft-i01-$run")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      val cut = (mm.getLong(0) + mm.getLong(1)) / 2
+      val state = s"$base/watermark"; val dest = s"$base/data"
+      graft.pipeline.Incremental.runIncrement(
+        ev.filter(unix_micros(col("ts")) <= cut), "ts", state, dest)
+      graft.pipeline.Incremental.runIncrement(ev, "ts", state, dest)
+      graft.pipeline.Incremental.readAll(s, dest)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+    }),
+
+    // continuous ingestion with the reference's output contract: every
+    // micro-batch commits one parquet file + CTL manifest (foreachBatch
+    // bridging the stream onto the batch sink stack); batch-id file names make
+    // replays idempotent. Output = everything landed, which equals the source.
+    "st06_stream_ingest" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st06-$run")
+      graft.streaming.EventsStream.runIngestStream(s, dir,
+        ev => ev.select(col("event_id"), col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s")),
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // stream-stream interval join (watermarks on both sides + time-range
     // condition = bounded join state): purchases x same-user clicks within
     // the preceding hour, through the production Append file sink. Inner
@@ -952,6 +986,14 @@ object SparkEntry {
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
     "st05_stream_dedup" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |FROM events""".stripMargin,
+    "st06_stream_ingest" ->
+      """SELECT event_id, user_id, event_type,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |FROM events""".stripMargin,
+    "i01_incremental" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,

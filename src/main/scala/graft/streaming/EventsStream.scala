@@ -104,6 +104,40 @@ object EventsStream {
     spark.read.parquet(outDir)
   }
 
+  /** Continuous ingestion with the reference's output contract: each
+    * micro-batch lands as ONE committed parquet file plus its CTL manifest
+    * (`CtlGenerationHandler.cs:27-126` semantics), driven by `foreachBatch` —
+    * the bridge that lets the batch sink stack run inside a stream. File names
+    * carry the micro-batch id, so a replayed batch (restart between sink write
+    * and checkpoint commit) overwrites its own files instead of duplicating —
+    * idempotent, which is what upgrades the sink to exactly-once. The
+    * per-batch single-file shape mirrors the reference's per-run output; a
+    * deployment preferring write parallelism swaps in
+    * `ParquetSink.writePartitioned` + `CtlManifest.forDirectory` per batch. */
+  def runIngestStream(spark: SparkSession, dir: String,
+                      transform: DataFrame => DataFrame,
+                      outDir: String, checkpointDir: String,
+                      datasetId: String = "events-stream"): DataFrame = {
+    val q = transform(readEvents(spark, dir)).writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val obs = org.apache.spark.sql.Observation()
+        val observed = batch.toDF().observe(obs, count(lit(1)).as("rows"))
+        val name = f"$datasetId-$batchId%06d.parquet"
+        val res = graft.sinks.ParquetSink.writeSingleFile(observed, outDir, name)
+        val n = obs.get("rows").asInstanceOf[Long]
+        val record = graft.sinks.CtlManifest.forFile(
+          batch.sparkSession, res.path, n, datasetId, "Stream")
+        graft.sinks.CtlManifest.write(batch.sparkSession, outDir,
+          name.replaceAll("\\.parquet$", "") + ".ctl", record)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    q.awaitTermination()
+    spark.read.option("pathGlobFilter", "*.parquet").parquet(outDir)
+  }
+
   /** Stream-static enrichment join: the streaming side joins a static
     * (batch) dimension — Spark broadcasts or re-plans the static side per
     * micro-batch, no state store involved, so Append emits every joined row

@@ -80,4 +80,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2,
       s"too few sessions: ${streamed.size} of ${batch.size}")
   }
+
+  test("foreachBatch ingest stream lands parquet + CTL per micro-batch, rows complete") {
+    val out = java.nio.file.Files.createTempDirectory("graft-st-ingest")
+    val landed = EventsStream.runIngestStream(spark, sf0001,
+      ev => ev.select(col("event_id"), col("user_id")),
+      s"$out/data", s"$out/ckpt")
+    val total = Lake.table(spark, sf0001, "events").count()
+    assert(landed.count() == total)
+
+    val dir = new java.io.File(s"$out/data")
+    val parquets = dir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val ctls = dir.listFiles().filter(_.getName.endsWith(".ctl"))
+    assert(parquets.nonEmpty && parquets.length == ctls.length,
+      s"${parquets.length} parquet vs ${ctls.length} ctl files")
+    // each manifest's RecordCount matches its parquet file; counts sum to total
+    val counts = parquets.sortBy(_.getName).map { pf =>
+      val ctl = new java.io.File(pf.getPath.stripSuffix(".parquet") + ".ctl")
+      val lines = scala.io.Source.fromFile(ctl).getLines().toSeq
+      val n = lines(1).split(",")(0).toLong
+      assert(spark.read.parquet(pf.getPath).count() == n)
+      n
+    }
+    assert(counts.sum == total)
+  }
 }
