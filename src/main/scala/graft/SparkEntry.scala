@@ -480,6 +480,15 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // column profiling (data-quality report): one scan produces per-column
+    // row/non-null/exact-distinct counts and min/max. Profiled columns are
+    // exact-representation types (longs, strings) so the stringified min/max
+    // compare byte-identically with the oracle.
+    "p01_profile" -> ((s, dir) =>
+      graft.operators.Profile.profile(
+        t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"))),
+
     // high-watermark incremental extraction (CDC-shaped ingest): two runs — the
     // source first visible only up to a mid-range cutoff, then in full — land
     // exactly the whole table with no duplicates: run 2's cursor predicate
@@ -997,6 +1006,20 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,
+    "p01_profile" ->
+      """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
+        |  count(c_custkey) AS n_nonnull, count(DISTINCT c_custkey) AS n_distinct,
+        |  CAST(min(c_custkey) AS VARCHAR) AS min_s, CAST(max(c_custkey) AS VARCHAR) AS max_s
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name', count(*), count(c_name), count(DISTINCT c_name),
+        |  CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR) FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(*), count(c_mktsegment), count(DISTINCT c_mktsegment),
+        |  CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(*), count(c_nationkey), count(DISTINCT c_nationkey),
+        |  CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR) FROM customer""".stripMargin,
     "st04_stream_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s

@@ -184,23 +184,29 @@ object QuartzCron {
     d.getDayOfWeek.getValue % 7 + 1
 
   final case class Schedule(sec: Field, minute: Field, hour: Field,
-                            dom: DomSpec, month: Field, dow: DowSpec) {
+                            dom: DomSpec, month: Field, dow: DowSpec,
+                            year: Field = Field(_ => true)) {
     def matches(t: ZonedDateTime): Boolean =
       sec.matches(t.getSecond) && minute.matches(t.getMinute) &&
         hour.matches(t.getHour) && dom.matches(t.toLocalDate) &&
         month.matches(t.getMonthValue) &&
-        dow.matches(t.toLocalDate)
+        dow.matches(t.toLocalDate) &&
+        year.matches(t.getYear)
 
     /** Next fire time strictly after `from` (second resolution; bounded scan —
-      * fine for schedules with at-least-minutely density; a year guard caps
-      * pathological expressions). */
+      * fine for schedules with at-least-minutely density; the Quartz year
+      * horizon (2199) caps pathological expressions). */
     def next(from: ZonedDateTime): Option[ZonedDateTime] = {
       var t = from.plusSeconds(1).withNano(0)
-      val limit = from.plusDays(366)
+      // year-constrained expressions may legitimately sleep for years; the
+      // per-year skip below makes the long scan cheap
+      val limit = from.plusDays(366).withYear(2200)
       while (t.isBefore(limit)) {
         if (matches(t)) return Some(t)
         // skip in the largest safe increments
-        t = if (!month.matches(t.getMonthValue))
+        t = if (!year.matches(t.getYear))
+          t.plusYears(1).withDayOfYear(1).withHour(0).withMinute(0).withSecond(0)
+        else if (!month.matches(t.getMonthValue))
           t.plusMonths(1).withDayOfMonth(1).withHour(0).withMinute(0).withSecond(0)
         else if (!dom.matches(t.toLocalDate) || !dow.matches(t.toLocalDate))
           t.plusDays(1).withHour(0).withMinute(0).withSecond(0)
@@ -229,7 +235,10 @@ object QuartzCron {
       parseField(f(2), 0, 23, fieldName = "hour"),
       parseDom(f(3)),
       parseField(f(4), 1, 12, monthNames, "month"),
-      parseDow(f(5)))
+      parseDow(f(5)),
+      // optional 7th field: year, Quartz range 1970-2199 ('*'/'?' = any)
+      if (f.length >= 7) parseField(f(6), 1970, 2199, fieldName = "year")
+      else Field(_ => true))
   }
 }
 

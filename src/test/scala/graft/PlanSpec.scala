@@ -39,6 +39,12 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("s03: IVF probe join broadcasts the query side; no cartesian") {
+    val p = plan("s03_ann_ivf")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("bucketed co-located join: same-key bucketed tables join with no Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")

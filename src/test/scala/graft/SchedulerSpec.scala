@@ -28,6 +28,20 @@ class SchedulerSpec extends AnyFunSuite {
     assert(!hourly.matches(at(7, 30, 0)))
   }
 
+  test("optional 7th field constrains the year; next() skips whole years to reach it") {
+    val y = QuartzCron.parse("0 0 12 1 1 ? 2030")
+    assert(y.matches(ZonedDateTime.of(2030, 1, 1, 12, 0, 0, 0, ZoneOffset.UTC)))
+    assert(!y.matches(ZonedDateTime.of(2029, 1, 1, 12, 0, 0, 0, ZoneOffset.UTC)))
+    val n = y.next(at(10, 0, 0)) // 2026-08-12 -> first fire is 2030-01-01
+    assert(n.contains(ZonedDateTime.of(2030, 1, 1, 12, 0, 0, 0, ZoneOffset.UTC)))
+    // year range
+    val r = QuartzCron.parse("0 0 0 1 * ? 2026-2027")
+    assert(r.matches(ZonedDateTime.of(2027, 5, 1, 0, 0, 0, 0, ZoneOffset.UTC)))
+    assert(!r.matches(ZonedDateTime.of(2028, 5, 1, 0, 0, 0, 0, ZoneOffset.UTC)))
+    // a past-only year never fires again
+    assert(QuartzCron.parse("0 0 0 1 1 ? 2020").next(at(0, 0, 0)).isEmpty)
+  }
+
   test("ranges, lists, and stepped ranges") {
     val s = QuartzCron.parse("0 10-20/5 9,17 * * ?")
     assert(s.matches(at(9, 10, 0)))
