@@ -708,6 +708,64 @@ object SparkEntry {
         T.topTokenFrac(T.tokens(col("text"))).as("top_token_frac"),
         T.dupBigramFrac(col("text")).as("dup_bigram_frac"))),
 
+    // Gopher-style quality-rule battery: every stat is an exact integer ratio,
+    // so flags AND the keep verdict reproduce bit-for-bit in the oracle.
+    "t06_quality_filter" -> ((s, dir) =>
+      graft.operators.Quality.flags(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("n_tokens"), col("mean_token_len"),
+          col("symbol_ratio"), col("stopword_ratio"), col("dup_bigram_frac"),
+          col("keep").cast("int").as("keep"))),
+
+    // deterministic stratified sampling (domain mixing): exactly
+    // ceil(0.25 * |stratum|) docs per source, chosen by md5-of-id rank —
+    // content-keyed, so the identical row set falls out of any engine.
+    "t07_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedExact(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", 0.25)),
+
+    // benchmark-contamination sweep: corpus docs sharing a verbatim word
+    // 3-gram with the (broadcast) eval split; n=3 because the synthetic corpus
+    // vocabulary is tiny — real corpora use 8-13.
+    "c01_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Contamination.overlap(
+        docs, docs.where(col("doc_id") % 97 === 0), "doc_id", "text", n = 3)
+    }),
+
+    // point-in-interval range join via the binning rewrite (equi-join on bin,
+    // exact BETWEEN on candidates — no BroadcastNestedLoop): March-1995
+    // shipments against 4-day order windows, aggregated per order.
+    "o03_range_join" -> ((s, dir) => {
+      val pts = t(s, dir, "lineitem")
+        .where(col("l_shipdate").between("1995-03-01", "1995-03-31"))
+        .select(col("l_quantity"),
+          datediff(col("l_shipdate"), lit("1970-01-01")).cast("long").as("pt_day"))
+      val ivs = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as("lo_day"))
+        .withColumn("hi_day", col("lo_day") + 3L)
+      graft.operators.RangeJoin.pointInInterval(pts, "pt_day", ivs, "lo_day", "hi_day",
+          binWidth = 4L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"), sumd(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Z-order (Morton) clustering key: 8-bit bucket ids for user and value
+    // dimensions, bits interleaved — the sort key behind multi-dimensional
+    // data skipping (operators.Layout.zOrder). Pure integer arithmetic, so the
+    // oracle recomputes it exactly.
+    "z01_zorder_key" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          (col("user_id") % 256).as("ub"),
+          least(greatest(floor(col("value") / lit(2.0)).cast("long"), lit(0L)),
+            lit(255L)).as("vb"))
+        .select(col("event_id"),
+          graft.operators.Layout.zValue(Seq(col("ub"), col("vb")), bits = 8)
+            .as("zv"))),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1219,6 +1277,87 @@ object SparkEntry {
         |            / (len(words) - 1)
         |  END AS dup_bigram_frac
         |FROM toks""".stripMargin,
+    // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
+    // bigrams from lower(text)); all ratios are exact int/int divisions.
+    "t06_quality_filter" ->
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words,
+        |    length(text) AS n_chars
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(tk, t -> length(t))) AS DOUBLE) / len(tk)
+        |    END AS mean_token_len,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) / n_chars
+        |    END AS symbol_ratio,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','an','and','or','of',
+        |           'to','in','is','are','was','on','for','with','as','at','by','it',
+        |           'this','that'))) AS DOUBLE) / len(tk)
+        |    END AS stopword_ratio,
+        |    CASE WHEN len(words) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(
+        |                list_transform(range(1, len(words)),
+        |                  i -> words[i] || ' ' || words[i+1]) )) AS DOUBLE)
+        |              / (len(words) - 1)
+        |    END AS dup_bigram_frac
+        |  FROM f)
+        |SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, stopword_ratio,
+        |  dup_bigram_frac,
+        |  CAST(n_tokens BETWEEN 5 AND 100000
+        |    AND mean_token_len BETWEEN 2.0 AND 12.0
+        |    AND symbol_ratio <= 0.20
+        |    AND stopword_ratio >= 0.02
+        |    AND dup_bigram_frac <= 0.60 AS INT) AS keep
+        |FROM g""".stripMargin,
+    "t07_stratified_sample" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents) s
+        |WHERE rk <= ceil(n * 0.25)""".stripMargin,
+    // gram construction identical to d05's (words from lower(text)); the oracle
+    // joins on gram STRINGS where Spark joins on xxhash64(gram) — identical
+    // output absent 64-bit collisions.
+    "c01_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3 THEN list_distinct(
+        |      list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+        |    ELSE [] END) AS g
+        |  FROM toks),
+        |ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_grams
+        |FROM grams c JOIN ev e ON c.g = e.g AND c.doc_id <> e.eval_id
+        |GROUP BY c.doc_id""".stripMargin,
+    // identical integer bit arithmetic: col j of the Morton code owns bits 2i+j.
+    "z01_zorder_key" ->
+      """SELECT event_id,
+        |  CAST(list_sum(list_transform(range(0, 8),
+        |    i -> (((ub >> i) & 1) << (2*i)) + (((vb >> i) & 1) << (2*i + 1))))
+        |    AS BIGINT) AS zv
+        |FROM (SELECT event_id, user_id % 256 AS ub,
+        |        least(greatest(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS vb
+        |      FROM events)""".stripMargin,
+    "o03_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_pts,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE)
+        |     AND CAST(o.o_orderdate AS DATE) + 3
+        |WHERE l.l_shipdate BETWEEN '1995-03-01' AND '1995-03-31'
+        |GROUP BY o_orderkey""".stripMargin,
     "t01_text_features" ->
       """WITH f AS (
         |  SELECT doc_id, text,

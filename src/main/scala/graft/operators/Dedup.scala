@@ -221,4 +221,16 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Duplication-ratio ESTIMATE — the planning pass run before committing a
+    * cluster to a full dedup of a 100 TB corpus: one scan, no shuffle of the
+    * payload (HLL sketches merge map-side), answering "how much smaller would
+    * this corpus get?". `rsd` is the HyperLogLog relative standard deviation.
+    * Returns one row: `(n_rows, n_distinct_est, dup_ratio_est)`. */
+  def dupRatioEstimate(df: DataFrame, keyCol: String, rsd: Double = 0.02): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(T.fingerprint(col(keyCol)), rsd).as("n_distinct_est"))
+      .withColumn("dup_ratio_est",
+        lit(1.0) - col("n_distinct_est").cast("double") / col("n_rows"))
 }

@@ -80,4 +80,15 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("dup-ratio estimate lands near the exact ratio") {
+    import spark.implicits._
+    // 1000 rows over 400 distinct texts -> true dup ratio 0.6
+    val df = (0 until 1000).map(i => (i.toLong, s"document text ${i % 400}"))
+      .toDF("id", "text")
+    val r = Dedup.dupRatioEstimate(df, "text").head()
+    assert(r.getLong(0) == 1000L)
+    val est = r.getDouble(2)
+    assert(math.abs(est - 0.6) < 0.05, s"estimate $est too far from 0.6")
+  }
 }

@@ -45,6 +45,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("o03: range join plans as an equi-join on the bin — no nested loop") {
+    val p = plan("o03_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the equi key is the synthesized bin column
+    assert(p.contains("graft_range_bin"), p)
+  }
+
+  test("c01: eval shingle side broadcasts — the corpus never shuffles to match") {
+    val p = plan("c01_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("bucketed co-located join: same-key bucketed tables join with no Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")

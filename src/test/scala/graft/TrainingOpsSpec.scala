@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.{Contamination, Quality, RangeJoin, Sampling}
+import org.apache.spark.sql.functions._
+
+/** Quality filter, stratified sampling, contamination, and range join —
+  * semantics on planted synthetic inputs (the sf-lake queries are covered by
+  * the Verify/oracle gate). */
+class TrainingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality filter drops planted pathological docs, keeps natural text") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs on through the field"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // dup bigrams
+      (3L, "@@ ## $$ %% ^^ && ** (( )) !! ~~ ?? ;; :: '' \"\" [[ ]]"), // symbols
+      (4L, "ok"), // too short
+      (5L, "a b c d e f g h i j k l m n o p q r s t u v w x y z aa bb") // no stopword signal? 'a' is one
+    ).toDF("doc_id", "text")
+    val kept = Quality.filterDocs(docs, "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(1L))
+    assert(!kept.contains(2L), "repeated-bigram doc must fail dup_bigram rule")
+    assert(!kept.contains(3L), "symbol-salad doc must fail symbol_ratio rule")
+    assert(!kept.contains(4L), "2-token doc must fail min length rule")
+    val flags = Quality.flags(docs, "text")
+    assert(flags.columns.toSeq.takeRight(6) == Seq("n_tokens", "mean_token_len",
+      "symbol_ratio", "stopword_ratio", "dup_bigram_frac", "keep"))
+  }
+
+  test("stratified sample takes exactly ceil(f*n) per stratum, deterministically") {
+    val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
+    val s1 = Sampling.stratifiedExact(df, "g", "id", 0.3)
+    val s2 = Sampling.stratifiedExact(df, "g", "id", 0.3)
+    val counts = s1.groupBy("g").count().as[(String, Long)].collect().toMap
+    // strata sizes: s0=33, s1=34, s2=33 -> ceil(.3*n) = 10, 11, 10
+    assert(counts == Map("s0" -> 10L, "s1" -> 11L, "s2" -> 10L), counts.toString)
+    assert(s1.collect().toSet == s2.collect().toSet, "selection must be deterministic")
+    // per-stratum override
+    val s3 = Sampling.stratifiedExact(df, "g", "id", 0.3, Map("s1" -> 1.0))
+    assert(s3.where($"g" === "s1").count() == 34)
+  }
+
+  test("hash-threshold sample is deterministic and roughly proportional") {
+    val df = (1L to 2000L).toDF("id")
+    val a = Sampling.byHashThreshold(df, "id", 0.5).as[Long].collect().toSet
+    val b = Sampling.byHashThreshold(df, "id", 0.5).as[Long].collect().toSet
+    assert(a == b)
+    assert(math.abs(a.size - 1000) < 120, s"got ${a.size}, expected ~1000")
+    // monotone: a smaller threshold selects a subset
+    val c = Sampling.byHashThreshold(df, "id", 0.25).as[Long].collect().toSet
+    assert(c.subsetOf(a))
+  }
+
+  test("contamination finds planted verbatim n-gram overlap, excludes self") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words here nothing shared"),
+      (3L, "prefix alpha beta gamma suffix tail"), // shares 'alpha beta gamma' with 1
+      (4L, "beta gamma alpha scrambled so no trigram match")
+    ).toDF("doc_id", "text")
+    val eval = corpus.where($"doc_id" === 1L)
+    val hits = Contamination.overlap(corpus, eval, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(hits.keySet == Set(3L), hits.toString)
+    assert(hits(3L) == 1L) // exactly one shared distinct trigram
+  }
+
+  test("range join matches the naive theta join on a dense synthetic case") {
+    val pts = (0L to 200L).toDF("p")
+    val ivs = Seq((100L, 0L, 10L), (101L, 5L, 7L), (102L, 190L, 300L),
+      (103L, 42L, 42L), (104L, 250L, 260L)).toDF("iv_id", "lo", "hi")
+    val binned = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 8L)
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    val naive = pts.crossJoin(ivs).where($"p".between($"lo", $"hi"))
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(naive.nonEmpty && naive.size == 11 + 3 + 11 + 1) // sanity: known sizes
+  }
+
+  test("range join plan is an equi-join on the bin, not a nested loop") {
+    val pts = (0L to 200L).toDF("p")
+    val ivs = (0L until 50L).map(i => (i, i * 4, i * 4 + 6)).toDF("iv_id", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(pts, "p", ivs, "lo", "hi", binWidth = 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan)
+  }
+}
