@@ -766,6 +766,25 @@ object SparkEntry {
           graft.operators.Layout.zValue(Seq(col("ub"), col("vb")), bits = 8)
             .as("zv"))),
 
+    // interval-overlap join (same binning rewrite, exactly-once via
+    // first-shared-bin emission): March-1995 order windows against all order
+    // windows — "how many other orders were in flight while this one was".
+    "o04_interval_overlap" -> ((s, dir) => {
+      def windows(df: DataFrame, key: String, lo: String, hi: String) = df
+        .select(col("o_orderkey").as(key),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as(lo))
+        .withColumn(hi, col(lo) + 3L)
+      val marchA = windows(
+        t(s, dir, "orders").where(col("o_orderdate").between("1995-03-01", "1995-03-31")),
+        "a_key", "a_lo", "a_hi")
+      val allB = windows(t(s, dir, "orders"), "b_key", "b_lo", "b_hi")
+      graft.operators.RangeJoin.intervalOverlap(
+          marchA, "a_lo", "a_hi", allB, "b_lo", "b_hi", binWidth = 4L)
+        .where(col("a_key") =!= col("b_key"))
+        .groupBy(col("a_key").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_concurrent"))
+    }),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1350,6 +1369,14 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id % 256 AS ub,
         |        least(greatest(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS vb
         |      FROM events)""".stripMargin,
+    "o04_interval_overlap" ->
+      """SELECT a.o_orderkey, count(*) AS n_concurrent
+        |FROM orders a JOIN orders b
+        |  ON CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE) + 3
+        | AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3
+        | AND a.o_orderkey <> b.o_orderkey
+        |WHERE a.o_orderdate BETWEEN '1995-03-01' AND '1995-03-31'
+        |GROUP BY a.o_orderkey""".stripMargin,
     "o03_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -42,4 +42,24 @@ object RangeJoin {
       .where(col(pointCol).between(col(loCol), col(hiCol)))
       .drop(bin)
   }
+
+  /** Interval-overlap join: every (a, b) pair with
+    * `aLo <= bHi && bLo <= aHi` (inclusive overlap). Same binning rewrite,
+    * both sides exploded to their covered bins — and since an overlapping pair
+    * shares every bin their intersection covers, each pair is emitted ONLY in
+    * the first shared bin (`floor(max(aLo, bLo) / binWidth)`), which makes the
+    * output exactly-once without a distinct/dedup shuffle. Column sets must be
+    * disjoint. */
+  def intervalOverlap(a: DataFrame, aLo: String, aHi: String,
+                      b: DataFrame, bLo: String, bHi: String,
+                      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val bin = "graft_range_bin"
+    def explodeBins(df: DataFrame, lo: String, hi: String) = df.withColumn(bin,
+      explode(sequence(floor(col(lo) / binWidth), floor(col(hi) / binWidth))))
+    explodeBins(a, aLo, aHi).join(explodeBins(b, bLo, bHi), bin)
+      .where(col(aLo) <= col(bHi) && col(bLo) <= col(aHi))
+      .where(col(bin) === floor(greatest(col(aLo), col(bLo)) / binWidth))
+      .drop(bin)
+  }
 }

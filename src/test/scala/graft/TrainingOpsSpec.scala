@@ -78,6 +78,21 @@ class TrainingOpsSpec extends SparkSpec {
     assert(naive.nonEmpty && naive.size == 11 + 3 + 11 + 1) // sanity: known sizes
   }
 
+  test("interval overlap join matches naive theta join, exactly once per pair") {
+    val a = Seq((1L, 0L, 100L), (2L, 50L, 55L), (3L, 200L, 201L))
+      .toDF("a_id", "a_lo", "a_hi")
+    val b = Seq((10L, 90L, 300L), (11L, 0L, 2L), (12L, 56L, 60L))
+      .toDF("b_id", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlap(a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 8L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toList
+    val naive = a.crossJoin(b)
+      .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toList
+    // sets equal AND no duplicate emissions despite many shared bins
+    assert(got.sorted == naive.sorted, s"got $got vs $naive")
+    assert(got.size == got.toSet.size, s"duplicate emissions: $got")
+  }
+
   test("range join plan is an equi-join on the bin, not a nested loop") {
     val pts = (0L to 200L).toDF("p")
     val ivs = (0L until 50L).map(i => (i, i * 4, i * 4 + 6)).toDF("iv_id", "lo", "hi")
