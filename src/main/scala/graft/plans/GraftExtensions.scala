@@ -23,8 +23,11 @@ import org.apache.spark.sql.types.IntegerType
   * functions resolve to the same expressions the DataFrame API uses, with
   * identical performance. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // auto-rewrite non-equi range joins to the binned equi-join form
+    ext.injectOptimizerRule(_ => RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {
