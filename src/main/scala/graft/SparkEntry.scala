@@ -785,6 +785,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_concurrent"))
     }),
 
+    // bottom-k (KMV) sketch per source — a custom TypedImperativeAggregate.
+    // The k smallest distinct values are a pure function of the input set
+    // (merge/insertion order cannot change them), so the custom UDAF is
+    // exactly oracle-able; md5 keys keep the ordering portable.
+    "p02_bottomk_sketch" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates
+          .bottomK(md5(col("doc_id").cast("string")), 4).as("sk"))
+        .select(col("source"), explode(col("sk")).as("h"))),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1369,6 +1380,11 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id % 256 AS ub,
         |        least(greatest(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS vb
         |      FROM events)""".stripMargin,
+    "p02_bottomk_sketch" ->
+      """WITH h AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
+        |SELECT source,
+        |  unnest(list_slice(list_sort(list_distinct(list(h))), 1, 4)) AS h
+        |FROM h GROUP BY source""".stripMargin,
     "o04_interval_overlap" ->
       """SELECT a.o_orderkey, count(*) AS n_concurrent
         |FROM orders a JOIN orders b

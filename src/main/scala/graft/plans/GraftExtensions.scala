@@ -64,7 +64,11 @@ object GraftExtensions {
       args => SortedIntersectCount(args(0), args(1))),
     fn("array_dot",
       "array_dot(a, b) - double dot product of two numeric arrays",
-      args => ArrayDot(args(0), args(1))))
+      args => ArrayDot(args(0), args(1))),
+    fn("bottom_k",
+      "bottom_k(expr, k) - KMV sketch: the k smallest distinct string values",
+      args => graft.functions.SketchAggregates.BottomK(
+        args(0), intArg(args(1), "bottom_k", 1))))
 
   /** Install into an already-built session (builder-time `withExtensions` is
     * unavailable once a session exists). */

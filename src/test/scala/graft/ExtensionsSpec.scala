@@ -43,6 +43,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(err.getMessage.toLowerCase.contains("literal"), err.getMessage)
   }
 
+  test("bottom_k aggregate: exact k smallest distinct values, from SQL and API") {
+    GraftExtensions.installInto(spark)
+    import spark.implicits._
+    val df = Seq("m", "c", "a", "z", "c", "b", "a", "q").toDF("v")
+    df.createOrReplaceTempView("bk_in")
+    val viaSql = spark.sql("SELECT bottom_k(v, 3) AS sk FROM bk_in")
+      .head().getSeq[String](0)
+    assert(viaSql == Seq("a", "b", "c"))
+    val viaApi = df.agg(graft.functions.SketchAggregates.bottomK($"v", 3).as("sk"))
+      .head().getSeq[String](0)
+    assert(viaApi == Seq("a", "b", "c"))
+    // partition/merge-order independence: many partitions, same sketch
+    val big = spark.range(1000).select(md5($"id".cast("string")).as("v"))
+      .repartition(13)
+    val sk1 = big.agg(graft.functions.SketchAggregates.bottomK($"v", 8)).head().getSeq[String](0)
+    val sk2 = big.coalesce(1).agg(graft.functions.SketchAggregates.bottomK($"v", 8)).head().getSeq[String](0)
+    assert(sk1 == sk2 && sk1.size == 8)
+    // grouped path exercises serialize/deserialize across the exchange
+    val grouped = spark.range(200)
+      .select(($"id" % 4).cast("string").as("g"), md5($"id".cast("string")).as("v"))
+      .groupBy("g").agg(graft.functions.SketchAggregates.bottomK($"v", 2).as("sk"))
+    assert(grouped.count() == 4)
+  }
+
   test("fresh session built withExtensions resolves the functions (config path)") {
     // newSession shares the SparkContext; a genuinely fresh builder honors
     // withExtensions only when no active session interferes, so build via the
@@ -52,6 +76,6 @@ class ExtensionsSpec extends SparkSpec {
     // the instance applied without error and carries all registrations
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("word_shingles", "minhash_sig", "simhash64", "hashed_sorted_set",
-        "sorted_intersect_count", "array_dot"))
+        "sorted_intersect_count", "array_dot", "bottom_k"))
   }
 }
