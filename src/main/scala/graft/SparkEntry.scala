@@ -796,6 +796,14 @@ object SparkEntry {
           .bottomK(md5(col("doc_id").cast("string")), 4).as("sk"))
         .select(col("source"), explode(col("sk")).as("h"))),
 
+    // deterministic weighted domain mixing: 2.3 epochs of src0, 0.4 of src1,
+    // 1.0 elsewhere — copy counts from exact integer + hex-threshold ops, so
+    // the oversampled mix reproduces exactly in SQL.
+    "t08_weighted_mix" -> ((s, dir) =>
+      graft.operators.Sampling.weightedMix(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", "doc_id", Map("src0" -> 2.3, "src1" -> 0.4))),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1380,6 +1388,21 @@ object SparkEntry {
         |FROM (SELECT event_id, user_id % 256 AS ub,
         |        least(greatest(CAST(floor(value / 2.0) AS BIGINT), 0), 255) AS vb
         |      FROM events)""".stripMargin,
+    // thresholds are the 15-hex-digit images of frac(2.3) and frac(0.4) in the
+    // 60-bit md5 space (computed with the same IEEE arithmetic as the Scala side)
+    "t08_weighted_mix" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN source = 'src0' THEN 2 WHEN source = 'src1' THEN 0 ELSE 1 END
+        |      + CASE WHEN source = 'src0'
+        |               AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '4cccccccccccc00'
+        |             THEN 1
+        |             WHEN source = 'src1'
+        |               AND substring(md5(CAST(doc_id AS VARCHAR)), 1, 15) < '666666666666680'
+        |             THEN 1
+        |             ELSE 0 END AS n
+        |  FROM documents)
+        |SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM b""".stripMargin,
     "p02_bottomk_sketch" ->
       """WITH h AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
         |SELECT source,

@@ -23,19 +23,50 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform content hash in [0, 1): the first 15 hex digits of md5 (60 bits)
-    * as a fraction. md5 exists in every engine, so membership is portable —
-    * unlike xxhash64, whose seed/implementation varies. */
-  private def unitHash(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
-      lit(java.lang.Math.pow(2.0, 60.0))
+  /** 15-hex-digit threshold for a fraction of the 60-bit hash space. Equal-
+    * length lowercase-hex string comparison IS numeric comparison, so the
+    * selection predicate is a plain string `<` that any engine reproduces. */
+  private def hexThreshold(fraction: Double): String =
+    "%015x".format(math.min((fraction * math.pow(2.0, 60.0)).toLong, (1L << 60) - 1))
+
+  /** Content-hash membership test: true for ~`fraction` of keys,
+    * deterministically. md5 exists in every engine (unlike xxhash64, whose
+    * seed/implementation varies), so membership is portable. */
+  def hashBelow(key: Column, fraction: Double): Column =
+    if (fraction <= 0) lit(false)
+    else if (fraction >= 1) lit(true)
+    else substring(md5(key.cast("string")), 1, 15) < lit(hexThreshold(fraction))
 
   /** Keep rows whose content-hash coordinate falls below `fraction`.
     * Deterministic, shuffle-free, approximately `fraction` of each stratum
     * (strata need no column here — hashing is per-row uniform). */
   def byHashThreshold(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
-    df.where(unitHash(col(keyCol)) < fraction)
+    df.where(hashBelow(col(keyCol), fraction))
+  }
+
+  /** Deterministic weighted resampling — domain MIXING, where weights may
+    * exceed 1 ("train 2.3 epochs of src0, 0.4 of src1"): each row appears
+    * `floor(w)` times plus once more for the hash-chosen `frac(w)` of keys.
+    * Output gains an `epoch` column (0-based copy index) so downstream
+    * shuffles/splits can keep copies distinguishable. Explode-based: no
+    * driver work, no RNG, repeatable under retries — and since both the copy
+    * count and the membership test are exact integer/string ops, the mix is
+    * reproducible in ANSI SQL. */
+  def weightedMix(df: DataFrame, stratumCol: String, keyCol: String,
+                  weights: Map[String, Double],
+                  defaultWeight: Double = 1.0): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(w => w >= 0 && w <= 100),
+      "weights must be in [0, 100]")
+    def copiesFor(w: Double): Column =
+      lit(math.floor(w).toLong) + hashBelow(col(keyCol), w - math.floor(w)).cast("long")
+    val copies = weights.foldLeft(copiesFor(defaultWeight)) { case (acc, (s, w)) =>
+      when(col(stratumCol) === s, copiesFor(w)).otherwise(acc)
+    }
+    df.withColumn("graft_copies", copies)
+      .where(col("graft_copies") > 0L)
+      .withColumn("epoch", explode(sequence(lit(0L), col("graft_copies") - 1L)))
+      .drop("graft_copies")
   }
 
   /** Exactly `ceil(fraction * count(stratum))` rows per stratum, chosen by

@@ -52,6 +52,23 @@ class TrainingOpsSpec extends SparkSpec {
     assert(c.subsetOf(a))
   }
 
+  test("weighted mix oversamples by floor(w) + hash-chosen fraction, with epochs") {
+    val df = (1L to 400L).map(i => (i, s"s${i % 2}")).toDF("id", "g")
+    val mixed = Sampling.weightedMix(df, "g", "id", Map("s0" -> 3.0, "s1" -> 0.5))
+    val counts = mixed.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(counts("s0") == 600L) // integer weight: exactly 3 copies of 200 rows
+    assert(math.abs(counts.getOrElse("s1", 0L) - 100L) < 40, counts.toString)
+    // epochs are 0..copies-1 per id
+    val epochs = mixed.where($"g" === "s0").groupBy("id")
+      .agg(sort_array(collect_list($"epoch")).as("es"))
+      .select("es").as[Seq[Long]].collect()
+    assert(epochs.forall(_ == Seq(0L, 1L, 2L)))
+    // deterministic
+    val again = Sampling.weightedMix(df, "g", "id", Map("s0" -> 3.0, "s1" -> 0.5))
+      .collect().toSet
+    assert(again == mixed.collect().toSet)
+  }
+
   test("contamination finds planted verbatim n-gram overlap, excludes self") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
