@@ -804,6 +804,19 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", Map("src0" -> 2.3, "src1" -> 0.4))),
 
+    // top-k per group as a heap AGGREGATE (map-side combine: k rows per group
+    // per partition reach the shuffle) — the scale-safe twin of the window
+    // formulation in q05, which must shuffle-and-sort every row.
+    "o05_topk_per_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.SketchAggregates.topKRows(
+          struct(col("l_quantity"), col("l_orderkey"),
+            bi(col("l_linenumber")).as("l_linenumber")), 3).as("top"))
+        .select(col("l_returnflag"), explode(col("top")).as("r"))
+        .select(col("l_returnflag"), col("r.l_quantity"), col("r.l_orderkey"),
+          col("r.l_linenumber"))),
+
     // token stats expressible identically in ANSI SQL (exact integer outputs).
     "t02_token_stats" -> ((s, dir) =>
       t(s, dir, "documents").select(
@@ -1403,6 +1416,14 @@ object SparkEntry {
         |             ELSE 0 END AS n
         |  FROM documents)
         |SELECT doc_id, source, unnest(range(0, n)) AS epoch FROM b""".stripMargin,
+    "o05_topk_per_group" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber FROM (
+        |  SELECT l_returnflag, l_quantity, l_orderkey,
+        |    CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC) AS rn
+        |  FROM lineitem) t
+        |WHERE rn <= 3""".stripMargin,
     "p02_bottomk_sketch" ->
       """WITH h AS (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents)
         |SELECT source,

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom typed-imperative aggregates (the UDAF rung of the extension ladder —
@@ -103,9 +103,138 @@ object SketchAggregates {
     override def prettyName: String = "bottom_k"
   }
 
+  /** Top-k rows per group by a bounded heap — the aggregate formulation of
+    * "top-N per group". The window formulation
+    * (`row_number().over(partitionBy(g).orderBy(...)) <= k`) must SHUFFLE AND
+    * SORT EVERY ROW; this aggregate keeps a k-element min-heap per group and
+    * combines map-side, so only `k` rows per group per partition reach the
+    * exchange — the difference between shuffling 100 TB and shuffling
+    * kilobytes when groups are few and k is small.
+    *
+    * `child` must be a struct whose FIELD ORDER is the sort key: rows are
+    * ranked by lexicographic struct comparison, descending (put the metric
+    * first and unique tiebreakers after it for a deterministic, exactly
+    * SQL-reproducible result: `ORDER BY f1 DESC, f2 DESC, ... LIMIT k`). */
+  case class TopKRows(child: Expression, k: Int,
+                      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.PriorityQueue[InternalRow]]
+      with UnaryLike[Expression] {
+    require(k >= 1 && k <= (1 << 20), s"top_k_rows: k out of range: $k")
+
+    private lazy val rowType = child.dataType.asInstanceOf[StructType]
+    private lazy val ordering: Ordering[InternalRow] = {
+      val fieldOrds = rowType.fields.map(f =>
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(f.dataType))
+      (a: InternalRow, b: InternalRow) => {
+        var i = 0
+        var cmp = 0
+        while (cmp == 0 && i < rowType.length) {
+          val (av, bv) = (a.get(i, rowType(i).dataType), b.get(i, rowType(i).dataType))
+          cmp = (av == null, bv == null) match {
+            case (true, true) => 0
+            case (true, false) => -1 // nulls smallest -> evicted first
+            case (false, true) => 1
+            case _ => fieldOrds(i).asInstanceOf[Ordering[Any]].compare(av, bv)
+          }
+          i += 1
+        }
+        cmp
+      }
+    }
+    private lazy val toUnsafe =
+      org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(rowType)
+
+    override def createAggregationBuffer(): java.util.PriorityQueue[InternalRow] =
+      new java.util.PriorityQueue[InternalRow](math.min(k, 1024), ordering)
+
+    private def offer(heap: java.util.PriorityQueue[InternalRow], row: InternalRow): Unit = {
+      if (heap.size < k) { heap.offer(row); () }
+      else if (ordering.compare(row, heap.peek()) > 0) {
+        heap.poll(); heap.offer(row); ()
+      }
+    }
+
+    override def update(heap: java.util.PriorityQueue[InternalRow], input: InternalRow)
+    : java.util.PriorityQueue[InternalRow] = {
+      child.eval(input) match {
+        case null => ()
+        case r: InternalRow =>
+          // copy through UnsafeProjection: the child row may alias reused buffers
+          if (heap.size < k || ordering.compare(r, heap.peek()) > 0)
+            offer(heap, toUnsafe(r).copy())
+      }
+      heap
+    }
+
+    override def merge(a: java.util.PriorityQueue[InternalRow],
+                       b: java.util.PriorityQueue[InternalRow])
+    : java.util.PriorityQueue[InternalRow] = {
+      val it = b.iterator()
+      while (it.hasNext) offer(a, it.next())
+      a
+    }
+
+    /** descending: best row first. */
+    override def eval(heap: java.util.PriorityQueue[InternalRow]): Any = {
+      val arr = heap.toArray(new Array[InternalRow](heap.size))
+      java.util.Arrays.sort(arr, ordering.reverse)
+      new GenericArrayData(arr.asInstanceOf[Array[AnyRef]])
+    }
+
+    override def serialize(heap: java.util.PriorityQueue[InternalRow]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(heap.size)
+      val it = heap.iterator()
+      while (it.hasNext) {
+        val bytes = toUnsafe(it.next()) match {
+          case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow => u.getBytes
+        }
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[InternalRow] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val heap = createAggregationBuffer()
+      var n = in.readInt()
+      while (n > 0) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        val row = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rowType.length)
+        row.pointTo(b, b.length)
+        heap.offer(row)
+        n -= 1
+      }
+      heap
+    }
+
+    override def dataType: DataType = ArrayType(rowType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case _: StructType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_k_rows needs a struct child (sort key = field order), got $other")
+      }
+    override def withNewMutableAggBufferOffset(offset: Int): TopKRows =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): TopKRows =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(newChild: Expression): TopKRows =
+      copy(child = newChild)
+    override def prettyName: String = "top_k_rows"
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** DataFrame-side: `bottomK(col, k)` usable inside `agg(...)`. */
   def bottomK(c: Column, k: Int): Column =
     column(BottomK(expression(c), k).toAggregateExpression())
+
+  /** DataFrame-side: `topKRows(struct(metric, tiebreakers...), k)`. */
+  def topKRows(structCol: Column, k: Int): Column =
+    column(TopKRows(expression(structCol), k).toAggregateExpression())
 }

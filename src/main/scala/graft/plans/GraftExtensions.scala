@@ -68,7 +68,11 @@ object GraftExtensions {
     fn("bottom_k",
       "bottom_k(expr, k) - KMV sketch: the k smallest distinct string values",
       args => graft.functions.SketchAggregates.BottomK(
-        args(0), intArg(args(1), "bottom_k", 1))))
+        args(0), intArg(args(1), "bottom_k", 1))),
+    fn("top_k_rows",
+      "top_k_rows(struct, k) - k largest struct rows per group (heap, map-side combine)",
+      args => graft.functions.SketchAggregates.TopKRows(
+        args(0), intArg(args(1), "top_k_rows", 1))))
 
   /** Install into an already-built session (builder-time `withExtensions` is
     * unavailable once a session exists). */

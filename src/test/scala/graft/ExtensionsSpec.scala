@@ -67,6 +67,34 @@ class ExtensionsSpec extends SparkSpec {
     assert(grouped.count() == 4)
   }
 
+  test("top_k_rows aggregate equals the window formulation; plans with partial agg") {
+    GraftExtensions.installInto(spark)
+    import spark.implicits._
+    val df = (1L to 500L).map(i => (s"g${i % 3}", (i * 7919) % 101, i))
+      .toDF("g", "score", "id").repartition(7)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.SketchAggregates.topKRows(struct($"score", $"id"), 5).as("top"))
+      .select($"g", explode($"top").as("r"))
+      .select($"g", $"r.score", $"r.id")
+    val viaWindow = df.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"score".desc, $"id".desc)))
+      .where($"rn" <= 5).select("g", "score", "id")
+    assert(viaAgg.collect().toSet == viaWindow.collect().toSet)
+    // map-side combine: the plan carries a partial ObjectHashAggregate
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_top_k_rows") || plan.contains("partial top_k_rows")
+      || plan.toLowerCase.contains("partial"), plan)
+    // SQL path
+    df.createOrReplaceTempView("tk_in")
+    val viaSql = spark.sql(
+      """SELECT g, r.score, r.id
+        |FROM (SELECT g, explode(top_k_rows(struct(score, id), 5)) AS r
+        |      FROM tk_in GROUP BY g)""".stripMargin)
+    assert(viaSql.collect().toSet == viaWindow.collect().toSet)
+  }
+
   test("fresh session built withExtensions resolves the functions (config path)") {
     // newSession shares the SparkContext; a genuinely fresh builder honors
     // withExtensions only when no active session interferes, so build via the
@@ -76,6 +104,6 @@ class ExtensionsSpec extends SparkSpec {
     // the instance applied without error and carries all registrations
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
       Set("word_shingles", "minhash_sig", "simhash64", "hashed_sorted_set",
-        "sorted_intersect_count", "array_dot", "bottom_k"))
+        "sorted_intersect_count", "array_dot", "bottom_k", "top_k_rows"))
   }
 }
