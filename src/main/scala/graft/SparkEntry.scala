@@ -635,6 +635,38 @@ object SparkEntry {
           bi(col("cluster_size")).as("cluster_size"))
     }),
 
+    // end-to-end curation: near-dup clusters (d07) + quality scores (t01) →
+    // ONE quality-ranked survivor per cluster (ties by lowest id). The unit of
+    // deletion a dedup pass actually ships.
+    "d08_quality_survivors" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      val clusters = graft.operators.Components.clusters(pairs, "id_a", "id_b")
+      val scored = docs.select(col("doc_id"), T.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(scored, clusters("id") === scored("doc_id"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"),
+          col("quality"), bi(col("cluster_size")).as("cluster_size"))
+    }),
+
+    // GPT-style sequence packing: concatenate docs per source in doc_id order,
+    // cut at a 512-token budget — each doc's pack id is floor(tokens-before /
+    // 512). One window sum per source partition; exact integer arithmetic.
+    "t09_sequence_pack" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          floor(col("cum_before") / 512L).cast("long").as("pack_id"),
+          (col("cum_before") % 512L).as("pack_offset"))
+    }),
+
     // exact brute-force cosine top-k (correctness baseline for ANN). The
     // oracle compares ranks, not scores: both engines compute cosine in double,
     // but accumulation-order differences in the last ulp would flake a
@@ -1213,6 +1245,85 @@ object SparkEntry {
     // d07: recompute d05's exact pair list, then resolve components with a
     // recursive reachability CTE (min reachable id = cluster id). Tractable
     // because near-dup components are tiny at verify scale.
+    // d07's reachability CTE + t01's quality formula; survivor = row_number 1
+    // by (quality DESC, doc_id).
+    "d08_quality_survivors" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |         THEN list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |        FROM documents)
+        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
+        |      len(a.sh) AS la, len(b.sh) AS lb
+        |    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
+        |  WHERE inter / (la + lb - inter) >= 0.4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges UNION SELECT u, u FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), labels AS (
+        |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u),
+        |sized AS (
+        |  SELECT doc_id, cluster_id,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM labels),
+        |qf AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars, text
+        |  FROM documents),
+        |qg AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, t -> t IN ('the','a','an','and','or','of','to','in',
+        |      'is','are','was','on','for','with','as','at','by','it','this','that')))
+        |      AS DOUBLE) AS n_stop,
+        |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_letters,
+        |    CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS n_upper,
+        |    n_chars
+        |  FROM qf),
+        |quality AS (
+        |  SELECT doc_id, round(
+        |    least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |    least((CASE WHEN n_tokens = 0 THEN 0.0 ELSE n_stop / n_tokens END) * 5.0, 1.0)
+        |      * 0.3 +
+        |    greatest(0.0, 1.0 - (CASE WHEN n_chars = 0 THEN 0.0
+        |      ELSE CAST(n_punct AS DOUBLE) / n_chars END) * 4.0) * 0.2 +
+        |    greatest(0.0, 1.0 - (CASE WHEN n_letters = 0 THEN 0.0
+        |      ELSE CAST(n_upper AS DOUBLE) / n_letters END)) * 0.1,
+        |    6) AS quality
+        |  FROM qg)
+        |SELECT cluster_id, doc_id AS survivor_id, quality, cluster_size FROM (
+        |  SELECT s.cluster_id, s.doc_id, q.quality, s.cluster_size,
+        |    row_number() OVER (PARTITION BY s.cluster_id
+        |      ORDER BY q.quality DESC, s.doc_id) AS rn
+        |  FROM sized s JOIN quality q ON s.doc_id = q.doc_id) t
+        |WHERE rn = 1""".stripMargin,
+    "t09_sequence_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+        |  cum_before % 512 AS pack_offset
+        |FROM (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |        t -> t <> '')) AS BIGINT) AS n_tokens
+        |    FROM documents))""".stripMargin,
     "d07_dedup_clusters" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, list_distinct(
