@@ -94,6 +94,12 @@ object SketchAggregates {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bottom_k needs a string child (cast first), got $other")
+      }
     override def withNewMutableAggBufferOffset(offset: Int): BottomK =
       copy(mutableAggBufferOffset = offset)
     override def withNewInputAggBufferOffset(offset: Int): BottomK =

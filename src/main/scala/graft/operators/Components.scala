@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * There is no reference analogue (the reference has no graph surface); the
   * operator exists for the training-data pipeline extension (SURVEY §7.1(7)).
   */
-object Components {
+object Components extends org.apache.spark.internal.Logging {
 
   /** Resolve components of the undirected graph given by `(srcCol, dstCol)`
     * pairs. Output: one row per distinct vertex, `(vertex, component)` where
@@ -37,11 +37,17 @@ object Components {
 
     var converged = false
     var round = 0
+    var prevSum = checksum(edges)
     while (!converged && round < maxRounds) {
+      val t0 = System.nanoTime()
       val next = smallStar(largeStar(edges)).localCheckpoint()
-      converged = checksum(next) == checksum(edges)
+      val nextSum = checksum(next)
+      converged = nextSum == prevSum
       edges = next
+      prevSum = nextSum
       round += 1
+      logWarning(s"connectedComponents round $round: edges=${nextSum._1} " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     if (!converged)
       throw new IllegalStateException(

@@ -19,23 +19,29 @@ import org.apache.spark.sql.functions._
 object Profile {
 
   /** One row per profiled column:
-    * `(col_name, n_rows, n_nonnull, n_distinct, min_s, max_s)`. */
+    * `(col_name, n_rows, n_nonnull, n_distinct, min_s, max_s)`.
+    * Internal aliases are index-based and the pivot to long format goes
+    * through `inline` over structs — no name is ever spliced into SQL text,
+    * so arbitrary column names (dots, quotes, backticks) are safe. */
   def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
     require(columns.nonEmpty, "profile of zero columns")
-    val aggs = columns.flatMap { c =>
+    // backtick-quote input references so dots/quotes/backticks in names are
+    // treated literally, not as nested-field syntax
+    def ref(c: String) = col(s"`${c.replace("`", "``")}`")
+    val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
       Seq(
-        count(col(c)).as(s"nn_$c"),
-        count_distinct(col(c)).as(s"nd_$c"),
-        min(col(c)).cast("string").as(s"mn_$c"),
-        max(col(c)).cast("string").as(s"mx_$c"))
+        count(ref(c)).as(s"nn_$i"),
+        count_distinct(ref(c)).as(s"nd_$i"),
+        min(ref(c)).cast("string").as(s"mn_$i"),
+        max(ref(c)).cast("string").as(s"mx_$i"))
     }
     val wide = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    val stackArgs = columns
-      .map(c => s"'$c', `nn_$c`, `nd_$c`, `mn_$c`, `mx_$c`")
-      .mkString(", ")
-    wide.selectExpr(
-      s"stack(${columns.size}, $stackArgs) as (col_name, n_nonnull, n_distinct, min_s, max_s)",
-      "n_rows")
+    val rows = columns.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("col_name"), col(s"nn_$i").as("n_nonnull"),
+        col(s"nd_$i").as("n_distinct"), col(s"mn_$i").as("min_s"),
+        col(s"mx_$i").as("max_s"))
+    }
+    wide.select(col("n_rows"), inline(array(rows: _*)))
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }

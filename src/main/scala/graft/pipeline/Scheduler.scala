@@ -117,19 +117,28 @@ object QuartzCron {
         s"Quartz $fieldName value $n out of range [$min,$max] in '$spec0'")
       n
     }
+    // Quartz ranges WRAP when a > b ('22-2' on hours = 22,23,0,1,2); a wrapped
+    // or stepped range is materialized as the ordered value walk and stepping
+    // takes every step-th element of it — which also guarantees every
+    // syntactically valid field matches at least one value, keeping next()'s
+    // scan bounded (a never-true field would otherwise walk seconds to 2200).
+    def walk(a: Int, b: Int): Seq[Int] =
+      if (a <= b) a to b else (a to max) ++ (min to b)
     val preds = spec.split(",").toSeq.map { part =>
       part.split("/") match {
         case Array(base, step) =>
           val stepN = step.toInt
-          val start = if (base == "*") min else bounded(base.split("-")(0).toInt)
-          val end = base.split("-") match {
-            case Array(_, e) => bounded(e.toInt)
-            case _ => max
-          }
-          (v: Int) => v >= start && v <= end && (v - start) % stepN == 0
+          require(stepN > 0, s"Quartz $fieldName step must be positive in '$spec0'")
+          val vals = (base.split("-") match {
+            case Array("*") => walk(min, max)
+            case Array(s) => walk(bounded(s.toInt), max)
+            case Array(s, e) => walk(bounded(s.toInt), bounded(e.toInt))
+          }).zipWithIndex.collect { case (v, i) if i % stepN == 0 => v }.toSet
+          (v: Int) => vals(v)
         case Array(range) if range.contains("-") =>
           val Array(a, b) = range.split("-").map(s => bounded(s.toInt))
-          (v: Int) => v >= a && v <= b
+          val vals = walk(a, b).toSet
+          (v: Int) => vals(v)
         case Array(single) =>
           val n = bounded(single.toInt)
           (v: Int) => v == n

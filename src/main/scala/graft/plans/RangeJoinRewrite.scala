@@ -21,26 +21,39 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, ShortType}
   * handling — and keeps the ORIGINAL condition as the exact post-filter, so
   * semantics are preserved by construction (any monotone binning is
   * admissible, and each point lives in exactly one bin so no pair duplicates).
+  * Inverted intervals (lo > hi) produce a descending bin walk that the
+  * post-filter then empties — matching the nested loop's "no match", never
+  * erroring.
+  *
+  * Intervals wider than `maxBinsPerInterval` bins would replicate unboundedly
+  * through the explode, so the interval side is SPLIT: narrow intervals take
+  * the binned join, the (rare) wide ones keep the original nested-loop form,
+  * and the two unioned halves together are exactly the original join. The
+  * wide branch carries a marker column so the rule does not re-fire on it
+  * when the optimizer batch runs to fixed point.
   *
   * Registered by [[GraftExtensions]] via `injectOptimizerRule`; also usable as
   * `spark.experimental.extraOptimizations :+= RangeJoinRewrite`. Knobs:
-  * `spark.graft.rangeJoin.enabled` (default true) and
+  * `spark.graft.rangeJoin.enabled` (default true),
   * `spark.graft.rangeJoin.binWidth` (default 64 — in the point column's own
-  * units; set it near the typical interval length).
+  * units; set it near the typical interval length), and
+  * `spark.graft.rangeJoin.maxBinsPerInterval` (default 4096).
   *
-  * Only integral-typed bounds are rewritten (bin arithmetic in exact long
-  * math); the guard also skips self-referencing bounds and anything with an
-  * equi conjunct (Spark already plans those as hash joins with the range as a
-  * post-filter).
+  * Only integral-typed bounds are rewritten (monotone long/double bin
+  * arithmetic); anything with an equi conjunct is left to Spark's own hash
+  * join planning.
   */
-object RangeJoinRewrite extends Rule[LogicalPlan] {
+object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   private val binCol = "graft_range_bin"
+  private val markerCol = "graft_range_wide"
 
   private def enabled: Boolean =
     SQLConf.get.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
   private def binWidth: Long =
     SQLConf.get.getConfString("spark.graft.rangeJoin.binWidth", "64").toLong
+  private def maxBins: Long =
+    SQLConf.get.getConfString("spark.graft.rangeJoin.maxBinsPerInterval", "4096").toLong
 
   private def integral(e: Expression): Boolean = e.dataType match {
     case LongType | IntegerType | ShortType => true
@@ -87,6 +100,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  private def hasMarker(plan: LogicalPlan): Boolean =
+    plan.output.exists(_.name == markerCol)
+
   /** Exact monotone bin: floor(x / w) over doubles is monotone and identical
     * on both sides of the join, which is all binning needs. */
   private def binOf(e: Expression, w: Long): Expression =
@@ -96,36 +112,47 @@ object RangeJoinRewrite extends Rule[LogicalPlan] {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
+          if j.resolved && !hasMarker(left) && !hasMarker(right) &&
+            !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         rangePattern(conjuncts, left, right) match {
           case Some((point, lo, hi, pointOnLeft)) =>
             val w = binWidth
             val (pointSide, intervalSide) = if (pointOnLeft) (left, right) else (right, left)
 
+            // interval-width split: narrow -> binned equi-join; wide -> keep
+            // the nested-loop form (bounded replication either way)
+            val narrowPred = LessThanOrEqual(
+              Subtract(Cast(hi, LongType), Cast(lo, LongType)),
+              Literal(maxBins * w))
+            val narrowIv = Filter(narrowPred, intervalSide)
+            val wideIv = Project(
+              intervalSide.output :+ Alias(Literal(true), markerCol)(),
+              Filter(Not(narrowPred), intervalSide))
+
             val pointBin = Alias(binOf(point, w), binCol)()
             val pointPlan = Project(pointSide.output :+ pointBin, pointSide)
-
-            // Sequence is TimeZoneAwareExpression: resolution requires an
-            // explicit zone even for pure long sequences
-            val seq = Sequence(binOf(lo, w), binOf(hi, w), Some(Literal(1L)),
+            // no explicit step: direction auto-negates, so an inverted
+            // interval (lo > hi) walks downward instead of erroring; the
+            // exact post-filter then drops every candidate it produced
+            val seq = Sequence(binOf(lo, w), binOf(hi, w), None,
               Some(SQLConf.get.sessionLocalTimeZone))
             val ivBinAttr = AttributeReference(binCol, LongType, nullable = true)()
             val ivPlan = Generate(Explode(seq), unrequiredChildIndex = Nil,
               outer = false, qualifier = None, generatorOutput = Seq(ivBinAttr),
-              child = intervalSide)
+              child = narrowIv)
 
             val equi = EqualTo(pointBin.toAttribute, ivBinAttr)
-            val (newL, newR) = if (pointOnLeft) (pointPlan, ivPlan) else (ivPlan, pointPlan)
-            val joined = Join(newL, newR, Inner, Some(And(equi, cond)), hint)
-            Project(left.output ++ right.output, joined)
+            val (nl, nr) = if (pointOnLeft) (pointPlan, ivPlan) else (ivPlan, pointPlan)
+            val binnedJoin = Join(nl, nr, Inner, Some(And(equi, cond)), hint)
+
+            val (wl, wr) = if (pointOnLeft) (pointSide, wideIv) else (wideIv, pointSide)
+            val wideJoin = Join(wl, wr, Inner, Some(cond), hint)
+
+            val out = left.output ++ right.output
+            Union(Seq(Project(out, binnedJoin), Project(out, wideJoin)))
           case None => j
         }
     }
-  }
-
-  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
-    case And(a, b) => splitConjunctivePredicates(a) ++ splitConjunctivePredicates(b)
-    case other => Seq(other)
   }
 }

@@ -15,4 +15,13 @@ class ProfileSpec extends SparkSpec {
     assert(p("id") == ((4L, 4L, 4L, "1", "4")))
     assert(p("s") == ((4L, 3L, 2L, "a", "b")))
   }
+
+  test("hostile column names (quotes, dots, backticks) profile safely") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("user's id", "a.b`c")
+    val p = Profile.profile(df, Seq("user's id", "a.b`c"))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(p == Map("user's id" -> 2L, "a.b`c" -> 2L))
+  }
 }

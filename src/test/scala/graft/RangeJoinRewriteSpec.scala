@@ -27,9 +27,13 @@ class RangeJoinRewriteSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
     }
     assert(rewritten == naive && naive.nonEmpty)
-    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
-      plan)
+    // the narrow branch is a bin equi-join (hash join on the synthesized key);
+    // the union's wide arm keeps a nested-loop node but only sees intervals
+    // wider than the bin cap (none here)
     assert(plan.contains("graft_range_bin"), plan)
+    assert(plan.contains("HashJoin [graft_range_bin") ||
+      plan.contains("SortMergeJoin [graft_range_bin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("strict bounds and reversed operand order also rewrite, exactly") {
@@ -41,7 +45,38 @@ class RangeJoinRewriteSpec extends SparkSpec {
         df.queryExecution.executedPlan.toString)
     }
     assert(rewritten == naive)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_range_bin"), plan)
+  }
+
+  test("inverted intervals (lo > hi) match nothing instead of crashing") {
+    val dirty = Seq((100L, 0L, 10L), (101L, 5L, 3L), (102L, 50L, 40L))
+      .toDF("iv_id", "lo", "hi")
+    val naive = pts.join(dirty, $"p" >= $"lo" && $"p" <= $"hi")
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    val rewritten = withRule {
+      pts.join(dirty, $"p" >= $"lo" && $"p" <= $"hi")
+        .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    }
+    assert(rewritten == naive)
+    assert(naive.map(_._2) == Set(100L)) // only the sane interval matches
+  }
+
+  test("intervals wider than the bin cap route through the union's nested-loop side") {
+    val mixed = Seq((100L, 0L, 5L), (101L, -100000L, 100000L)) // narrow + huge
+      .toDF("iv_id", "lo", "hi")
+    val naive = pts.join(mixed, $"p".between($"lo", $"hi"))
+      .select("p", "iv_id").as[(Long, Long)].collect().toSet
+    val (rewritten, plan) = withRule {
+      spark.conf.set("spark.graft.rangeJoin.maxBinsPerInterval", "4")
+      try {
+        val df = pts.join(mixed, $"p".between($"lo", $"hi"))
+        (df.select("p", "iv_id").as[(Long, Long)].collect().toSet,
+          df.queryExecution.optimizedPlan.toString)
+      } finally spark.conf.unset("spark.graft.rangeJoin.maxBinsPerInterval")
+    }
+    assert(rewritten == naive && naive.nonEmpty)
+    assert(plan.contains("Union"), plan)
+    assert(plan.contains("graft_range_wide"), plan)
   }
 
   test("joins with an equi key are left alone") {
@@ -86,6 +121,6 @@ class RangeJoinRewriteSpec extends SparkSpec {
       (df.count(), df.queryExecution.executedPlan.toString)
     }
     assert(n == 400L) // 40 intervals x 10 covered points
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("graft_range_bin"), plan)
   }
 }

@@ -42,6 +42,21 @@ class SchedulerSpec extends AnyFunSuite {
     assert(QuartzCron.parse("0 0 0 1 1 ? 2020").next(at(0, 0, 0)).isEmpty)
   }
 
+  test("ranges wrap when a > b (Quartz '22-2' semantics); next() stays bounded") {
+    val h = QuartzCron.parse("0 0 22-2 * * ?")
+    assert(h.matches(at(22, 0, 0)) && h.matches(at(23, 0, 0)))
+    assert(h.matches(at(0, 0, 0)) && h.matches(at(2, 0, 0)))
+    assert(!h.matches(at(3, 0, 0)) && !h.matches(at(21, 0, 0)))
+    // wrapped + stepped: every 2nd hour of the walk 22,23,0,1,2 -> 22,0,2
+    val s = QuartzCron.parse("0 0 22-2/2 * * ?")
+    assert(s.matches(at(22, 0, 0)) && s.matches(at(0, 0, 0)) && s.matches(at(2, 0, 0)))
+    assert(!s.matches(at(23, 0, 0)) && !s.matches(at(1, 0, 0)))
+    // a wrapped minute range always matches something, so next() returns fast
+    assert(QuartzCron.parse("0 50-10 * * * ?").next(at(12, 20, 0)).isDefined)
+    // zero step is rejected loudly
+    intercept[IllegalArgumentException](QuartzCron.parse("0 */0 * * * ?"))
+  }
+
   test("ranges, lists, and stepped ranges") {
     val s = QuartzCron.parse("0 10-20/5 9,17 * * ?")
     assert(s.matches(at(9, 10, 0)))
