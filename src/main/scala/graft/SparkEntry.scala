@@ -342,6 +342,10 @@ object SparkEntry {
 
     // exact percentiles (linear interpolation — same definition as DuckDB's
     // quantile_cont, so values hash-match bit-for-bit).
+    // exact percentile so the oracle compares bit-for-bit; exact per-group
+    // percentile buffers each group's values, so at 100 TB with huge groups
+    // the production swap is approx_percentile (t-digest, bounded state) —
+    // same call shape, no plan change.
     "q34_percentiles" -> ((s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
