@@ -21,7 +21,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // per query: two discarded warmup runs (codegen/JIT/broadcast build — one
     // is not enough for regex- and loop-heavy compositions, whose C2 tiers
-    // keep warming into the third execution), then median of 3 timed runs,
+    // keep warming into the third execution), then MIN of 3 timed runs,
     // with an explicit GC between queries — a single long-lived JVM
     // accumulating 44 queries' codegen caches showed 30x-inflated readings on
     // arbitrary queries under best-of-2 (BENCH_r01/r02 outliers).

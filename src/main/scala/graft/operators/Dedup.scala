@@ -232,5 +232,6 @@ object Dedup {
       count(lit(1)).as("n_rows"),
       approx_count_distinct(T.fingerprint(col(keyCol)), rsd).as("n_distinct_est"))
       .withColumn("dup_ratio_est",
-        lit(1.0) - col("n_distinct_est").cast("double") / col("n_rows"))
+        when(col("n_rows") === 0L, 0.0).otherwise(
+          lit(1.0) - col("n_distinct_est").cast("double") / col("n_rows")))
 }

@@ -76,6 +76,10 @@ object Sampling {
                       fraction: Double,
                       fractions: Map[String, Double] = Map.empty): DataFrame = {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
+    fractions.foreach { case (s, f) =>
+      require(f >= 0 && f <= 1,
+        s"fraction out of range for stratum '$s': $f (use weightedMix to oversample)")
+    }
     val byStratum = Window.partitionBy(col(stratumCol))
     val rk = row_number().over(
       byStratum.orderBy(md5(col(keyCol).cast("string")), col(keyCol)))

@@ -133,6 +133,8 @@ object QuartzCron {
             case Array("*") => walk(min, max)
             case Array(s) => walk(bounded(s.toInt), max)
             case Array(s, e) => walk(bounded(s.toInt), bounded(e.toInt))
+            case _ => throw new IllegalArgumentException(
+              s"Unparseable Quartz $fieldName range '$base' in '$spec0'")
           }).zipWithIndex.collect { case (v, i) if i % stepN == 0 => v }.toSet
           (v: Int) => vals(v)
         case Array(range) if range.contains("-") =>

@@ -103,6 +103,23 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def hasMarker(plan: LogicalPlan): Boolean =
     plan.output.exists(_.name == markerCol)
 
+  /** ColumnPruning strips the marker column (it contributes nothing to the
+    * final output), so in the production `injectOptimizerRule` path — where
+    * this rule shares a fixed-point batch with ColumnPruning — the marker
+    * alone cannot prevent re-firing on the wide arm. Structural second line:
+    * the wide arm is recognizable by its own width guard, a Filter conjunct of
+    * shape `NOT((hi - lo) <= cap)` (or `(hi - lo) > cap` after
+    * BooleanSimplification) anywhere below the join. A user's own such filter
+    * also matches — skipping those joins is conservative and safe. */
+  private def hasWidthGuard(plan: LogicalPlan): Boolean = plan.exists {
+    case Filter(cond, _) => splitConjunctivePredicates(cond).exists {
+      case Not(LessThanOrEqual(_: Subtract, _: Literal)) => true
+      case GreaterThan(_: Subtract, _: Literal) => true
+      case _ => false
+    }
+    case _ => false
+  }
+
   /** Exact monotone bin: floor(x / w) over doubles is monotone and identical
     * on both sides of the join, which is all binning needs. */
   private def binOf(e: Expression, w: Long): Expression =
@@ -113,6 +130,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !hasMarker(left) && !hasMarker(right) &&
+            !hasWidthGuard(left) && !hasWidthGuard(right) &&
             !hasEquiKey(splitConjunctivePredicates(cond), left, right) =>
         val conjuncts = splitConjunctivePredicates(cond)
         rangePattern(conjuncts, left, right) match {

@@ -100,6 +100,31 @@ class RangeJoinRewriteSpec extends SparkSpec {
     assert(rewritten == naive)
   }
 
+  test("converges alongside ColumnPruning (the production injectOptimizerRule batch)") {
+    // in the production path the rule shares a fixed-point batch with
+    // ColumnPruning, which strips the wide-arm marker column — the structural
+    // width-guard check must stop re-firing without it
+    import org.apache.spark.sql.catalyst.optimizer.ColumnPruning
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin, LogicalPlan}
+    val analyzed = pts.join(ivs, $"p".between($"lo", $"hi")).select("p", "iv_id")
+      .queryExecution.analyzed
+    def joins(p: LogicalPlan): Int = p.collect { case j: LJoin => j }.size
+    var plan: LogicalPlan = RangeJoinRewrite(analyzed)
+    val afterFirst = joins(plan)
+    for (_ <- 1 to 5) plan = RangeJoinRewrite(ColumnPruning(plan))
+    assert(joins(plan) == afterFirst,
+      s"rule kept re-firing: ${joins(plan)} joins vs $afterFirst after first pass")
+  }
+
+  test("user filters matching the width-guard shape are conservatively skipped") {
+    val filtered = ivs.where(($"hi" - $"lo") > 1000L)
+    withRule {
+      val plan = pts.join(filtered, $"p".between($"lo", $"hi"))
+        .queryExecution.optimizedPlan.toString
+      assert(!plan.contains("graft_range_bin"), plan)
+    }
+  }
+
   test("disabled via conf") {
     withRule {
       spark.conf.set("spark.graft.rangeJoin.enabled", "false")
