@@ -83,4 +83,29 @@ object Incremental {
   /** Everything landed so far (union of all increments). */
   def readAll(spark: SparkSession, destDir: String): DataFrame =
     spark.read.parquet(s"$destDir/inc_from=*")
+
+  /** Retention sweep: delete increments whose data is entirely at or below
+    * `cutoffMicros`. Increment `inc_from=x_i` holds rows with cursor in
+    * `(x_i, x_{i+1}]` where `x_{i+1}` is the NEXT increment's start (its max
+    * advanced the watermark that named the next directory), so it is
+    * droppable iff `x_{i+1} <= cutoff` — a pure directory-listing decision,
+    * no data scan, and the newest increment is never dropped (its upper bound
+    * is open). The chronic alternative — filtering old rows by rewriting the
+    * table — scans and rewrites 100 TB to delete a day; this deletes
+    * whole immutable increment directories. Returns the deleted paths. */
+  def retentionSweep(spark: SparkSession, destDir: String,
+                     cutoffMicros: Long): Seq[String] = {
+    val dest = new Path(destDir)
+    val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dest)) return Seq.empty
+    val starts = fs.listStatus(dest).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("inc_from="))
+      .map(s => s.getPath.getName.stripPrefix("inc_from=").toLong -> s.getPath)
+      .sortBy(_._1)
+    starts.zip(starts.drop(1)).collect {
+      case ((_, path), (nextStart, _)) if nextStart <= cutoffMicros =>
+        fs.delete(path, true)
+        path.toString
+    }
+  }
 }

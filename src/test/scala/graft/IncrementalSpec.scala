@@ -69,4 +69,38 @@ class IncrementalSpec extends SparkSpec {
     Incremental.runIncrement(events, "ts", state, dest)
     assert(Incremental.readAll(spark, dest).count() == total)
   }
+
+  test("retention sweep drops only increments whose data is entirely <= cutoff") {
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-ret")
+    val state = s"$base/wm"; val dest = s"$base/data"
+    val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val cut1 = lo + (hi - lo) / 3
+    val cut2 = lo + 2 * (hi - lo) / 3
+    // three increments: (-inf, cut1], (cut1, cut2], (cut2, hi]
+    Incremental.runIncrement(
+      events.filter(unix_micros(col("ts")) <= cut1), "ts", state, dest)
+    Incremental.runIncrement(
+      events.filter(unix_micros(col("ts")) <= cut2), "ts", state, dest)
+    Incremental.runIncrement(events, "ts", state, dest)
+    val total = events.count()
+
+    // cutoff below every increment's upper bound: nothing droppable
+    assert(Incremental.retentionSweep(spark, dest, lo - 1).isEmpty)
+    assert(Incremental.readAll(spark, dest).count() == total)
+
+    // cutoff at cut1: exactly the first increment (upper bound cut1) drops
+    val dropped = Incremental.retentionSweep(spark, dest, cut1)
+    assert(dropped.size == 1 && dropped.head.contains(s"inc_from=${Long.MinValue}"))
+    val remaining = Incremental.readAll(spark, dest)
+    assert(remaining.count() == total - events
+      .filter(unix_micros(col("ts")) <= cut1).count())
+    // survivors are untouched: everything left is > cut1
+    assert(remaining.filter(unix_micros(col("ts")) <= cut1).count() == 0)
+
+    // the newest increment never drops, even with a max cutoff
+    val dropped2 = Incremental.retentionSweep(spark, dest, Long.MaxValue)
+    assert(dropped2.size == 1) // only the middle one
+    assert(Incremental.readAll(spark, dest).count() > 0)
+  }
 }

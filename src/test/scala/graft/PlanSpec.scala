@@ -58,6 +58,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t07: both stratum windows share ONE exchange (rank + count, same partitioning)") {
+    val p = plan("t07_stratified_sample")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("t09: sequence packing is one window pass over one exchange") {
+    val p = plan("t09_sequence_pack")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+  }
+
   test("bucketed co-located join: same-key bucketed tables join with no Exchange") {
     val orders = spark.read.parquet(s"$sf0001/orders.parquet")
       .select("o_orderkey", "o_custkey", "o_totalprice")
