@@ -878,7 +878,27 @@ object SparkEntry {
         Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source"),
         frameBytes = 64, stride = 2)
         .select(col("media_id"), bi(col("n_frames")).as("n_frames"),
-          bi(col("frame_idx")).as("frame_idx")))
+          bi(col("frame_idx")).as("frame_idx"))),
+
+    // CDC snapshot merge (MERGE INTO semantics): base orders + a deterministic
+    // synthetic changelog — price-bump updates (key%7), deletes (key%13, seq 2
+    // beats the update on key%91), and fresh-key inserts (key%11). One key
+    // shuffle; see operators.Merge for the partition-overwrite scale story.
+    "u01_cdc_merge" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      val upd = base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val del = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      graft.operators.Merge.snapshot(
+        base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq", "op")
+    })
   )
 
   /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
@@ -1650,6 +1670,33 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS payload_sha
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    // latest-wins merge reproduced with the same union + one-window plan; the
+    // +1.0 price bump is a single IEEE double add, identical on both engines.
+    "u01_cdc_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    o_totalprice + 1.0 AS o_totalprice, o_orderpriority,
+        |    'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority, 'D', 2 FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority, 'I', 1 FROM base WHERE o_orderkey % 11 = 0),
+        |u AS (
+        |  SELECT *, 0 AS pri, 0 AS seq, '' AS op FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |    o_orderpriority, 1 AS pri, seq, op FROM chg),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+        |    ORDER BY pri DESC, seq DESC, (op = 'D') DESC) AS rn FROM u)
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderpriority
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
   )
 }
