@@ -898,7 +898,15 @@ object SparkEntry {
         .withColumn("op", lit("I")).withColumn("seq", lit(1L))
       graft.operators.Merge.snapshot(
         base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq", "op")
-    })
+    }),
+
+    // ordered event funnel view → click → purchase: per-user first-completion
+    // chain (stage k strictly after first stage k-1) + depth. All stages stack
+    // behind one Exchange; see operators.Funnel.
+    "e01_funnel" -> ((s, dir) =>
+      graft.operators.Funnel.firstCompletion(
+        t(s, dir, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), "event_id"))
   )
 
   /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
@@ -1697,6 +1705,30 @@ object SparkEntry {
         |    ORDER BY pri DESC, seq DESC, (op = 'D') DESC) AS rn FROM u)
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
-        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin
+        |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    // identical running-conditional-min sequencing; strict > keeps same-instant
+    // stage pairs from counting on both engines.
+    "e01_funnel" ->
+      """WITH w1 AS (
+        |  SELECT user_id, ts, event_type, event_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS s0
+        |  FROM events),
+        |w2 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > s0 THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS s1
+        |  FROM w1),
+        |w3 AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > s1 THEN ts END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS s2
+        |  FROM w2)
+        |SELECT user_id, min(s0) AS first_view, min(s1) AS first_click,
+        |  min(s2) AS first_purchase,
+        |  CAST(min(s0) IS NOT NULL AS BIGINT) + CAST(min(s1) IS NOT NULL AS BIGINT)
+        |    + CAST(min(s2) IS NOT NULL AS BIGINT) AS funnel_depth
+        |FROM w3 GROUP BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ordered multi-stage funnel ("view → click → purchase") — the event-analytics
+  * workload the reference's event extracts feed downstream. For each entity,
+  * stage k counts only if it happens STRICTLY AFTER the first qualifying
+  * completion of stage k-1, so scrambled orderings don't inflate conversion.
+  *
+  * Scale design: every stage is a running conditional `min` over the SAME
+  * window spec (partition by entity, order by time), so Catalyst stacks all
+  * stages into one Window operator chain behind a SINGLE Exchange + sort, and
+  * the final per-entity rollup reuses that partitioning — one shuffle total,
+  * whatever the stage count. The alternative (per-stage self-joins) is k-1
+  * shuffles of the full event stream. Per-row state is O(stages); nothing is
+  * collected.
+  */
+object Funnel {
+
+  /** Per-entity first-completion times for an ordered `stages` chain, plus
+    * `funnel_depth` (how many consecutive stages completed). `tieCol` breaks
+    * timestamp ties deterministically inside the window sort; sequencing
+    * itself compares timestamps strictly. */
+  def firstCompletion(df: DataFrame, entityCol: String, tsCol: String,
+                      typeCol: String, stages: Seq[String],
+                      tieCol: String): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // stage 0 needs no predecessor; stage k gates on the running first
+    // completion of stage k-1 being strictly earlier.
+    val staged = stages.zipWithIndex.foldLeft(df) { case (acc, (stage, i)) =>
+      val qualifies =
+        if (i == 0) col(typeCol) === stage
+        else col(typeCol) === stage && col(tsCol) > col(s"graft_s${i - 1}")
+      acc.withColumn(s"graft_s$i", min(when(qualifies, col(tsCol))).over(w))
+    }
+    // min of a running min == the partition-wide first qualifying time; the
+    // aggregate's required distribution is satisfied by the window's hash
+    // partitioning, so no second Exchange.
+    val firsts = stages.indices.map(i =>
+      min(col(s"graft_s$i")).as(s"first_${stages(i)}"))
+    val depth = stages.indices.map(i =>
+      min(col(s"graft_s$i")).isNotNull.cast("long"))
+      .reduce(_ + _).as("funnel_depth")
+    staged.groupBy(col(entityCol)).agg(firsts.head, firsts.tail :+ depth: _*)
+  }
+}
