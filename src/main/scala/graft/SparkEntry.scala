@@ -906,7 +906,29 @@ object SparkEntry {
     "e01_funnel" -> ((s, dir) =>
       graft.operators.Funnel.firstCompletion(
         t(s, dir, "events"), "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"), "event_id"))
+        Seq("view", "click", "purchase"), "event_id")),
+
+    // per-group min-max feature scaling: tiny stats aggregate broadcast back
+    // to the fact side — the fact table never shuffles (operators.Features).
+    "f01_normalize" -> ((s, dir) =>
+      graft.operators.Features.minMaxNormalize(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        "o_orderpriority", "o_totalprice")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          col("o_totalprice_norm"))),
+
+    // top-5 terms per source by tf-idf-style rarity score (tf*N/df — integer
+    // ratio, no libm log, so it reproduces exactly in the oracle).
+    "x01_tfidf" -> ((s, dir) =>
+      graft.operators.Features.tfidfTopTerms(
+        t(s, dir, "documents"), "source", "doc_id", "text", k = 5)),
+
+    // fixed-width histogram: one partial-aggregated scan; edges are exact
+    // IEEE multiply-adds from the bucket id.
+    "p03_histogram" -> ((s, dir) =>
+      graft.operators.Profile.histogram(
+        t(s, dir, "orders"), "o_totalprice", width = 50000.0))
   )
 
   /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
@@ -1729,6 +1751,44 @@ object SparkEntry {
         |  min(s2) AS first_purchase,
         |  CAST(min(s0) IS NOT NULL AS BIGINT) + CAST(min(s1) IS NOT NULL AS BIGINT)
         |    + CAST(min(s2) IS NOT NULL AS BIGINT) AS funnel_depth
-        |FROM w3 GROUP BY user_id""".stripMargin
+        |FROM w3 GROUP BY user_id""".stripMargin,
+    "f01_normalize" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  CASE WHEN mx = mn THEN 0.0
+        |       ELSE (o_totalprice - mn) / (mx - mn) END AS o_totalprice_norm
+        |FROM (SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |        min(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mn,
+        |        max(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mx
+        |      FROM orders)""".stripMargin,
+    // same whitespace tokenization as d05/c01; score is (tf*N)/df in double —
+    // two exactly-rounded IEEE ops on integers, no log.
+    "x01_tfidf" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      t -> t <> '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(*) AS df
+        |  FROM (SELECT DISTINCT doc_id, term FROM toks) GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT source, term, tf, df,
+        |    (CAST(tf AS DOUBLE) * CAST(n AS DOUBLE)) / CAST(df AS DOUBLE)
+        |      AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY score DESC, term) AS rn FROM scored)
+        |SELECT source, term, tf, df, score, CAST(rn AS BIGINT) AS rank
+        |FROM r WHERE rn <= 5""".stripMargin,
+    "p03_histogram" ->
+      """SELECT CAST(floor((o_totalprice - 0.0) / 50000.0) AS BIGINT) AS bucket,
+        |  0.0 + CAST(floor((o_totalprice - 0.0) / 50000.0) AS DOUBLE) * 50000.0
+        |    AS bucket_lo,
+        |  count(*) AS n
+        |FROM orders WHERE o_totalprice IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Numeric feature engineering over grouped data — the scaling pass between a
+  * curated corpus and model-ready features.
+  *
+  * Scale design: per-group statistics are a tiny aggregate (one row per group)
+  * joined BACK to the fact table with a broadcast hash join, so the fact side
+  * never shuffles — two scans, zero fact-side Exchange. The window-function
+  * formulation computes the same thing in one scan but hash-shuffles every
+  * fact row by group and holds whole groups per task; at 100 TB with skewed
+  * groups that is strictly worse. All arithmetic is single IEEE double ops on
+  * exactly-aggregated inputs, so results reproduce bit-for-bit on any engine.
+  */
+object Features {
+
+  /** Append `<valueCol>_norm` = (x - min) / (max - min) within each group
+    * (0 when the group is constant). min/max are order-independent exact
+    * aggregates, and the normalization is two IEEE ops — deterministic under
+    * any partitioning. */
+  def minMaxNormalize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(min(col(valueCol)).as("graft_mn"), max(col(valueCol)).as("graft_mx"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn(s"${valueCol}_norm",
+        when(col("graft_mx") === col("graft_mn"), lit(0.0))
+          .otherwise((col(valueCol) - col("graft_mn")) /
+            (col("graft_mx") - col("graft_mn"))))
+      .drop("graft_mn", "graft_mx")
+  }
+
+  /** Top-`k` terms per group by a tf-idf-style score. `tf` is the term's
+    * occurrence count in the group, `df` the number of distinct documents
+    * containing it, and the score is `tf * N / df` — tf-weighted rarity, the
+    * idf without log damping. The log is dropped deliberately: the score stays
+    * a pure integer ratio (two IEEE ops) that reproduces bit-for-bit in ANSI
+    * SQL, where `log`'s last ulp varies across libm implementations.
+    *
+    * Plan: one explode of the corpus feeds two partial-aggregated rollups
+    * (tf by (group, term); df by term) that meet in a term-keyed shuffle
+    * join; the per-group top-k is a window over group partitions (bounded:
+    * one row per distinct (group, term)). The corpus text itself is never
+    * shuffled — only (term, counts) pairs. */
+  def tfidfTopTerms(df: DataFrame, groupCol: String, idCol: String,
+                    textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val toks = df.select(col(groupCol), col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .where(col("term") =!= "")
+    val tf = toks.groupBy(col(groupCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col(idCol), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.select(count(lit(1)).as("graft_n"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") * col("graft_n").cast("double")) /
+          col("df").cast("double"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(groupCol), col("term"), col("tf"), col("df"),
+        col("score"), col("rank").cast("long").as("rank"))
+  }
+}

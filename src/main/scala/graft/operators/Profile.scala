@@ -45,4 +45,21 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nonnull"),
         col("n_distinct"), col("min_s"), col("max_s"))
   }
+
+  /** Fixed-width histogram of a numeric column: one partial-aggregated
+    * `groupBy` over `floor((x - lo) / width)` — a single scan with map-side
+    * combine, shuffling only (bucket, count) pairs regardless of data size.
+    * Bucket edges are one IEEE multiply-add from the bucket id, so the report
+    * reproduces exactly on any engine. Null values are dropped (they have no
+    * bucket); count them separately via [[profile]]. */
+  def histogram(df: DataFrame, valueCol: String,
+                width: Double, lo: Double = 0.0): DataFrame = {
+    require(width > 0, s"bucket width must be positive: $width")
+    df.where(col(valueCol).isNotNull)
+      .select(floor((col(valueCol) - lo) / width).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", lit(lo) + col("bucket").cast("double") * width)
+      .select(col("bucket"), col("bucket_lo"), col("n"))
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.{Features, Profile}
+import org.apache.spark.sql.functions._
+
+/** Feature scaling, tf-idf top terms, and histogram profiling. */
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("min-max normalization maps group extremes to 0/1, constant groups to 0") {
+    val df = Seq(
+      (1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 15.0),
+      (4L, "b", 7.0), (5L, "b", 7.0)
+    ).toDF("id", "g", "x")
+    val got = Features.minMaxNormalize(df, "g", "x")
+      .select("id", "x_norm").as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0 && got(2L) == 1.0 && got(3L) == 0.5)
+    assert(got(4L) == 0.0 && got(5L) == 0.0, "constant group must normalize to 0")
+  }
+
+  test("min-max normalization broadcasts stats; fact side does not shuffle") {
+    val df = (1L to 100L).map(i => (i, s"g${i % 3}", i.toDouble)).toDF("id", "g", "x")
+    val plan = Features.minMaxNormalize(df, "g", "x")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("tf-idf ranks a group-heavy rare term above common terms") {
+    val docs = Seq(
+      (1L, "a", "zebra zebra zebra common common"),
+      (2L, "a", "common words only here"),
+      (3L, "b", "common words only here too"),
+      (4L, "b", "common stuff common stuff")
+    ).toDF("doc_id", "src", "text")
+    val top = Features.tfidfTopTerms(docs, "src", "doc_id", "text", k = 2)
+    val a1 = top.where($"src" === "a" && $"rank" === 1)
+      .select("term", "tf", "df").as[(String, Long, Long)].collect().head
+    // zebra: tf=3 in src a, df=1 -> score 3*4/1=12; 'common' df=4 scores lower
+    assert(a1 == (("zebra", 3L, 1L)), a1.toString)
+    // deterministic: rank ties break by term
+    val again = Features.tfidfTopTerms(docs, "src", "doc_id", "text", k = 2)
+    assert(top.collect().toSeq == again.collect().toSeq)
+  }
+
+  test("histogram buckets count every non-null row exactly once") {
+    val df = Seq(0.0, 1.0, 9.99, 10.0, 25.0, 99.9).toDF("x")
+      .union(Seq.empty[Double].toDF("x"))
+    val got = Profile.histogram(df, "x", width = 10.0)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L, 2L -> 1L, 9L -> 1L), got.toString)
+    val edges = Profile.histogram(df, "x", width = 10.0)
+      .select("bucket", "bucket_lo").as[(Long, Double)].collect().toMap
+    assert(edges(2L) == 20.0)
+  }
+}
