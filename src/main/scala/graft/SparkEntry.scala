@@ -928,7 +928,33 @@ object SparkEntry {
     // IEEE multiply-adds from the bucket id.
     "p03_histogram" -> ((s, dir) =>
       graft.operators.Profile.histogram(
-        t(s, dir, "orders"), "o_totalprice", width = 50000.0))
+        t(s, dir, "orders"), "o_totalprice", width = 50000.0)),
+
+    // weekly retention cohorts: distinct active users per (first-signup date,
+    // week offset). Signup aggregate and activity join share the user-key
+    // shuffle; the cohort rollup moves only deduplicated triples.
+    "e02_retention" -> ((s, dir) =>
+      graft.operators.Funnel.retentionCohorts(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "signup")),
+
+    // table reconciliation: row-level diff of orders (unique key) vs a
+    // deterministically damaged copy (price-bumped keys%1000, deleted
+    // keys%997, extra keys%999 re-keyed high). Doubles canonicalize through
+    // DECIMAL so the row hash is engine-portable; see operators.Reconcile for
+    // the bucket-checksum fast path at 100 TB.
+    "v01_reconcile" -> ((s, dir) => {
+      def canon(df: DataFrame) = df.select(
+        col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"),
+        col("o_orderstatus").as("status_c"), col("o_orderpriority").as("pri"))
+      val a = canon(t(s, dir, "orders"))
+      val b = canon(t(s, dir, "orders")).where(col("o_orderkey") % 997 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 1000 === 0, col("price") + 1).otherwise(col("price")))
+        .unionByName(canon(t(s, dir, "orders")).where(col("o_orderkey") % 999 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+      graft.operators.Reconcile.diff(a, b,
+        Seq("o_orderkey"), Seq("o_custkey", "price", "status_c", "pri"))
+    })
   )
 
   /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
@@ -1789,6 +1815,45 @@ object SparkEntry {
         |    AS bucket_lo,
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "e02_retention" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS cohort_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT e.user_id, CAST(s.cohort_ts AS DATE) AS cohort_date,
+        |    CAST(floor(datediff('day', CAST(s.cohort_ts AS DATE),
+        |      CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.ts >= s.cohort_ts)
+        |SELECT cohort_date, week_offset, count(DISTINCT user_id) AS n_active
+        |FROM a GROUP BY 1, 2""".stripMargin,
+    // the oracle compares canonicalized tuples directly where Spark compares
+    // their md5 row hashes — identical verdicts absent md5 collisions (the
+    // same caveat d02 documents for xxhash64).
+    "v01_reconcile" ->
+      """WITH canon AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    o_orderstatus AS status_c, o_orderpriority AS pri
+        |  FROM orders),
+        |b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 1000 = 0 THEN price + 1 ELSE price END
+        |      AS price,
+        |    status_c, pri
+        |  FROM canon WHERE o_orderkey % 997 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, price, status_c, pri
+        |  FROM canon WHERE o_orderkey % 999 = 0),
+        |j AS (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN b.o_orderkey IS NULL THEN 'missing_in_b'
+        |         WHEN a.o_orderkey IS NULL THEN 'missing_in_a'
+        |         WHEN a.o_custkey <> b.o_custkey OR a.price <> b.price
+        |           OR a.status_c <> b.status_c OR a.pri <> b.pri
+        |           THEN 'mismatch' END AS status
+        |  FROM canon a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
+        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL""".stripMargin
   )
 }

@@ -48,4 +48,27 @@ object Funnel {
       .reduce(_ + _).as("funnel_depth")
     staged.groupBy(col(entityCol)).agg(firsts.head, firsts.tail :+ depth: _*)
   }
+
+  /** Weekly retention cohorts: entities grouped by the date of their first
+    * `signupType` event, activity counted as distinct entities per
+    * (cohort_date, week_offset). Pre-signup events are excluded.
+    *
+    * Plan: the per-entity signup aggregate and the activity join share the
+    * entity-key partitioning (one entity shuffle), then the cohort rollup is a
+    * second, unavoidable regrouping — but it carries only
+    * (cohort_date, offset, entity) triples, deduplicated map-side by the
+    * distinct-aggregate's partial step, never raw events. */
+  def retentionCohorts(df: DataFrame, entityCol: String, tsCol: String,
+                       typeCol: String, signupType: String): DataFrame = {
+    val signup = df.where(col(typeCol) === signupType)
+      .groupBy(col(entityCol)).agg(min(col(tsCol)).as("graft_cohort_ts"))
+    df.join(signup, entityCol)
+      .where(col(tsCol) >= col("graft_cohort_ts"))
+      .select(col(entityCol),
+        to_date(col("graft_cohort_ts")).as("cohort_date"),
+        floor(datediff(to_date(col(tsCol)), to_date(col("graft_cohort_ts"))) / 7.0)
+          .cast("long").as("week_offset"))
+      .groupBy(col("cohort_date"), col("week_offset"))
+      .agg(count_distinct(col(entityCol)).as("n_active"))
+  }
 }
