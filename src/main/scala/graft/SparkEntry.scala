@@ -527,6 +527,17 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // streaming CDC upsert view: the events changelog folded into a
+    // latest-state-per-key snapshot via foreachBatch (tombstones retained in
+    // storage, filtered at serve time); versioned snapshot dirs make batch
+    // replays idempotent. Batch-fold == one global pass (MergeBatchSpec), so
+    // the window oracle applies.
+    "st07_stream_upsert" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st07-$run")
+      graft.streaming.UpsertView.runUpsertStream(s, dir, s"$out/snap", s"$out/ckpt")
+    }),
+
     // stream-stream interval join (watermarks on both sides + time-range
     // condition = bounded join state): purchases x same-user clicks within
     // the preceding hour, through the production Append file sink. Inner
@@ -1227,6 +1238,15 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,
+    // global latest-per-user with delete-wins-on-tie, errors as deletes —
+    // equal to the batch-folded snapshot because per-key max is associative.
+    "st07_stream_upsert" ->
+      """SELECT user_id, event_id, value FROM (
+        |  SELECT user_id, event_id, value, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC,
+        |      (event_type = 'error') DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "p01_profile" ->
       """SELECT 'c_custkey' AS col_name, count(*) AS n_rows,
         |  count(c_custkey) AS n_nonnull, count(DISTINCT c_custkey) AS n_distinct,
