@@ -514,6 +514,22 @@ object SparkEntry {
           unix_timestamp(col("ts")).as("ts_s"))
     }),
 
+    // schema evolution across increments: an early increment without `lang`
+    // and a later one with it read back as one table (mergeSchema unions the
+    // file schemas; pre-drift rows surface the new column as null).
+    "i02_schema_evolution" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val base = java.nio.file.Files.createTempDirectory(s"graft-i02-$run")
+      val docs = t(s, dir, "documents")
+      docs.where(col("doc_id") < 250).select(col("doc_id"), col("source"))
+        .write.parquet(s"$base/data/inc_from=0")
+      docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("lang"))
+        .write.parquet(s"$base/data/inc_from=250")
+      graft.pipeline.Incremental.readAllEvolved(s, s"$base/data")
+        .select(col("doc_id"), col("source"), col("lang"))
+    }),
+
     // continuous ingestion with the reference's output contract: every
     // micro-batch commits one parquet file + CTL manifest (foreachBatch
     // bridging the stream onto the batch sink stack); batch-id file names make
@@ -1238,6 +1254,10 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,
+    "i02_schema_evolution" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang
+        |FROM documents""".stripMargin,
     // global latest-per-user with delete-wins-on-tie, errors as deletes —
     // equal to the batch-folded snapshot because per-key max is associative.
     "st07_stream_upsert" ->

@@ -84,6 +84,15 @@ object Incremental {
   def readAll(spark: SparkSession, destDir: String): DataFrame =
     spark.read.parquet(s"$destDir/inc_from=*")
 
+  /** Everything landed so far when increments DRIFTED in schema over time
+    * (columns added by upstream releases): `mergeSchema` unions the per-file
+    * schemas, older increments surface the new columns as null. Schema merge
+    * reads every file footer up front — fine per ingest run; a 100 TB lake
+    * serving interactive reads should pin the merged schema in a catalog and
+    * pass it explicitly instead of rediscovering it per query. */
+  def readAllEvolved(spark: SparkSession, destDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(s"$destDir/inc_from=*")
+
   /** Retention sweep: delete increments whose data is entirely at or below
     * `cutoffMicros`. Increment `inc_from=x_i` holds rows with cursor in
     * `(x_i, x_{i+1}]` where `x_{i+1}` is the NEXT increment's start (its max

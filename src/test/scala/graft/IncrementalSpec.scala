@@ -103,4 +103,18 @@ class IncrementalSpec extends SparkSpec {
     assert(dropped2.size == 1) // only the middle one
     assert(Incremental.readAll(spark, dest).count() > 0)
   }
+
+  test("evolved read surfaces columns added by later increments, null for older rows") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-inc-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.parquet(s"$base/inc_from=0")
+    Seq((3L, "c", 7.5), (4L, "d", 8.5)).toDF("id", "s", "score")
+      .write.parquet(s"$base/inc_from=100")
+    val got = Incremental.readAllEvolved(spark, base)
+      .select("id", "s", "score").as[(Long, String, Option[Double])]
+      .collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None),
+      (3L, "c", Some(7.5)), (4L, "d", Some(8.5))))
+  }
 }

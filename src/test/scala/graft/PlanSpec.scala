@@ -100,4 +100,16 @@ class PlanSpec extends SparkSpec {
       assert(j.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("partitioned layout: a partition-column filter prunes directories at plan time") {
+    val base = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.sources.Lake.table(spark, sf0001, "documents")
+      .write.partitionBy("source").parquet(s"$base/docs")
+    val pruned = spark.read.parquet(s"$base/docs").where(col("source") === "src3")
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("src3"), p)
+    // the scan's selected partition count is 1 (visible in the FileSourceScan)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.toString.contains("PartitionFilters: [isnotnull(source"), scan.toString)
+  }
 }
