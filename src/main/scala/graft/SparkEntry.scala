@@ -683,6 +683,19 @@ object SparkEntry {
           col("quality"), bi(col("cluster_size")).as("cluster_size"))
     }),
 
+    // cross-corpus decontamination: corpus docs overlapping any eval-set doc
+    // (same eval split as c01) by exact 3-gram Jaccard. Threshold 0.02 because
+    // the synthetic corpus shares only scattered trigrams across docs (max
+    // cross-eval jaccard ~0.029) — real corpora run ~0.8 on 8-13-grams. Eval
+    // side broadcasts; recall is total by construction (any jaccard > 0 shares
+    // a shingle), so the all-pairs oracle is exact.
+    "d09_cross_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.crossJaccardFlags(docs, docs.where(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleN = 3, threshold = 0.02)
+        .select(col("id").as("doc_id"), col("n_eval_matches"), col("max_jaccard"))
+    }),
+
     // GPT-style sequence packing: concatenate docs per source in doc_id order,
     // cut at a 512-token budget — each doc's pack id is floor(tokens-before /
     // 512). One window sum per source partition; exact integer arithmetic.
@@ -1605,6 +1618,27 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents) s
         |WHERE rk <= ceil(n * 0.25)""".stripMargin,
+    // same shingle construction as d03/d05; the oracle computes all corpus x
+    // eval pairs directly (exact because cross-decontam recall is total).
+    "d09_cross_decontam" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(words) >= 3
+        |         THEN list_transform(range(1, len(words) - 1),
+        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+        |         ELSE [] END) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+        |        FROM documents)
+        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
+        |ev AS (SELECT doc_id AS eval_id, sh FROM nonempty WHERE doc_id % 97 = 0),
+        |pairs AS (
+        |  SELECT c.doc_id, e.eval_id,
+        |    round(CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
+        |      / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))), 6) AS j
+        |  FROM nonempty c JOIN ev e ON c.doc_id <> e.eval_id)
+        |SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
+        |FROM pairs WHERE j >= 0.02 GROUP BY doc_id""".stripMargin,
     // gram construction identical to d05's (words from lower(text)); the oracle
     // joins on gram STRINGS where Spark joins on xxhash64(gram) — identical
     // output absent 64-bit collisions.

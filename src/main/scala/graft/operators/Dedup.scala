@@ -184,6 +184,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-corpus decontamination: corpus docs whose exact n-gram Jaccard
+    * against ANY eval doc reaches `threshold` — the near-dup upgrade of
+    * verbatim contamination ([[Contamination.overlap]] catches shared grams;
+    * this catches lightly-paraphrased benchmark leakage).
+    *
+    * Scale shape: the eval side is benchmark-sized, so BOTH its postings and
+    * its full shingle sets broadcast — the 100 TB corpus never shuffles, never
+    * self-joins; per-corpus-row cost is the broadcast-hash probe plus exact
+    * set intersections against its candidate eval docs. Candidate generation
+    * requires one shared shingle, which any pair with jaccard > 0 has — so
+    * unlike [[ngramJaccardPairs]]'s stop-shingle prune, recall here is total
+    * by construction and an all-pairs oracle is exact at every scale.
+    * Output: `(id, n_eval_matches, max_jaccard)` per contaminated corpus doc;
+    * anti-join it against the corpus to ship the clean remainder. */
+  def crossJaccardFlags(corpus: DataFrame, evalDf: DataFrame, idCol: String,
+                        textCol: String, shingleN: Int = 3,
+                        threshold: Double = 0.5): DataFrame = {
+    def shingled(df: DataFrame, as: String, shAs: String) = df
+      .select(col(idCol).as(as),
+        H.hashed_sorted_set(T.wordShingles(col(textCol), shingleN)).as(shAs))
+      .filter(size(col(shAs)) > 0)
+    val c = shingled(corpus, "id", "sh_c")
+    val e = shingled(evalDf, "eval_id", "sh_e")
+    val candidates = c.select(col("id"), explode(col("sh_c")).as("sh"))
+      .join(broadcast(e.select(col("eval_id"), explode(col("sh_e")).as("sh"))), "sh")
+      .where(col("id") =!= col("eval_id"))
+      .select("id", "eval_id").distinct()
+    candidates
+      .join(c, "id").join(broadcast(e), "eval_id")
+      .withColumn("inter", H.sorted_intersect_count(col("sh_c"), col("sh_e")))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") /
+          (size(col("sh_c")) + size(col("sh_e")) - col("inter")), 6))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Embedding near-dup pairs: sign-LSH bucketing (multi-table for recall) then
     * exact cosine ≥ threshold within candidates. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,

@@ -91,4 +91,19 @@ class DedupSpec extends SparkSpec {
     val est = r.getDouble(2)
     assert(math.abs(est - 0.6) < 0.05, s"estimate $est too far from 0.6")
   }
+
+  test("cross-corpus decontamination flags paraphrase-level overlap, skips self") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // near-dup of eval 97
+      (3L, "completely unrelated text about spark shuffles and joins"),
+      (97L, "the quick brown fox jumps over the lazy dog")  // the eval doc itself
+    ).toDF("doc_id", "text")
+    val eval = corpus.where($"doc_id" === 97L)
+    val got = Dedup.crossJaccardFlags(corpus, eval, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      .select("id", "n_eval_matches").as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(1L, 2L), got.toString) // 97 self-match excluded
+    assert(got(2L) == 1L)
+  }
 }
