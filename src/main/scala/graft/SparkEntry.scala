@@ -970,6 +970,13 @@ object SparkEntry {
       graft.operators.Profile.histogram(
         t(s, dir, "orders"), "o_totalprice", width = 50000.0)),
 
+    // time-series gap fill: daily counts of rare events (value > 195) per type
+    // densified to the full day span x type universe with zero-filled gaps.
+    // Raw events aggregate once; the spine join runs on aggregated rows.
+    "e03_gap_fill" -> ((s, dir) =>
+      graft.operators.TimeSeries.dailyDense(
+        t(s, dir, "events").where(col("value") > 195), "ts", "event_type")),
+
     // weekly retention cohorts: distinct active users per (first-signup date,
     // week offset). Signup aggregate and activity join share the user-key
     // shuffle; the cohort rollup moves only deduplicated triples.
@@ -1890,6 +1897,19 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "e03_gap_fill" ->
+      """WITH counts AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events WHERE value > 195 GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |    INTERVAL 1 DAY))::DATE AS day FROM counts),
+        |grid AS (
+        |  SELECT s.day, g.event_type
+        |  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM counts) g)
+        |SELECT grid.day, grid.event_type, coalesce(c.n, 0) AS n
+        |FROM grid LEFT JOIN counts c
+        |  ON grid.day = c.day AND grid.event_type = c.event_type""".stripMargin,
     "e02_retention" ->
       """WITH s AS (
         |  SELECT user_id, min(ts) AS cohort_ts FROM events

@@ -53,4 +53,21 @@ class FeaturesSpec extends SparkSpec {
       .select("bucket", "bucket_lo").as[(Long, Double)].collect().toMap
     assert(edges(2L) == 20.0)
   }
+
+  test("dailyDense fills every missing (day, group) combo with zero") {
+    import java.sql.Timestamp
+    val events = Seq(
+      (Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (Timestamp.valueOf("2024-01-01 11:00:00"), "a"),
+      (Timestamp.valueOf("2024-01-04 10:00:00"), "b")
+    ).toDF("ts", "g")
+    val got = graft.operators.TimeSeries.dailyDense(events, "ts", "g")
+      .as[(java.sql.Date, String, Long)].collect()
+      .map { case (d, g, n) => (d.toString, g, n) }.toSet
+    // 4-day span x 2 groups = 8 rows, 2 nonzero
+    assert(got.size == 8)
+    assert(got.count(_._3 > 0) == 2)
+    assert(got(("2024-01-01", "a", 2L)) && got(("2024-01-04", "b", 1L)))
+    assert(got(("2024-01-02", "a", 0L)) && got(("2024-01-03", "b", 0L)))
+  }
 }
