@@ -970,6 +970,23 @@ object SparkEntry {
       graft.operators.Profile.histogram(
         t(s, dir, "orders"), "o_totalprice", width = 50000.0)),
 
+    // nested/array surface (§2.6): per-order sorted quantity array consumed
+    // with higher-order functions — size, element access, and an exact
+    // decimal fold via `aggregate` — all back to scalars (engines format
+    // arrays differently; their CONTENT is what is pinned here).
+    "q38_array_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(dec(col("l_quantity")))).as("qs"))
+        .select(
+          col("l_orderkey"),
+          bi(size(col("qs"))).as("n_items"),
+          element_at(col("qs"), 1).cast("double").as("min_qty"),
+          element_at(col("qs"), -1).cast("double").as("max_qty"),
+          aggregate(col("qs"), lit(BigDecimal(0)).cast("decimal(18,2)"),
+            (acc, x) => (acc + x).cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          bi(size(filter(col("qs"), _ > 25))).as("n_over_25"))),
+
     // time-series gap fill: daily counts of rare events (value > 195) per type
     // densified to the full day span x type universe with zero-filled gaps.
     // Raw events aggregate once; the spine join runs on aggregated rows.
@@ -1897,6 +1914,19 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    "q38_array_funcs" ->
+      """WITH g AS (
+        |  SELECT l_orderkey,
+        |    list_sort(list(CAST(l_quantity AS DECIMAL(18,2)))) AS qs
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_orderkey,
+        |  CAST(len(qs) AS BIGINT) AS n_items,
+        |  CAST(qs[1] AS DOUBLE) AS min_qty,
+        |  CAST(qs[-1] AS DOUBLE) AS max_qty,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS DECIMAL(18,2)), qs),
+        |    (a, x) -> a + x) AS DOUBLE) AS sum_qty,
+        |  CAST(len(list_filter(qs, x -> x > 25)) AS BIGINT) AS n_over_25
+        |FROM g""".stripMargin,
     "e03_gap_fill" ->
       """WITH counts AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n

@@ -25,6 +25,7 @@ final case class DatasetConfig(
     transformations: Seq[TransformConfig] = Nil,
     parquet: ParquetConfig = ParquetConfig(),
     upload: UploadConfig = UploadConfig(),
+    merge: MergeConfig = MergeConfig(),
     notifications: NotificationConfig = NotificationConfig(),
     metadata: MetaConfig = MetaConfig())
 
@@ -70,6 +71,17 @@ final case class UploadConfig(
     keepLocalCopy: Boolean = false,
     localCopyPath: String = "")
 
+/** Lake-engine extension (no reference counterpart — its roadmap lists CDC
+  * unimplemented): when enabled, the extracted rows are a CHANGELOG
+  * (key + sequence + operation columns) folded into a versioned latest-state
+  * snapshot instead of an append-only file drop. */
+final case class MergeConfig(
+    enabled: Boolean = false,
+    keyColumns: Seq[String] = Nil,
+    sequenceColumn: String = "",
+    operationColumn: String = "",
+    deleteOperation: String = "D")
+
 final case class FileSystemConfig(basePath: String = "", relativePath: String = "")
 final case class AzureBlobConfig(containerName: String = "", blobPath: String = "")
 final case class NotificationConfig(
@@ -104,6 +116,12 @@ object DatasetConfig {
         .map(parseTransform),
       parquet = get(root, "parquet").map(parseParquet).getOrElse(ParquetConfig()),
       upload = get(root, "upload").map(parseUpload).getOrElse(UploadConfig()),
+      merge = get(root, "merge").map(m => MergeConfig(
+        enabled = bool(m, "enabled", default = false),
+        keyColumns = strSeq(m, "keyColumns"),
+        sequenceColumn = str(m, "sequenceColumn"),
+        operationColumn = str(m, "operationColumn"),
+        deleteOperation = strOr(m, "deleteOperation", "D"))).getOrElse(MergeConfig()),
       notifications = get(root, "notifications").map(n => NotificationConfig(
         bool(n, "onSuccess", default = false), bool(n, "onFailure", default = true),
         strSeq(n, "channels"))).getOrElse(NotificationConfig()),

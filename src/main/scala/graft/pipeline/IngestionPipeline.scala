@@ -237,6 +237,50 @@ object IngestionPipeline {
       }
     }
 
+  /** Merge-publish write stage (config.merge.enabled): the extracted rows are
+    * a changelog; fold them into the next version of a latest-state snapshot
+    * via [[graft.operators.Merge.snapshot]] + the versioned
+    * [[graft.sinks.SnapshotStore]] commit protocol (fresh `v=<n>` dir per run
+    * — crash-safe on plain parquet, readers of the prior version undisturbed).
+    * Emits a directory-level CTL manifest (manifest-of-part-files) for the new
+    * version, mirroring the single-file CTL contract.
+    *
+    * Sequencing across runs follows the changelog's OWN sequence column (not
+    * run order): pair with high-watermark extraction so each run's changelog
+    * carries later sequences, and note the batch merge drops tombstones — the
+    * streaming UpsertView documents the out-of-order caveat that implies. */
+  def mergeWrite(destDir: String): Stage =
+    stage("MergeWrite", Severity.Critical) { ctx =>
+      val m = ctx.config.merge
+      require(m.keyColumns.nonEmpty && m.sequenceColumn.nonEmpty &&
+        m.operationColumn.nonEmpty,
+        "merge mode needs keyColumns, sequenceColumn, operationColumn")
+      val changes = ctx.data.getOrElse(throw new IllegalStateException("no data"))
+      val spark = changes.sparkSession
+      val snapDir = s"$destDir/${ctx.config.datasetId}_snapshot"
+      val payload = changes.columns.filterNot(c =>
+        c == m.sequenceColumn || c == m.operationColumn)
+      val latest = graft.sinks.SnapshotStore.latest(spark, snapDir)
+      val base = latest
+        .map { case (_, p) => graft.sinks.SnapshotStore.read(spark, snapDir, p) }
+        .getOrElse(changes.selectExpr(payload.toIndexedSeq: _*)
+          .where(org.apache.spark.sql.functions.lit(false)))
+      val next = graft.operators.Merge.snapshot(base, changes,
+        m.keyColumns, m.sequenceColumn, m.operationColumn, m.deleteOperation)
+      val obs = org.apache.spark.sql.Observation()
+      val observed = next.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+      val versionId = latest.map(_._1 + 1).getOrElse(0L)
+      val path = graft.sinks.SnapshotStore.write(observed, snapDir, versionId)
+      val n = obs.get("rows").asInstanceOf[Long]
+      val record = CtlManifest.forDirectory(spark, path, n,
+        ctx.config.datasetId, ctx.config.source.`type`, ctx.startTime)
+      val ctlPath = CtlManifest.write(spark, snapDir, f"v$versionId.ctl", record)
+      ctx.copy(writtenPath = Some(path), rowCount = Some(n),
+        dataFileName = Some(s"v=$versionId"), ctl = Some(record),
+        ctlPath = Some(ctlPath))
+    }
+
   /** Run the full chain for one dataset config. */
   def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
           environment: String = "Production",
@@ -245,8 +289,13 @@ object IngestionPipeline {
           connectionStrings: Map[String, String] = Map.empty,
           secrets: graft.sources.SecretResolver = graft.sources.SecretResolver.FromEnv): RunContext = {
     val stages: Seq[Stage] =
-      Seq(extract(spark, lakeDir, connectionStrings, secrets), transform,
-        write(destDir), ctl(destDir), upload(destDir, azureUriTemplate))
+      if (config.merge.enabled)
+        // merge publish: the snapshot version + its CTL are final placement
+        Seq(extract(spark, lakeDir, connectionStrings, secrets), transform,
+          mergeWrite(destDir))
+      else
+        Seq(extract(spark, lakeDir, connectionStrings, secrets), transform,
+          write(destDir), ctl(destDir), upload(destDir, azureUriTemplate))
     stages.foldLeft(RunContext(config, environment, now))((ctx, s) => s(ctx))
   }
 }

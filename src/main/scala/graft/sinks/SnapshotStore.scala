@@ -1,0 +1,44 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot directories — the commit protocol both the streaming
+  * upsert view and the merge-publish pipeline use on plain parquet (no table
+  * format): each new snapshot lands in a fresh `v=<n>` directory, never in
+  * place, so a crashed or replayed writer rebuilds its OWN version while
+  * readers of the previous version are never disturbed. The newest complete
+  * version is the served one; old versions are retained for readers in flight
+  * (sweep them like `Incremental.retentionSweep` once their readers drain). */
+object SnapshotStore {
+
+  /** All committed versions under `dir`, ascending. */
+  def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v="))
+      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
+      .sortBy(_._1)
+  }
+
+  /** Newest version at or below `maxId` (a replaying writer of version `id`
+    * passes `maxId = id - 1` to ignore its own half-written directory);
+    * newest overall when None. */
+  def latest(spark: SparkSession, dir: String,
+             maxId: Option[Long] = None): Option[(Long, String)] =
+    versions(spark, dir).filter(v => maxId.forall(v._1 <= _)).lastOption
+
+  def read(spark: SparkSession, dir: String, version: String): DataFrame =
+    spark.read.parquet(version)
+
+  /** Write `df` as version `id` (overwrite: a replay rebuilds its own dir). */
+  def write(df: DataFrame, dir: String, id: Long): String = {
+    val path = s"$dir/v=$id"
+    df.write.mode("overwrite").parquet(path)
+    path
+  }
+}

@@ -49,40 +49,31 @@ object UpsertView {
       when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
       col("value"))
 
-  private def versionDirs(spark: SparkSession, snapDir: String): Seq[(Long, String)] = {
-    val fs = new org.apache.hadoop.fs.Path(snapDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(snapDir))) Seq.empty
-    else fs.listStatus(new org.apache.hadoop.fs.Path(snapDir)).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(_.getName.startsWith("v="))
-      .map(p => (p.getName.stripPrefix("v=").toLong, p.toString))
-      .sortBy(_._1)
-  }
-
   /** Run the changelog stream to completion (AvailableNow), folding each
-    * micro-batch into the next snapshot version, and return the SERVED view
-    * (latest version, tombstones filtered). */
+    * micro-batch into the next snapshot version (via [[graft.sinks.SnapshotStore]]'s
+    * replay-idempotent commit protocol), and return the SERVED view (latest
+    * version, tombstones filtered). */
   def runUpsertStream(spark: SparkSession, dir: String, snapDir: String,
                       checkpointDir: String): DataFrame = {
+    import graft.sinks.SnapshotStore
     val q = eventsChangelog(EventsStream.readEvents(spark, dir)).writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val ss = batch.sparkSession
         // base = newest snapshot version BELOW this batch id: on replay the
         // half-written v=<batchId> dir is ignored and rebuilt from the same base
-        val base = versionDirs(ss, snapDir).filter(_._1 < batchId).lastOption
-          .map { case (_, p) => ss.read.parquet(p) }
+        val base = SnapshotStore.latest(ss, snapDir, maxId = Some(batchId - 1))
+          .map { case (_, p) => SnapshotStore.read(ss, snapDir, p) }
           .getOrElse(batch.toDF().where(lit(false)))
-        mergeBatch(base, batch.toDF(), "user_id", "seq", "op", "event_id")
-          .write.mode("overwrite").parquet(s"$snapDir/v=$batchId")
+        SnapshotStore.write(
+          mergeBatch(base, batch.toDF(), "user_id", "seq", "op", "event_id"),
+          snapDir, batchId)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .start()
     q.awaitTermination()
-    val (_, latest) = versionDirs(spark, snapDir).last
+    val (_, latest) = graft.sinks.SnapshotStore.versions(spark, snapDir).last
     spark.read.parquet(latest).where(col("op") =!= lit("D"))
       .select(col("user_id"), col("event_id"), col("value"))
   }

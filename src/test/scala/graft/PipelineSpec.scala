@@ -104,6 +104,43 @@ class PipelineSpec extends SparkSpec {
     assert(!new java.io.File(dest, ctx.dataFileName.get).exists())
   }
 
+  test("merge-publish mode folds changelog runs into versioned snapshots + CTL") {
+    val dest = Files.createTempDirectory("graft-pipe-merge").toString
+    def cfg(sql: String) = DatasetConfig(
+      datasetId = "cust-merge",
+      source = SourceConfig(extractionType = "Query", sqlText = sql),
+      merge = graft.config.MergeConfig(enabled = true,
+        keyColumns = Seq("c_custkey"), sequenceColumn = "seq",
+        operationColumn = "op"))
+    // run 1: initial upserts for three customers
+    val ctx1 = IngestionPipeline.run(spark, cfg(
+      """SELECT c_custkey, c_name, 1 AS seq, 'U' AS op
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 3""".stripMargin),
+      sf0001, dest, now = now)
+    assert(!ctx1.failed, ctx1.errors.mkString("; "))
+    assert(ctx1.rowCount.contains(3L))
+    assert(ctx1.dataFileName.contains("v=0"))
+    // run 2: update key 2, delete key 3, insert key 9
+    val ctx2 = IngestionPipeline.run(spark, cfg(
+      """SELECT c_custkey, upper(c_name) AS c_name, 2 AS seq,
+        |  CASE WHEN c_custkey = 3 THEN 'D' ELSE 'U' END AS op
+        |FROM customer WHERE c_custkey IN (2, 3, 9)""".stripMargin),
+      sf0001, dest, now = now)
+    assert(!ctx2.failed, ctx2.errors.mkString("; "))
+    assert(ctx2.dataFileName.contains("v=1"))
+    val snap = spark.read.parquet(s"$dest/cust-merge_snapshot/v=1")
+    val keys = snap.select("c_custkey").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 2L, 9L), keys.toString)
+    // key 2 took the run-2 (uppercased) version; key 1 is untouched
+    val names = snap.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names(2L) == names(2L).toUpperCase)
+    assert(names(1L) != names(1L).toUpperCase)
+    // version 0 still intact for in-flight readers; per-version CTL written
+    assert(spark.read.parquet(s"$dest/cust-merge_snapshot/v=0").count() == 3)
+    assert(ctx2.ctl.exists(_.recordCount == 3L))
+    assert(new java.io.File(s"$dest/cust-merge_snapshot/v1.ctl").exists())
+  }
+
   test("environment gating skips non-matching transforms end to end") {
     val dest = Files.createTempDirectory("graft-pipe-env").toString
     val cfg = tradesConfig.copy(transformations = Seq(
