@@ -41,4 +41,18 @@ object SnapshotStore {
     df.write.mode("overwrite").parquet(path)
     path
   }
+
+  /** Drop all but the newest `keep` versions — a directory-listing decision
+    * and whole-directory deletes, like `Incremental.retentionSweep`: no data
+    * scan, no rewrite. Size `keep` to the longest reader you allow in flight.
+    * Returns the deleted paths. */
+  def sweep(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"must keep at least the served version: $keep")
+    val vs = versions(spark, dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    vs.dropRight(keep).map { case (_, p) =>
+      fs.delete(new Path(p), true)
+      p
+    }
+  }
 }

@@ -70,4 +70,15 @@ class UpsertViewSpec extends SparkSpec {
     assert(first == second)
     assert(second.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 20L)))
   }
+
+  test("snapshot sweep keeps the newest versions, deletes the rest") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-sweep").toString
+    (0L to 3L).foreach(i => SnapshotStore.write(chg((1L, i, i, "U", i.toDouble)), dir, i))
+    val deleted = SnapshotStore.sweep(spark, dir, keep = 2)
+    assert(deleted.size == 2 && deleted.forall(p => p.endsWith("v=0") || p.endsWith("v=1")))
+    assert(SnapshotStore.versions(spark, dir).map(_._1) == Seq(2L, 3L))
+    // served version unharmed
+    assert(spark.read.parquet(s"$dir/v=3").count() == 1)
+  }
 }
