@@ -76,4 +76,18 @@ class ConfigSpec extends AnyFunSuite {
       "20260812-093015.parquet")
     assert(FileNameTemplate.render("plain.parquet", now) == "plain.parquet")
   }
+
+  test("merge section parses case-insensitively with defaults") {
+    val cfg = DatasetConfig.parse("""{
+      "datasetId": "m",
+      "Merge": { "Enabled": true, "keyColumns": ["k1", "k2"],
+                 "sequenceColumn": "lsn", "operationColumn": "op" }
+    }""")
+    assert(cfg.merge.enabled)
+    assert(cfg.merge.keyColumns == Seq("k1", "k2"))
+    assert(cfg.merge.sequenceColumn == "lsn")
+    assert(cfg.merge.deleteOperation == "D") // default
+    // absent section -> disabled
+    assert(!DatasetConfig.parse("""{ "datasetId": "x" }""").merge.enabled)
+  }
 }
