@@ -63,6 +63,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge snapshot == last-writer-wins reference fold (random changelogs)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(400 + seed)
+      val base = (1L to 20L).map(k => (k, rnd.nextInt(100))).toDF("k", "v")
+      // random changelog: unique (k, seq) pairs, random ops
+      val chg = rnd.shuffle((1L to 30L).toList).take(15).flatMap { k =>
+        (1L to rnd.between(1L, 4L)).map(seq =>
+          (k, rnd.nextInt(100), if (rnd.nextBoolean()) "U" else "D", seq))
+      }
+      val chgDf = chg.toDF("k", "v", "op", "seq")
+      val got = graft.operators.Merge.snapshot(base, chgDf, Seq("k"), "seq", "op")
+        .as[(Long, Int)].collect().toMap
+      // reference fold: apply changes per key in seq order over the base map
+      val want = chg.groupBy(_._1).foldLeft(
+        base.as[(Long, Int)].collect().toMap) { case (acc, (k, changes)) =>
+        val (_, v, op, _) = changes.maxBy(_._4)
+        if (op == "D") acc - k else acc + (k -> v)
+      }
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("reconcile diff reports exactly the injected damage (random damage sets)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(500 + seed)
+      val n = 40
+      val rows = (1L to n).map(k => (k, rnd.nextInt(10).toString, rnd.nextInt(100)))
+      val a = rows.toDF("k", "s", "v")
+      val deleted = rnd.shuffle((1L to n).toList).take(rnd.nextInt(6)).toSet
+      val mutated = rnd.shuffle((1L to n).toList).filterNot(deleted)
+        .take(rnd.nextInt(6)).toSet
+      val added = ((n + 1) to (n + rnd.nextInt(4))).map(_.toLong).toSet
+      val b = rows.filterNot(r => deleted(r._1))
+        .map(r => if (mutated(r._1)) (r._1, r._2, r._3 + 1000) else r)
+        .++(added.map(k => (k, "x", 0))).toDF("k", "s", "v")
+      val got = graft.operators.Reconcile.diff(a, b, Seq("k"), Seq("s", "v"))
+        .as[(Long, String)].collect().toMap
+      val want = deleted.map(_ -> "missing_in_b").toMap ++
+        mutated.map(_ -> "mismatch").toMap ++ added.map(_ -> "missing_in_a").toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)
