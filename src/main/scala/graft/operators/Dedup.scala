@@ -211,8 +211,11 @@ object Dedup {
       .join(broadcast(e.select(col("eval_id"), explode(col("sh_e")).as("sh"))), "sh")
       .where(col("id") =!= col("eval_id"))
       .select("id", "eval_id").distinct()
-    candidates
-      .join(c, "id").join(broadcast(e), "eval_id")
+    // candidates is eval-bounded (≤ corpus-hits × eval docs) — broadcast it so
+    // the corpus shingle sets are probed in place, never shuffled; without the
+    // hint the join+distinct above leaves Catalyst no size estimate and it
+    // plans a sort-merge join of the full corpus relation.
+    c.join(broadcast(candidates), "id").join(broadcast(e), "eval_id")
       .withColumn("inter", H.sorted_intersect_count(col("sh_c"), col("sh_e")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /

@@ -22,14 +22,18 @@ object Features {
     * aggregates, and the normalization is two IEEE ops — deterministic under
     * any partitioning. */
   def minMaxNormalize(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // null-SAFE join key: groupBy puts null-keyed rows in their own group, and
+    // a plain equi-join would silently drop them (null = null is never true) —
+    // a row-count loss the window formulation of the same stats doesn't have
     val stats = df.groupBy(col(groupCol))
       .agg(min(col(valueCol)).as("graft_mn"), max(col(valueCol)).as("graft_mx"))
-    df.join(broadcast(stats), groupCol)
+      .withColumnRenamed(groupCol, "graft_g")
+    df.join(broadcast(stats), col(groupCol) <=> col("graft_g"))
       .withColumn(s"${valueCol}_norm",
         when(col("graft_mx") === col("graft_mn"), lit(0.0))
           .otherwise((col(valueCol) - col("graft_mn")) /
             (col("graft_mx") - col("graft_mn"))))
-      .drop("graft_mn", "graft_mx")
+      .drop("graft_g", "graft_mn", "graft_mx")
   }
 
   /** Top-`k` terms per group by a tf-idf-style score. `tf` is the term's

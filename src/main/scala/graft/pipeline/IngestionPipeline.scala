@@ -262,7 +262,7 @@ object IngestionPipeline {
         c == m.sequenceColumn || c == m.operationColumn)
       val latest = graft.sinks.SnapshotStore.latest(spark, snapDir)
       val base = latest
-        .map { case (_, p) => graft.sinks.SnapshotStore.read(spark, snapDir, p) }
+        .map { case (_, p) => graft.sinks.SnapshotStore.read(spark, p) }
         .getOrElse(changes.selectExpr(payload.toIndexedSeq: _*)
           .where(org.apache.spark.sql.functions.lit(false)))
       val next = graft.operators.Merge.snapshot(base, changes,

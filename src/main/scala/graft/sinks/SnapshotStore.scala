@@ -12,7 +12,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (sweep them like `Incremental.retentionSweep` once their readers drain). */
 object SnapshotStore {
 
-  /** All committed versions under `dir`, ascending. */
+  /** All COMMITTED versions under `dir`, ascending. A version counts only
+    * with its `_SUCCESS` marker — a writer that died mid-write leaves a
+    * directory without one, and treating that as a readable base would
+    * propagate a truncated snapshot into every later version. (Requires the
+    * default committer behavior; do not disable
+    * `mapreduce.fileoutputcommitter.marksuccessfuljobs`.) */
   def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -20,7 +25,8 @@ object SnapshotStore {
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(_.getName.startsWith("v="))
+      .filter(q => q.getName.startsWith("v=") &&
+        fs.exists(new Path(q, "_SUCCESS")))
       .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
       .sortBy(_._1)
   }
@@ -32,8 +38,9 @@ object SnapshotStore {
              maxId: Option[Long] = None): Option[(Long, String)] =
     versions(spark, dir).filter(v => maxId.forall(v._1 <= _)).lastOption
 
-  def read(spark: SparkSession, dir: String, version: String): DataFrame =
-    spark.read.parquet(version)
+  /** Read one version by the full path [[versions]]/[[latest]] returned. */
+  def read(spark: SparkSession, versionPath: String): DataFrame =
+    spark.read.parquet(versionPath)
 
   /** Write `df` as version `id` (overwrite: a replay rebuilds its own dir). */
   def write(df: DataFrame, dir: String, id: Long): String = {

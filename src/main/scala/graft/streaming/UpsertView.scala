@@ -44,7 +44,9 @@ object UpsertView {
   /** The `events` table as a changelog: `error` events delete the user's row,
     * anything else upserts it. seq is event-time micros; event_id breaks ties. */
   def eventsChangelog(events: DataFrame): DataFrame =
-    events.select(col("user_id"), col("ts").cast("long").as("seq"),
+    // unix_micros, NOT cast("long"): casting a timestamp to long truncates to
+    // SECONDS, which would collapse sub-second orderings onto the tiebreaks
+    events.select(col("user_id"), unix_micros(col("ts")).as("seq"),
       col("event_id"),
       when(col("event_type") === "error", lit("D")).otherwise(lit("U")).as("op"),
       col("value"))
@@ -62,7 +64,7 @@ object UpsertView {
         // base = newest snapshot version BELOW this batch id: on replay the
         // half-written v=<batchId> dir is ignored and rebuilt from the same base
         val base = SnapshotStore.latest(ss, snapDir, maxId = Some(batchId - 1))
-          .map { case (_, p) => SnapshotStore.read(ss, snapDir, p) }
+          .map { case (_, p) => SnapshotStore.read(ss, p) }
           .getOrElse(batch.toDF().where(lit(false)))
         SnapshotStore.write(
           mergeBatch(base, batch.toDF(), "user_id", "seq", "op", "event_id"),
@@ -73,7 +75,14 @@ object UpsertView {
       .option("checkpointLocation", checkpointDir)
       .start()
     q.awaitTermination()
-    val (_, latest) = graft.sinks.SnapshotStore.versions(spark, snapDir).last
+    // snapDir and checkpointDir are a PAIR: batch ids come from the
+    // checkpoint, so reusing a snapshot dir with a fresh checkpoint would
+    // restart ids at 0 and serve whatever old version sorts last — always
+    // create/retire them together.
+    val latest = graft.sinks.SnapshotStore.versions(spark, snapDir).lastOption
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot version under $snapDir — empty source, " +
+          "or a checkpoint that had already drained it"))._2
     spark.read.parquet(latest).where(col("op") =!= lit("D"))
       .select(col("user_id"), col("event_id"), col("value"))
   }

@@ -112,4 +112,10 @@ class PlanSpec extends SparkSpec {
     val scan = pruned.queryExecution.executedPlan.collectLeaves().head
     assert(scan.toString.contains("PartitionFilters: [isnotnull(source"), scan.toString)
   }
+
+  test("d09: corpus side never sort-merge joins — candidates and eval broadcast") {
+    val p = plan("d09_cross_decontam")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }

@@ -81,4 +81,30 @@ class UpsertViewSpec extends SparkSpec {
     // served version unharmed
     assert(spark.read.parquet(s"$dir/v=3").count() == 1)
   }
+
+  test("changelog seq has microsecond precision (sub-second order decides the winner)") {
+    import java.sql.Timestamp
+    val t1 = Timestamp.valueOf("2024-01-01 10:00:00.100"); // error (delete), earlier
+    val t2 = Timestamp.valueOf("2024-01-01 10:00:00.900"); // upsert, later
+    val events = Seq(
+      (9L, t1, 1L, "error", 0.0), (5L, t2, 1L, "view", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val chg = UpsertView.eventsChangelog(events)
+    val served = merge(empty, chg).where($"op" =!= "D")
+    // a seconds-precision seq would tie the two and let the delete tiebreak win
+    assert(served.count() == 1, "later sub-second upsert must beat earlier delete")
+    assert(served.select("event_id").as[Long].head() == 5L)
+  }
+
+  test("versions() ignores uncommitted (marker-less) directories") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-commit").toString
+    SnapshotStore.write(chg((1L, 1L, 1L, "U", 1.0)), dir, 0L)
+    // fake a crashed writer: directory exists, no _SUCCESS
+    val half = new java.io.File(s"$dir/v=1"); half.mkdirs()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v=1/part-x.parquet"),
+      Array[Byte](1, 2, 3))
+    assert(SnapshotStore.versions(spark, dir).map(_._1) == Seq(0L))
+    assert(SnapshotStore.latest(spark, dir).map(_._1).contains(0L))
+  }
 }
