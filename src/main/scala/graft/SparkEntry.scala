@@ -630,9 +630,13 @@ object SparkEntry {
         shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)),
 
     // SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
+    // portable md5-derived token hashes make the full signature reproducible
+    // in the oracle; chunks(4) > maxHamming(3) makes the banding exhaustive,
+    // so output == all pairs at hamming <= 3, exactly.
     "d04_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 3, chunks = 4)),
+        maxHamming = 3, chunks = 4, portableHash = true)
+        .select(col("id_a"), col("id_b"), bi(col("hamming")).as("hamming"))),
 
     // exact n-gram Jaccard pairs via inverted-index join.
     "d05_ngram_jaccard" -> ((s, dir) =>
@@ -1642,6 +1646,29 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY source) AS n
         |  FROM documents) s
         |WHERE rk <= ceil(n * 0.25)""".stripMargin,
+    // the oracle recomputes the ENTIRE simhash signature from the portable
+    // md5 token hashes (Charikar sign-vote per bit; bits 60-63 provably 0)
+    // and compares all pairs — exact because 4-chunk pigeonhole banding is
+    // exhaustive at hamming <= 3.
+    "d04_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |hs AS (
+        |  SELECT doc_id,
+        |    list_transform(w, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+        |  FROM toks WHERE len(w) > 0),
+        |sigs AS (
+        |  SELECT doc_id, CAST(list_sum(list_transform(range(0, 60),
+        |    b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= len(hs)
+        |              THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END))
+        |    AS BIGINT) AS sig
+        |  FROM hs)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
     // same shingle construction as d03/d05; the oracle computes all corpus x
     // eval pairs directly (exact because cross-decontam recall is total).
     "d09_cross_decontam" ->

@@ -83,13 +83,23 @@ object HashExpressions {
   case class SimHash64(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    // array<long> = caller supplies PRE-HASHED tokens (e.g. a portable
+    // md5-derived hash an external oracle can recompute); array<string> =
+    // hash here with xxhash64 (fastest, engine-internal). Mirrors MinHashSig.
+    private lazy val elementIsLong = child.dataType match {
+      case ArrayType(LongType, _) => true
+      case ArrayType(StringType, _) => false
+      case t => throw new IllegalArgumentException(s"simhash64 over $t")
+    }
     override def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val votes = new Array[Int](64)
       var j = 0
       val n = arr.numElements()
       while (j < n) {
-        val h = hashString(arr.getUTF8String(j), 42L)
+        val h =
+          if (elementIsLong) arr.getLong(j)
+          else hashString(arr.getUTF8String(j), 42L)
         var b = 0
         while (b < 64) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{HashExpressions => H, TextFunctions => T, VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -104,12 +104,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit SimHash, banded into `chunks` sub-keys
-    * (pigeonhole: hamming ≤ maxHamming with `chunks > maxHamming` guarantees at
-    * least one identical chunk), verified with exact Hamming distance via
-    * `bit_count(xor)`. */
+  /** 60-bit md5-derived token hash every md5-capable engine can recompute
+    * (`conv(substr(md5(w),1,15),16,10)`) — the portable alternative to
+    * engine-internal xxhash64 for signatures an external oracle must verify. */
+  private def portableTokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+
+  /** SimHash near-dup pairs: pigeonhole banding over `chunks` signature
+    * chunks, then exact hamming verify. With `chunks > maxHamming` the
+    * banding is EXHAUSTIVE (a pair differing in ≤ maxHamming bits has ≥ 1
+    * untouched chunk), so output is exactly all pairs at hamming ≤ max.
+    * `portableHash` swaps xxhash64 token hashing for the md5-derived 60-bit
+    * hash, making the whole signature reproducible in ANSI SQL (bits 60-63
+    * are then always 0 — hamming semantics are unaffected). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+                   maxHamming: Int = 3, chunks: Int = 4,
+                   portableHash: Boolean = false): DataFrame = {
     require(chunks > maxHamming, "need chunks > maxHamming for pigeonhole recall")
     val bitsPerChunk = 64 / chunks
     // Empty/whitespace-only docs all hash to the all-ones signature (zero votes
@@ -119,7 +129,9 @@ object Dedup {
     val sigs = df
       .select(col(idCol).as("id"), T.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .select(col("id"), T.simhash64(col("toks")).as("simhash"))
+      .select(col("id"), T.simhash64(
+        if (portableHash) transform(col("toks"), portableTokenHash _) else col("toks"))
+        .as("simhash"))
 
     val banded = sigs.select(col("id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),

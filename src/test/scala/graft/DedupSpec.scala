@@ -106,4 +106,16 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == Set(1L, 2L), got.toString) // 97 self-match excluded
     assert(got(2L) == 1L)
   }
+
+  test("portable-hash simhash: exact dup still hamming 0, signature md5-derived") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different content here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text",
+        maxHamming = 3, chunks = 4, portableHash = true)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)), pairs.toString)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
 }
