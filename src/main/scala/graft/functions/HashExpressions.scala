@@ -263,6 +263,17 @@ object HashExpressions {
     override def prettyName: String = "array_dot"
   }
 
+  /** Portable 60-bit hash: `conv(substr(md5(x), 1, 15), 16, 10)` — built only
+    * from functions every SQL engine ships (md5 + string ops + radix
+    * conversion), so an external oracle can recompute it verbatim. The ONE
+    * definition of this idiom: Dedup's portable SimHash tokens and Reconcile's
+    * row hashes both route here — diverging copies would silently break the
+    * "portable" contract. */
+  def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
   // ---- Column-facing wrappers (Spark 4: Column wraps a ColumnNode, so
   //      Expression↔Column goes through the sql-package bridge) ----
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}

@@ -104,11 +104,10 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 60-bit md5-derived token hash every md5-capable engine can recompute
-    * (`conv(substr(md5(w),1,15),16,10)`) — the portable alternative to
-    * engine-internal xxhash64 for signatures an external oracle must verify. */
-  private def portableTokenHash(tok: Column): Column =
-    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
+  /** Portable 60-bit token hash ([[graft.functions.HashExpressions.md5Hash60]])
+    * — the alternative to engine-internal xxhash64 for signatures an external
+    * oracle must verify. */
+  private def portableTokenHash(tok: Column): Column = H.md5Hash60(tok)
 
   /** SimHash near-dup pairs: pigeonhole banding over `chunks` signature
     * chunks, then exact hamming verify. With `chunks > maxHamming` the
@@ -201,10 +200,12 @@ object Dedup {
     * verbatim contamination ([[Contamination.overlap]] catches shared grams;
     * this catches lightly-paraphrased benchmark leakage).
     *
-    * Scale shape: the eval side is benchmark-sized, so BOTH its postings and
-    * its full shingle sets broadcast — the 100 TB corpus never shuffles, never
-    * self-joins; per-corpus-row cost is the broadcast-hash probe plus exact
-    * set intersections against its candidate eval docs. Candidate generation
+    * Scale shape: the eval side is benchmark-sized, so its postings and full
+    * shingle sets broadcast — candidate GENERATION probes the corpus in place
+    * (no corpus shuffle, no self-join). Fetching shingle sets for the
+    * candidates then hash-shuffles the MATCHING corpus docs only (shuffle_hash,
+    * not broadcast: with common grams the candidate list can grow
+    * corpus-proportional, past any broadcast budget). Candidate generation
     * requires one shared shingle, which any pair with jaccard > 0 has — so
     * unlike [[ngramJaccardPairs]]'s stop-shingle prune, recall here is total
     * by construction and an all-pairs oracle is exact at every scale.
@@ -223,11 +224,13 @@ object Dedup {
       .join(broadcast(e.select(col("eval_id"), explode(col("sh_e")).as("sh"))), "sh")
       .where(col("id") =!= col("eval_id"))
       .select("id", "eval_id").distinct()
-    // candidates is eval-bounded (≤ corpus-hits × eval docs) — broadcast it so
-    // the corpus shingle sets are probed in place, never shuffled; without the
-    // hint the join+distinct above leaves Catalyst no size estimate and it
-    // plans a sort-merge join of the full corpus relation.
-    c.join(broadcast(candidates), "id").join(broadcast(e), "eval_id")
+    // Fetching shingle sets for candidates: candidate count scales with how
+    // much of the corpus shares grams with the eval set — common trigrams can
+    // make it corpus-proportional, so broadcasting it would eventually blow
+    // the broadcast limit. shuffle_hash keeps the join a hash build over the
+    // (id, eval_id) pairs with no sort of the corpus relation; the exchange
+    // moves 8-byte-keyed shingle sets for MATCHING corpus docs only.
+    c.join(candidates.hint("shuffle_hash"), "id").join(broadcast(e), "eval_id")
       .withColumn("inter", H.sorted_intersect_count(col("sh_c"), col("sh_e")))
       .withColumn("jaccard",
         round(col("inter").cast("double") /

@@ -21,15 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
-  /** md5-derived 60-bit row hash of the given columns (pipe-joined, nulls as
-    * a single space — distinct from the empty string, which real columns can
-    * produce; a column whose genuine values can be a lone space needs its own
-    * canonicalization). Equal-width hex parsing keeps the hash portable to
-    * any engine with md5 + string ops. */
+  /** md5-derived 60-bit row hash of the given columns
+    * ([[graft.functions.HashExpressions.md5Hash60]] over a pipe-join). The
+    * null sentinel is the NUL character (written as an escape — the literal
+    * byte would make this source file binary to git): no real string column
+    * value collides with it precisely because most engines cannot even store
+    * NUL in a varchar. The flip side: an oracle reproducing hashes for rows
+    * with NULLs needs its engine to build NUL-bearing strings — compare the
+    * canonicalized values directly instead (as v01's oracle does). */
   def rowHash(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit(" "))): _*)), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.HashExpressions.md5Hash60(concat_ws("|",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
 
   /** Row-level diff of `a` vs `b` on `keyCols`, comparing `compareCols`
     * content: one row per differing key with status `missing_in_b` /

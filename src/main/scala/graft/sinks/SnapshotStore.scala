@@ -22,11 +22,26 @@ object SnapshotStore {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
+    // one glob for all markers, not one exists() RPC per version — on an
+    // object store the per-version probe would cost V round trips per call
+    // (and latest() runs per micro-batch)
+    else Option(fs.globStatus(new Path(p, "v=*/_SUCCESS")))
+      .getOrElse(Array.empty).toSeq // globStatus contract: null on no base dir
+      .map(_.getPath.getParent)
+      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
+      .sortBy(_._1)
+  }
+
+  /** ALL `v=` directories, committed or not — sweep needs to see crashed
+    * writers' leftovers, which [[versions]] deliberately hides. */
+  private def allVersionDirs(spark: SparkSession, dir: String): Seq[(Long, String)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath)
-      .filter(q => q.getName.startsWith("v=") &&
-        fs.exists(new Path(q, "_SUCCESS")))
+      .filter(_.getName.startsWith("v="))
       .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
       .sortBy(_._1)
   }
@@ -49,17 +64,25 @@ object SnapshotStore {
     path
   }
 
-  /** Drop all but the newest `keep` versions — a directory-listing decision
-    * and whole-directory deletes, like `Incremental.retentionSweep`: no data
-    * scan, no rewrite. Size `keep` to the longest reader you allow in flight.
-    * Returns the deleted paths. */
+  /** Drop all but the newest `keep` COMMITTED versions — a directory-listing
+    * decision and whole-directory deletes, like `Incremental.retentionSweep`:
+    * no data scan, no rewrite. Size `keep` to the longest reader you allow in
+    * flight. Also reclaims marker-less directories a crashed writer left
+    * BELOW the newest committed version (superseded, never servable garbage);
+    * a marker-less directory above it may be a writer in flight and is left
+    * alone. Returns the deleted paths. */
   def sweep(spark: SparkSession, dir: String, keep: Int): Seq[String] = {
     require(keep >= 1, s"must keep at least the served version: $keep")
-    val vs = versions(spark, dir)
+    val committed = versions(spark, dir)
+    if (committed.isEmpty) return Seq.empty
+    val newest = committed.last._1
+    val keepPaths = committed.takeRight(keep).map(_._2).toSet
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    vs.dropRight(keep).map { case (_, p) =>
-      fs.delete(new Path(p), true)
-      p
-    }
+    allVersionDirs(spark, dir)
+      .filter { case (id, p) => !keepPaths.contains(p) && id <= newest }
+      .map { case (_, p) =>
+        fs.delete(new Path(p), true)
+        p
+      }
   }
 }

@@ -17,12 +17,14 @@ class ReconcileSpec extends SparkSpec {
     assert(got == Map(2L -> "mismatch", 3L -> "missing_in_b", 4L -> "missing_in_a"))
   }
 
-  test("null and empty-string content hash differently") {
-    val a = Seq((1L, Some("")), (2L, Some(""))).toDF("k", "s")
-    val b = Seq((1L, Option.empty[String]), (2L, Some(""))).toDF("k", "s")
+  test("null, empty string, and single space all hash distinctly") {
+    val a = Seq((1L, Some("")), (2L, Some("")), (3L, Some(" "))).toDF("k", "s")
+    val b = Seq((1L, Option.empty[String]), (2L, Some("")), (3L, Option.empty[String]))
+      .toDF("k", "s")
     val got = Reconcile.diff(a, b, Seq("k"), Seq("s"))
       .as[(Long, String)].collect().toMap
-    assert(got == Map(1L -> "mismatch"))
+    // null != "" and null != " " (NUL sentinel): real corruption never hides
+    assert(got == Map(1L -> "mismatch", 3L -> "mismatch"))
   }
 
   test("bucket checksums localize a single damaged row; clean tables agree everywhere") {

@@ -107,4 +107,22 @@ class UpsertViewSpec extends SparkSpec {
     assert(SnapshotStore.versions(spark, dir).map(_._1) == Seq(0L))
     assert(SnapshotStore.latest(spark, dir).map(_._1).contains(0L))
   }
+
+  test("sweep reclaims superseded marker-less crash leftovers, spares in-flight writers") {
+    import graft.sinks.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-crash").toString
+    SnapshotStore.write(chg((1L, 0L, 1L, "U", 0.0)), dir, 0L)
+    SnapshotStore.write(chg((1L, 2L, 2L, "U", 2.0)), dir, 2L)
+    def markerless(id: Long): Unit = {
+      new java.io.File(s"$dir/v=$id").mkdirs()
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/v=$id/part-x.parquet"), Array[Byte](1))
+    }
+    markerless(1L) // crashed writer, superseded by committed v=2 -> garbage
+    markerless(5L) // above newest committed -> possibly in flight, keep
+    val deleted = SnapshotStore.sweep(spark, dir, keep = 2)
+    assert(deleted.size == 1 && deleted.head.endsWith("v=1"), deleted.toString)
+    assert(new java.io.File(s"$dir/v=5").exists(), "in-flight dir must survive")
+    assert(SnapshotStore.versions(spark, dir).map(_._1) == Seq(0L, 2L))
+  }
 }
