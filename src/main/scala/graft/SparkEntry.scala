@@ -991,6 +991,26 @@ object SparkEntry {
             (acc, x) => (acc + x).cast("decimal(18,2)")).cast("double").as("sum_qty"),
           bi(size(filter(col("qs"), _ > 25))).as("n_over_25"))),
 
+    // map surface (§2.6): per-order map from line number to quantity consumed
+    // with element_at / map_keys / map lookup-with-default — outputs are
+    // scalars (the oracle computes the same scalars relationally; engines'
+    // map literals don't round-trip through parquet identically).
+    "q39_map_funcs" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        // (order, linenumber) is NOT unique in this lake — pre-aggregate, or
+        // map_from_entries throws under the default duplicate-key policy
+        .groupBy(col("l_orderkey"), bi(col("l_linenumber")).as("k"))
+        .agg(sum(dec(col("l_quantity"))).as("v"))
+        .groupBy(col("l_orderkey"))
+        .agg(map_from_entries(collect_list(struct(col("k"), col("v")))).as("m"))
+        .select(
+          col("l_orderkey"),
+          bi(size(map_keys(col("m")))).as("n_lines"),
+          element_at(col("m"), 1L).cast("double").as("qty_line1"),
+          coalesce(element_at(col("m"), 99L).cast("double"), lit(-1.0))
+            .as("qty_line99_or_default"),
+          bi(array_max(map_keys(col("m")))).as("max_line"))),
+
     // time-series gap fill: daily counts of rare events (value > 195) per type
     // densified to the full day span x type universe with zero-filled gaps.
     // Raw events aggregate once; the spine join runs on aggregated rows.
@@ -1941,6 +1961,19 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // the oracle computes the same scalars relationally — no map type needed.
+    "q39_map_funcs" ->
+      """WITH per AS (
+        |  SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS k,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS v
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT l_orderkey,
+        |  count(*) AS n_lines,
+        |  CAST(max(CASE WHEN k = 1 THEN v END) AS DOUBLE) AS qty_line1,
+        |  coalesce(CAST(max(CASE WHEN k = 99 THEN v END) AS DOUBLE), -1.0)
+        |    AS qty_line99_or_default,
+        |  max(k) AS max_line
+        |FROM per GROUP BY 1""".stripMargin,
     "q38_array_funcs" ->
       """WITH g AS (
         |  SELECT l_orderkey,
