@@ -569,6 +569,25 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // stream-stream LEFT OUTER interval join: unmatched purchases emit once
+    // the watermark proves no qualifying click can still arrive. The output
+    // keeps only purchases a full join-window below the final watermark
+    // (max(ts) - 2h delay - 1h window), where the streaming result provably
+    // equals the batch left join; newer rows finalize in the next run.
+    "st08_stream_outer_join" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st08-$run")
+      val emitted = graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        ev => graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
+          .select(col("purchase_id"), col("p_ts"), col("click_id")),
+        s"$out/data", s"$out/ckpt")
+      val cutoff = t(s, dir, "events")
+        .agg((max(col("ts")) - expr("INTERVAL 3 HOURS")).as("graft_cutoff"))
+      emitted.crossJoin(broadcast(cutoff))
+        .where(col("p_ts") < col("graft_cutoff"))
+        .select(col("purchase_id"), col("click_id"))
+    }),
+
     // gap-based sessionization (window-function formulation; the streaming
     // flatMapGroupsWithState twin is exercised in StreamingSpec).
     "st02_sessionize" -> ((s, dir) =>
@@ -1349,6 +1368,18 @@ object SparkEntry {
         |  ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts""".stripMargin,
+    // batch left join under the same watermark-safe cutoff.
+    "st08_stream_outer_join" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 3 HOUR AS cutoff FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS click_id, user_id, ts AS c_ts
+        |      FROM events WHERE event_type = 'click')
+        |SELECT p.purchase_id, c.click_id
+        |FROM p CROSS JOIN mx LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+        |WHERE p.p_ts < mx.cutoff""".stripMargin,
     "st03_stream_enrich" ->
       """SELECT event_id, user_id, event_type, c_mktsegment,
         |  CAST(c_nationkey AS BIGINT) AS c_nationkey

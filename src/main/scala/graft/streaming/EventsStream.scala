@@ -170,6 +170,31 @@ object EventsStream {
         col("c_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: like [[purchaseClickJoin]], but
+    * purchases with no qualifying click still emit (null click columns) once
+    * the watermark proves no more clicks can arrive for them. Matches emit
+    * immediately; unmatched rows emit on state eviction — so the join is
+    * complete only for purchases the watermark has definitively passed.
+    * Callers comparing against a batch left join must restrict to event times
+    * safely below the final watermark (see st08, which keeps a one-join-window
+    * margin); rows nearer the stream head are not LOST, they finalize in the
+    * next run from checkpointed state. */
+  def purchaseClickLeftJoin(events: DataFrame, windowBack: String = "1 hour"): DataFrame = {
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowBack") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Streaming exact dedup for at-least-once sources:
     * `dropDuplicatesWithinWatermark` keeps a key's state only until the
     * watermark passes its event time + delay, so state is bounded by the

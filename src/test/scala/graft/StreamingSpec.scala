@@ -104,4 +104,23 @@ class StreamingSpec extends SparkSpec {
     }
     assert(counts.sum == total)
   }
+
+  test("left-outer stream join emits watermark-finalized unmatched purchases") {
+    val out = java.nio.file.Files.createTempDirectory("graft-st08-spec")
+    val res = graft.streaming.EventsStream.runAvailableNowToFiles(spark, sf0001,
+      ev => graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
+        .select(col("purchase_id"), col("p_ts"), col("click_id")),
+      s"$out/data", s"$out/ckpt")
+    assert(res.count() > 0)
+    assert(res.where(col("click_id").isNull).count() > 0,
+      "some purchases have no qualifying click and must still emit")
+    // matched rows agree with the inner-join formulation on the same data
+    val inner = graft.streaming.EventsStream.runAvailableNowToFiles(spark, sf0001,
+      ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
+        .select(col("purchase_id"), col("p_ts"), col("click_id")),
+      s"$out/data2", s"$out/ckpt2")
+    val matchedOuter = res.where(col("click_id").isNotNull)
+      .select("purchase_id", "click_id").collect().toSet
+    assert(inner.select("purchase_id", "click_id").collect().toSet == matchedOuter)
+  }
 }
