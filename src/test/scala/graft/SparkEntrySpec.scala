@@ -11,9 +11,13 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every oracleSql key has a queries entry") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle without query: $missing")
+  test("queries and oracles are in exact 1:1 correspondence") {
+    // as of round 3 EVERY query carries an exact oracle — pin it both ways so
+    // a new operator cannot land without one (or an oracle outlive its query)
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(orphanOracles.isEmpty, s"oracle without query: $orphanOracles")
+    assert(unoracled.isEmpty, s"query without oracle: $unoracled")
   }
 
   test("all queries execute at sf0.001") {
