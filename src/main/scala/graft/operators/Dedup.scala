@@ -203,9 +203,11 @@ object Dedup {
     * Scale shape: the eval side is benchmark-sized, so its postings and full
     * shingle sets broadcast — candidate GENERATION probes the corpus in place
     * (no corpus shuffle, no self-join). Fetching shingle sets for the
-    * candidates then hash-shuffles the MATCHING corpus docs only (shuffle_hash,
-    * not broadcast: with common grams the candidate list can grow
-    * corpus-proportional, past any broadcast budget). Candidate generation
+    * candidates is the one corpus-wide exchange: a shuffle-hash join on the
+    * 8-byte id (no sort, and no broadcast — with common grams the candidate
+    * list can grow corpus-proportional, past any broadcast budget). One
+    * hash-partitioning pass of the corpus relation is the honest floor for a
+    * row-matched fetch at unbounded candidate counts. Candidate generation
     * requires one shared shingle, which any pair with jaccard > 0 has — so
     * unlike [[ngramJaccardPairs]]'s stop-shingle prune, recall here is total
     * by construction and an all-pairs oracle is exact at every scale.
@@ -227,9 +229,9 @@ object Dedup {
     // Fetching shingle sets for candidates: candidate count scales with how
     // much of the corpus shares grams with the eval set — common trigrams can
     // make it corpus-proportional, so broadcasting it would eventually blow
-    // the broadcast limit. shuffle_hash keeps the join a hash build over the
-    // (id, eval_id) pairs with no sort of the corpus relation; the exchange
-    // moves 8-byte-keyed shingle sets for MATCHING corpus docs only.
+    // the broadcast limit. shuffle_hash hash-partitions both sides on the
+    // 8-byte id with no sort; the corpus relation crosses that one exchange
+    // (the honest floor for a row-matched fetch — see scaladoc).
     c.join(candidates.hint("shuffle_hash"), "id").join(broadcast(e), "eval_id")
       .withColumn("inter", H.sorted_intersect_count(col("sh_c"), col("sh_e")))
       .withColumn("jaccard",

@@ -22,16 +22,18 @@ import org.apache.spark.sql.functions._
 object Reconcile {
 
   /** md5-derived 60-bit row hash of the given columns
-    * ([[graft.functions.HashExpressions.md5Hash60]] over a pipe-join). The
-    * null sentinel is the NUL character (written as an escape — the literal
-    * byte would make this source file binary to git): no real string column
-    * value collides with it precisely because most engines cannot even store
-    * NUL in a varchar. The flip side: an oracle reproducing hashes for rows
-    * with NULLs needs its engine to build NUL-bearing strings — compare the
-    * canonicalized values directly instead (as v01's oracle does). */
+    * ([[graft.functions.HashExpressions.md5Hash60]] over a pipe-join). Nulls
+    * are encoded OUT of band: every field carries a null-flag prefix
+    * (`0` for null, `1` + value otherwise), so no storable value can ever
+    * collide with the null encoding — unlike any in-band sentinel — and the
+    * scheme reproduces in plain ANSI SQL
+    * (`CASE WHEN c IS NULL THEN '0' ELSE '1' || CAST(c AS VARCHAR) END`).
+    * Remaining caveat (pre-existing): a value containing the `|` separator
+    * can shift field boundaries; canonicalize such columns first. */
   def rowHash(cols: Seq[Column]): Column =
     graft.functions.HashExpressions.md5Hash60(concat_ws("|",
-      cols.map(c => coalesce(c.cast("string"), lit("\u0000"))): _*))
+      cols.map(c => concat(when(c.isNull, lit("0")).otherwise(lit("1")),
+        coalesce(c.cast("string"), lit("")))): _*))
 
   /** Row-level diff of `a` vs `b` on `keyCols`, comparing `compareCols`
     * content: one row per differing key with status `missing_in_b` /

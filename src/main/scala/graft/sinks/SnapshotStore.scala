@@ -21,14 +21,14 @@ object SnapshotStore {
   def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    // one glob for all markers, not one exists() RPC per version — on an
-    // object store the per-version probe would cost V round trips per call
-    // (and latest() runs per micro-batch)
-    else Option(fs.globStatus(new Path(p, "v=*/_SUCCESS")))
-      .getOrElse(Array.empty).toSeq // globStatus contract: null on no base dir
+    // ONE glob round trip for all markers — latest() runs per micro-batch, so
+    // on an object store a per-version exists() probe (or a separate base-dir
+    // exists()) would multiply metadata RPCs; the glob's null contract already
+    // covers a missing base dir
+    Option(fs.globStatus(new Path(p, "v=*/_SUCCESS")))
+      .getOrElse(Array.empty).toSeq
       .map(_.getPath.getParent)
-      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
+      .flatMap(q => q.getName.stripPrefix("v=").toLongOption.map((_, q.toString)))
       .sortBy(_._1)
   }
 
@@ -42,7 +42,7 @@ object SnapshotStore {
       .filter(_.isDirectory)
       .map(_.getPath)
       .filter(_.getName.startsWith("v="))
-      .map(q => (q.getName.stripPrefix("v=").toLong, q.toString))
+      .flatMap(q => q.getName.stripPrefix("v=").toLongOption.map((_, q.toString)))
       .sortBy(_._1)
   }
 

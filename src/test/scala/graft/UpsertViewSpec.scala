@@ -120,6 +120,7 @@ class UpsertViewSpec extends SparkSpec {
     }
     markerless(1L) // crashed writer, superseded by committed v=2 -> garbage
     markerless(5L) // above newest committed -> possibly in flight, keep
+    new java.io.File(s"$dir/v=stray").mkdirs() // non-numeric foreign dir: ignored, not fatal
     val deleted = SnapshotStore.sweep(spark, dir, keep = 2)
     assert(deleted.size == 1 && deleted.head.endsWith("v=1"), deleted.toString)
     assert(new java.io.File(s"$dir/v=5").exists(), "in-flight dir must survive")
