@@ -963,6 +963,24 @@ object SparkEntry {
         base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq", "op")
     }),
 
+    // SCD2 dimension history over the SAME deterministic changelog as u01:
+    // every version kept as a validity interval; deletes close intervals and
+    // leave no current row (keys%91 get updated then deleted).
+    "u02_scd2_history" -> ((s, dir) => {
+      val base = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = base.where(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1.0))
+        .withColumn("op", lit("U")).withColumn("seq", lit(1L))
+      val del = base.where(col("o_orderkey") % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(2L))
+      val ins = base.where(col("o_orderkey") % 11 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L))
+      graft.operators.Merge.scd2(
+        base, upd.unionByName(del).unionByName(ins), Seq("o_orderkey"), "seq", "op")
+    }),
+
     // ordered event funnel view → click → purchase: per-user first-completion
     // chain (stage k strictly after first stage k-1) + depth. All stages stack
     // behind one Exchange; see operators.Funnel.
@@ -1009,6 +1027,16 @@ object SparkEntry {
           aggregate(col("qs"), lit(BigDecimal(0)).cast("decimal(18,2)"),
             (acc, x) => (acc + x).cast("decimal(18,2)")).cast("double").as("sum_qty"),
           bi(size(filter(col("qs"), _ > 25))).as("n_over_25"))),
+
+    // batch hopping-window aggregation: 1-hour windows every 30 minutes, so
+    // each event lands in exactly two windows (Spark's window() generator in
+    // batch mode — the batch twin of st01's tumbling stream windows).
+    "q40_hopping_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("value_sum"))
+        .select(col("w.start").as("window_start"), col("n_events"),
+          col("value_sum"))),
 
     // map surface (§2.6): per-order map from line number to quantity consumed
     // with element_at / map_keys / map lookup-with-default — outputs are
@@ -1930,6 +1958,30 @@ object SparkEntry {
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderpriority
         |FROM r WHERE rn = 1 AND op <> 'D'""".stripMargin,
+    "u02_scd2_history" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |chg AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1.0 AS o_totalprice,
+        |    'U' AS op, 1 AS seq FROM base WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, 'D', 2
+        |  FROM base WHERE o_orderkey % 13 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice, 'I', 1
+        |  FROM base WHERE o_orderkey % 11 = 0),
+        |u AS (
+        |  SELECT *, 0 AS seq, '' AS op FROM base
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice, seq, op FROM chg),
+        |v AS (
+        |  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+        |    AS valid_to
+        |  FROM u)
+        |SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(seq AS BIGINT) AS valid_from, CAST(valid_to AS BIGINT) AS valid_to,
+        |  CAST(valid_to IS NULL AS INTEGER) AS is_current
+        |FROM v WHERE op <> 'D'""".stripMargin,
     // identical running-conditional-min sequencing; strict > keeps same-instant
     // stage pairs from counting on both engines.
     "e01_funnel" ->
@@ -1992,6 +2044,18 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // every event belongs to the 30-min-aligned window starting at its bucket
+    // and the one 30 minutes earlier — exactly Spark's hop expansion.
+    "q40_hopping_window" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, value
+        |  FROM events)
+        |SELECT window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM x GROUP BY 1""".stripMargin,
     // the oracle computes the same scalars relationally — no map type needed.
     "q39_map_funcs" ->
       """WITH per AS (

@@ -66,4 +66,37 @@ object Merge {
     * combine means the exchange carries just the distinct values. */
   def touchedPartitions(changes: DataFrame, partCol: String): DataFrame =
     changes.select(col(partCol)).distinct()
+
+  /** SCD type-2 history: instead of collapsing to the latest state
+    * ([[snapshot]]), KEEP every version as a validity interval —
+    * `(payload..., valid_from, valid_to, is_current)` — the slowly-changing-
+    * dimension shape time-travel joins (as-of lookups against "what was this
+    * row worth then") need. Base rows open at sequence 0; each change closes
+    * its predecessor's interval at its own sequence; a delete closes the
+    * predecessor and contributes no row of its own, so a deleted key has no
+    * current version.
+    *
+    * Same single key shuffle as [[snapshot]] (union + one window pass, `lead`
+    * instead of `row_number`); the output grows with history length, which is
+    * the point. `(key, seq)` must be unique — simultaneous changes have no
+    * well-defined interval order. */
+  def scd2(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+           seqCol: String, opCol: String, deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val payload = base.columns.toSeq
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every base column; missing ${payload.filterNot(changes.columns.contains)}")
+    val b = base.select(payload.map(col) :+ lit(0L).as("graft_seq") :+
+      lit("").as("graft_op"): _*)
+    val c = changes.select(payload.map(col) :+
+      col(seqCol).cast("long").as("graft_seq") :+ col(opCol).as("graft_op"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("graft_seq"))
+    b.unionByName(c)
+      .withColumn("graft_to", lead(col("graft_seq"), 1).over(w))
+      .where(col("graft_op") =!= deleteOp)
+      .select(payload.map(col) ++ Seq(
+        col("graft_seq").as("valid_from"),
+        col("graft_to").as("valid_to"),
+        col("graft_to").isNull.cast("int").as("is_current")): _*)
+  }
 }

@@ -60,4 +60,24 @@ class MergeSpec extends SparkSpec {
     val got = Merge.touchedPartitions(changes, "part").as[String].collect().toSet
     assert(got == Set("p1", "p3"))
   }
+
+  test("scd2 keeps every version as an interval; deletes close without a row") {
+    val changes = Seq(
+      (2L, "b", 21.0, "U", 1L),  // version 2 of key 2
+      (2L, "b", 22.0, "U", 3L),  // version 3 (current)
+      (3L, "c", 30.0, "D", 2L),  // key 3 deleted: base closed, nothing current
+      (5L, "e", 50.0, "I", 1L)   // fresh key
+    ).toDF("k", "name", "price", "op", "seq")
+    val got = Merge.scd2(base, changes, Seq("k"), "seq", "op")
+      .as[(Long, String, Double, Long, Option[Long], Int)].collect().toSet
+    assert(got == Set(
+      (1L, "a", 10.0, 0L, None, 1),        // untouched: still current from seq 0
+      (2L, "b", 20.0, 0L, Some(1L), 0),
+      (2L, "b", 21.0, 1L, Some(3L), 0),
+      (2L, "b", 22.0, 3L, None, 1),
+      (3L, "c", 30.0, 0L, Some(2L), 0),    // closed by the delete, no current row
+      (4L, "d", 40.0, 0L, None, 1),
+      (5L, "e", 50.0, 1L, None, 1)
+    ), got.toString)
+  }
 }
