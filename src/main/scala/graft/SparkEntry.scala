@@ -1011,6 +1011,51 @@ object SparkEntry {
       graft.operators.Profile.histogram(
         t(s, dir, "orders"), "o_totalprice", width = 50000.0)),
 
+    // Space-Saving frequent items: language mix per source. capacity(64) >
+    // distinct langs per source, so no counter ever evicts, every err is 0 and
+    // the counts are EXACT — the plain GROUP BY oracle applies (the same
+    // regime profiling uses it in: bounded-domain column, one pass,
+    // map-side-merged state). ProfileSpec covers the eviction/bounds regime
+    // the oracle can't.
+    "p04_freq_items" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(graft.functions.SketchAggregates.spaceSaving(col("lang"), 64).as("items"))
+        .select(col("source"), explode(col("items")).as("e"))
+        .select(col("source"), col("e.item").as("lang"), col("e.cnt").as("cnt"))),
+
+    // passage-level (CCNet-style) dedup: 4-word chunks, first global
+    // occurrence survives, text reassembled. Hash-led chunk shuffle; see
+    // operators.Dedup.passageDedup.
+    "t10_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text", chunkWords = 4)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_removed"),
+          col("clean_text"))),
+
+    // Bloom-pruned fact⋈dim join: the dim keys' Bloom filter broadcasts to the
+    // fact scan and discards non-matching rows before the exchange; the real
+    // join then removes the false positives, so the result is EXACTLY the
+    // plain join (the oracle). See operators.BloomJoin.
+    "o06_bloom_join" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem").select(col("l_orderkey"),
+        bi(col("l_linenumber")).as("l_linenumber"), col("l_extendedprice"))
+      val dim = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 250000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.BloomJoin.prunedInnerJoin(
+          fact, dim, "l_orderkey", "o_orderkey", expectedDimRows = 100000L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("o_totalprice"))
+    }),
+
+    // per-group z-score outliers (exact-decimal moments → deterministic IEEE
+    // z; see operators.Features.zScoreOutliers).
+    "f02_outliers" -> ((s, dir) =>
+      graft.operators.Features.zScoreOutliers(
+        t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", zThreshold = 2.5)
+        .select(col("event_id"), col("event_type"), col("value"), col("z"))),
+
     // nested/array surface (§2.6): per-order sorted quantity array consumed
     // with higher-order functions — size, element access, and an exact
     // decimal fold via `aggregate` — all back to scalars (engines format
@@ -2044,6 +2089,55 @@ object SparkEntry {
         |  count(*) AS n
         |FROM orders WHERE o_totalprice IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // capacity > distinct langs per source → the sketch is exact (see p04 note).
+    "p04_freq_items" ->
+      """SELECT source, lang, count(*) AS cnt FROM documents
+        |WHERE lang IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // same chunking (non-overlapping 4-word windows, slice clipped at the
+    // tail), same first-owner rule (min doc_id then pos), same reassembly.
+    "t10_passage_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+        |      AS words
+        |  FROM documents WHERE text IS NOT NULL),
+        |ch AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    list_aggregate(words[(i-1)*4+1 : i*4], 'string_agg', ' ') AS chunk
+        |  FROM w, unnest(range(1, CAST(ceil(len(words)/4.0) AS BIGINT) + 1)) AS t(i)
+        |  WHERE len(words) > 0),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY chunk
+        |    ORDER BY doc_id, pos) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  count(*) FILTER (rn > 1) AS n_removed,
+        |  coalesce(string_agg(chunk, ' ' ORDER BY pos) FILTER (rn = 1), '')
+        |    AS clean_text
+        |FROM ranked GROUP BY doc_id""".stripMargin,
+    // the Bloom filter only PRUNES; the join result is the plain inner join.
+    "o06_bloom_join" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  l_extendedprice, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 250000.0""".stripMargin,
+    // exact decimal moments, then the identical IEEE expression tree.
+    "f02_outliers" ->
+      """WITH stats AS (
+        |  SELECT event_type,
+        |    count(value) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+        |      AS DOUBLE) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, s1 / n AS mean,
+        |    s2 / n - (s1 / n) * (s1 / n) AS var
+        |  FROM stats)
+        |SELECT event_id, e.event_type, value,
+        |  round((value - mean) / sqrt(var), 4) AS z
+        |FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+        |WHERE var > 0.0 AND abs(value - mean) > 2.5 * sqrt(var)""".stripMargin,
     // every event belongs to the 30-min-aligned window starting at its bucket
     // and the one 30 minutes earlier — exactly Spark's hop expansion.
     "q40_hopping_window" ->

@@ -234,6 +234,207 @@ object SketchAggregates {
     override def prettyName: String = "top_k_rows"
   }
 
+  /** Space-Saving frequent-items sketch (Metwally et al. 2005): the classic
+    * heavy-hitters summary with `capacity` counters per group. Every reported
+    * count is an UPPER bound and `cnt - err` a LOWER bound on the true
+    * frequency; any item with true frequency > N/capacity is guaranteed
+    * present. When the distinct count never exceeds `capacity` — the common
+    * "low-cardinality column, unknown-but-bounded domain" profiling case — no
+    * counter is ever evicted, every `err` is 0, and the result is EXACT (so a
+    * plain GROUP BY oracle applies).
+    *
+    * Merge keeps both bounds honest (Agarwal et al. 2013, mergeable
+    * summaries): keys in both sides sum counts and errors; a key present in
+    * only one side adds the other side's worst-case missed count (its minimum
+    * counter if that side ever evicted, else 0 — absent from a never-evicted
+    * summary means truly absent from that stream) to both `cnt` and `err`;
+    * then the merged table is trimmed back to `capacity`, dropping smallest.
+    * State is O(capacity) per group, updates combine map-side — a 100 TB scan
+    * ships `capacity` counters per group per partition, never the raw rows. */
+  case class SpaceSaving(child: Expression, capacity: Int,
+                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[SpaceSaving.Summary]
+      with UnaryLike[Expression] {
+    require(capacity >= 1 && capacity <= 65536,
+      s"space_saving: capacity out of range: $capacity")
+
+    override def createAggregationBuffer(): SpaceSaving.Summary =
+      new SpaceSaving.Summary()
+
+    override def update(buf: SpaceSaving.Summary, input: InternalRow): SpaceSaving.Summary = {
+      child.eval(input) match {
+        case null => ()
+        case v: UTF8String => buf.add(v, capacity)
+      }
+      buf
+    }
+
+    override def merge(a: SpaceSaving.Summary, b: SpaceSaving.Summary): SpaceSaving.Summary = {
+      a.mergeIn(b, capacity); a
+    }
+
+    /** array of (item, cnt, err), count-descending then item-ascending — a
+      * deterministic pure function of the merged summary. */
+    override def eval(buf: SpaceSaving.Summary): Any = {
+      val entries = buf.sortedEntries
+      val rows = entries.map { e =>
+        InternalRow(e.item, e.cnt, e.err): AnyRef
+      }
+      new GenericArrayData(rows)
+    }
+
+    override def serialize(buf: SpaceSaving.Summary): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeBoolean(buf.evicted)
+      out.writeInt(buf.map.size)
+      val it = buf.map.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val bytes = e.getKey.getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+        out.writeLong(e.getValue.cnt)
+        out.writeLong(e.getValue.err)
+      }
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): SpaceSaving.Summary = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      buf.evicted = in.readBoolean()
+      var n = in.readInt()
+      while (n > 0) {
+        val b = new Array[Byte](in.readInt())
+        in.readFully(b)
+        val c = new SpaceSaving.Counter(in.readLong(), in.readLong())
+        buf.map.put(UTF8String.fromBytes(b), c)
+        n -= 1
+      }
+      buf
+    }
+
+    override def dataType: DataType = ArrayType(SpaceSaving.entryType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"space_saving needs a string child (cast first), got $other")
+      }
+    override def withNewMutableAggBufferOffset(offset: Int): SpaceSaving =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): SpaceSaving =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(newChild: Expression): SpaceSaving =
+      copy(child = newChild)
+    override def prettyName: String = "space_saving"
+  }
+
+  object SpaceSaving {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val entryType: StructType = StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("err", LongType, nullable = false)))
+
+    final class Counter(var cnt: Long, var err: Long)
+
+    final class Summary {
+      val map = new java.util.HashMap[UTF8String, Counter]()
+      /** true iff this summary (or anything merged into it) ever dropped a
+        * counter — the switch between "exact table" and "sketch with bounds". */
+      var evicted: Boolean = false
+
+      def add(v: UTF8String, capacity: Int): Unit = {
+        val existing = map.get(v)
+        if (existing != null) existing.cnt += 1
+        else if (map.size < capacity) map.put(v.clone(), new Counter(1L, 0L))
+        else {
+          // classic Space-Saving eviction: the new item inherits the minimum
+          // counter's count as its overestimate bound (tie → lexicographically
+          // smallest key, for cross-partition determinism of the bound)
+          val (minKey, minCtr) = minEntry()
+          map.remove(minKey)
+          map.put(v.clone(), new Counter(minCtr.cnt + 1, minCtr.cnt))
+          evicted = true
+        }
+      }
+
+      private def minEntry(): (UTF8String, Counter) = {
+        var mk: UTF8String = null
+        var mc: Counter = null
+        val it = map.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          if (mc == null || e.getValue.cnt < mc.cnt ||
+              (e.getValue.cnt == mc.cnt && e.getKey.compareTo(mk) < 0)) {
+            mk = e.getKey; mc = e.getValue
+          }
+        }
+        (mk, mc)
+      }
+
+      /** the worst-case count a key ABSENT from this summary may have seen:
+        * 0 if nothing was ever evicted, else the minimum counter value. */
+      private def absentBound(): Long =
+        if (!evicted) 0L
+        else {
+          var m = Long.MaxValue
+          val it = map.values().iterator()
+          while (it.hasNext) m = math.min(m, it.next().cnt)
+          if (m == Long.MaxValue) 0L else m
+        }
+
+      def mergeIn(other: Summary, capacity: Int): Unit = {
+        val boundThis = absentBound()
+        val boundOther = other.absentBound()
+        // keys present here: add other's count (or its absent bound)
+        val itA = map.entrySet().iterator()
+        while (itA.hasNext) {
+          val e = itA.next()
+          val o = other.map.get(e.getKey)
+          if (o != null) { e.getValue.cnt += o.cnt; e.getValue.err += o.err }
+          else { e.getValue.cnt += boundOther; e.getValue.err += boundOther }
+        }
+        // keys only in other: bring over, charged with this side's absent bound
+        val itB = other.map.entrySet().iterator()
+        while (itB.hasNext) {
+          val e = itB.next()
+          if (!map.containsKey(e.getKey))
+            map.put(e.getKey, new Counter(e.getValue.cnt + boundThis, e.getValue.err + boundThis))
+        }
+        evicted ||= other.evicted
+        // trim back to capacity, dropping the smallest counters
+        while (map.size > capacity) {
+          val (mk, _) = minEntry()
+          map.remove(mk)
+          evicted = true
+        }
+      }
+
+      /** count-descending, item-ascending — deterministic regardless of
+        * partitioning or merge order (given identical multiset content). */
+      def sortedEntries: Array[Entry] = {
+        val arr = new Array[Entry](map.size)
+        var i = 0
+        val it = map.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          arr(i) = Entry(e.getKey, e.getValue.cnt, e.getValue.err)
+          i += 1
+        }
+        java.util.Arrays.sort(arr, (a: Entry, b: Entry) =>
+          if (a.cnt != b.cnt) java.lang.Long.compare(b.cnt, a.cnt)
+          else a.item.compareTo(b.item))
+        arr
+      }
+    }
+
+    final case class Entry(item: UTF8String, cnt: Long, err: Long)
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** DataFrame-side: `bottomK(col, k)` usable inside `agg(...)`. */
@@ -243,4 +444,9 @@ object SketchAggregates {
   /** DataFrame-side: `topKRows(struct(metric, tiebreakers...), k)`. */
   def topKRows(structCol: Column, k: Int): Column =
     column(TopKRows(expression(structCol), k).toAggregateExpression())
+
+  /** DataFrame-side: `spaceSaving(col, capacity)` usable inside `agg(...)` —
+    * array of (item, cnt, err) structs, count-descending. */
+  def spaceSaving(c: Column, capacity: Int): Column =
+    column(SpaceSaving(expression(c), capacity).toAggregateExpression())
 }

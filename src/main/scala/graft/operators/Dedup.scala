@@ -280,6 +280,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Passage-level (CCNet-style) dedup: split each document into fixed-size
+    * word chunks, keep only the globally FIRST occurrence of each distinct
+    * chunk (ordered by doc id, then position), and reassemble the surviving
+    * text. This is the line/paragraph dedup of C4/CCNet — boilerplate shared
+    * across documents is removed everywhere but its first sighting — expressed
+    * on fixed word windows because granularity is a parameter, not a format
+    * assumption.
+    *
+    * Scale shape: chunk occurrences move on the hash-led key
+    * `(xxhash64(chunk), chunk)` — the 8-byte hash leads every exchange, the
+    * chunk text rides along only as the collision guard (same design as
+    * [[exactGroups]]). A map-side-combining min aggregation finds each chunk's
+    * first owner (shuffling only distinct chunks per partition), the
+    * occurrences hash-join back against that compact owner table, and
+    * survivors reassemble with one final shuffle on the doc id. No corpus-wide
+    * window sort, no all-pairs comparison.
+    *
+    * Returns one row per document: (id, n_chunks, n_removed, clean_text). */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+                   chunkWords: Int = 4): DataFrame = {
+    require(chunkWords >= 1, s"passageDedup: chunkWords out of range: $chunkWords")
+    val words = split(trim(col(textCol)), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " "))
+    val occ = df
+      .select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .where(col("chunk") =!= "")
+    // first global owner of each chunk value: min (id, pos), found by a
+    // map-side-combining aggregate on the hash-led key (not a window — a
+    // window would sort whole partitions; min_by keeps O(distinct) state)
+    val firstOwner = occ
+      .groupBy(xxhash64(col("chunk")).as("_fp"), col("chunk"))
+      .agg(min(struct(col("id"), col("pos"))).as("_first"))
+      .select(col("_fp"), col("chunk").as("_chunk"),
+        col("_first.id").as("first_id"), col("_first.pos").as("first_pos"))
+    val kept = occ
+      .join(firstOwner.hint("shuffle_hash"),
+        xxhash64(occ("chunk")) === col("_fp") && occ("chunk") === col("_chunk"))
+      .select(occ("id"), occ("pos"), occ("chunk"),
+        (occ("id") === col("first_id") && occ("pos") === col("first_pos")).as("keep"))
+    kept.groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"),
+        array_join(transform(array_sort(
+          collect_list(when(col("keep"), struct(col("pos"), col("chunk"))))),
+          s => s("chunk")), " ").as("clean_text"))
+  }
+
   /** Duplication-ratio ESTIMATE — the planning pass run before committing a
     * cluster to a full dedup of a 100 TB corpus: one scan, no shuffle of the
     * payload (HLL sketches merge map-side), answering "how much smaller would

@@ -36,6 +36,37 @@ object Features {
       .drop("graft_g", "graft_mn", "graft_mx")
   }
 
+  /** Per-group z-score outlier detection: flag rows whose value sits more than
+    * `zThreshold` standard deviations from their group's mean (population
+    * stddev — the profiling convention).
+    *
+    * Determinism across engines is the design constraint: a naive
+    * `avg`/`stddev` over doubles varies in the last ulp with accumulation
+    * order, so the moments are computed as EXACT decimal sums (sum and sum of
+    * squares — decimal(18,2) inputs, so decimal(38,4) squares stay exact),
+    * cast to double once, and the mean/variance/z arithmetic is then a fixed
+    * tree of IEEE ops on those exact inputs — bit-identical on Spark, DuckDB,
+    * or anything else that follows IEEE 754. Same broadcast-stats shape as
+    * [[minMaxNormalize]]: the fact side never shuffles. */
+  def zScoreOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                     zThreshold: Double): DataFrame = {
+    require(zThreshold > 0, s"zThreshold must be positive: $zThreshold")
+    val d = col(valueCol).cast("decimal(18,2)")
+    val stats = df.groupBy(col(groupCol))
+      .agg(count(col(valueCol)).as("graft_n"),
+        sum(d).cast("double").as("graft_s1"),
+        sum(d * d).cast("double").as("graft_s2"))
+      .withColumn("graft_mean", col("graft_s1") / col("graft_n"))
+      .withColumn("graft_var",
+        col("graft_s2") / col("graft_n") - col("graft_mean") * col("graft_mean"))
+      .withColumnRenamed(groupCol, "graft_g")
+    df.join(broadcast(stats), col(groupCol) <=> col("graft_g"))
+      .where(col("graft_var") > 0.0 &&
+        abs(col(valueCol) - col("graft_mean")) > lit(zThreshold) * sqrt(col("graft_var")))
+      .withColumn("z", round((col(valueCol) - col("graft_mean")) / sqrt(col("graft_var")), 4))
+      .drop("graft_g", "graft_n", "graft_s1", "graft_s2", "graft_mean", "graft_var")
+  }
+
   /** Top-`k` terms per group by a tf-idf-style score. `tf` is the term's
     * occurrence count in the group, `df` the number of distinct documents
     * containing it, and the score is `tf * N / df` — tf-weighted rarity, the

@@ -81,6 +81,33 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("passage dedup keeps only the first global occurrence of a repeated chunk") {
+    import spark.implicits._
+    // chunkWords=2: doc1 = [ab, cd], doc2 = [ab, xy], doc3 = [cd] — "ab"
+    // survives only in doc1 pos0; "cd" only in doc1 pos1 (beats doc3 by id).
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d")
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", chunkWords = 2)
+      .select("id", "n_chunks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 0L, "a b c d"),
+      (2L, 2L, 1L, "x y"),
+      (3L, 1L, 1L, "")))
+  }
+
+  test("passage dedup: within-doc repeats also collapse to the first position") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q p q p q")).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", chunkWords = 2)
+      .select("n_chunks", "n_removed", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(got == ((3L, 2L, "p q")))
+  }
+
   test("dup-ratio estimate lands near the exact ratio") {
     import spark.implicits._
     // 1000 rows over 400 distinct texts -> true dup ratio 0.6

@@ -26,6 +26,26 @@ class FeaturesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("z-score outliers flags only the far point, with the right sign") {
+    // group "a": nine 10.0s and one 100.0 — mean 19, var 729, sd 27;
+    // z(100) = 3 > 2.5, z(10) = -1/3. group "b": constant -> var 0, no rows.
+    val df = ((1L to 9L).map(i => (i, "a", 10.0)) ++ Seq((10L, "a", 100.0)) ++
+      Seq((11L, "b", 5.0), (12L, "b", 5.0))).toDF("id", "g", "x")
+    val got = Features.zScoreOutliers(df, "g", "x", zThreshold = 2.5)
+      .select("id", "z").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 3.0)))
+  }
+
+  test("z-score outliers keeps null-group rows in their own group") {
+    val df = Seq((1L, Option("a"), 1.0), (2L, Option.empty[String], 0.0),
+      (3L, Option.empty[String], 0.0), (4L, Option.empty[String], 100.0),
+      (5L, Option.empty[String], 0.0), (6L, Option.empty[String], 0.0)
+    ).toDF("id", "g", "x")
+    val got = Features.zScoreOutliers(df, "g", "x", zThreshold = 1.9)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(4L), s"null group must z-score internally: $got")
+  }
+
   test("tf-idf ranks a group-heavy rare term above common terms") {
     val docs = Seq(
       (1L, "a", "zebra zebra zebra common common"),

@@ -16,6 +16,41 @@ class ProfileSpec extends SparkSpec {
     assert(p("s") == ((4L, 3L, 2L, "a", "b")))
   }
 
+  test("space_saving is exact (err 0) when distincts fit the capacity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("v")
+      .repartition(4) // exercise partial buffers + merge
+    val rows = df.agg(graft.functions.SketchAggregates.spaceSaving(col("v"), 8).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select("e.item", "e.cnt", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(("a", 5L, 0L), ("b", 3L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("space_saving under eviction keeps bounds honest and heavy hitters present") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 60x "hot", and 30 singletons through a capacity-8 sketch: N=90,
+    // f(hot)=60 > N/8, so Space-Saving guarantees "hot" survives; every
+    // reported cnt must over-estimate and cnt-err under-estimate truth.
+    val truth = Seq.fill(60)("hot") ++ (1 to 30).map(i => f"one$i%02d")
+    val df = new scala.util.Random(42).shuffle(truth).toDF("v").repartition(4)
+    val rows = df.agg(graft.functions.SketchAggregates.spaceSaving(col("v"), 8).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select("e.item", "e.cnt", "e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length <= 8)
+    val byItem = rows.map(r => r._1 -> r).toMap
+    assert(byItem.contains("hot"), s"heavy hitter evicted: ${rows.toSeq}")
+    val trueCounts = truth.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (item, cnt, err) =>
+      val actual = trueCounts(item)
+      assert(cnt >= actual, s"$item: upper bound $cnt < true $actual")
+      assert(cnt - err <= actual, s"$item: lower bound ${cnt - err} > true $actual")
+    }
+  }
+
   test("hostile column names (quotes, dots, backticks) profile safely") {
     import spark.implicits._
     val df = Seq((1L, "x"), (2L, "y"))
