@@ -1056,6 +1056,32 @@ object SparkEntry {
         "event_type", "value", zThreshold = 2.5)
         .select(col("event_id"), col("event_type"), col("value"), col("z"))),
 
+    // one deterministic k-means Lloyd iteration over the embeddings (8 seed
+    // centroids = lowest vec_ids): map-only assignment, exact-decimal mean
+    // update — the oracle recomputes the same centroids bit-for-bit. See
+    // operators.Clustering.
+    "x02_kmeans_step" -> ((s, dir) =>
+      graft.operators.Clustering.kmeansStep(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
+
+    // per-language length-band filter: drop the shortest 5% and longest 5% of
+    // docs within each language — the adaptive length cut of corpus curation
+    // (a global cutoff over mixed languages removes the wrong docs; CJK runs
+    // short, German long). percent_rank is pure rank arithmetic — exact in
+    // any engine. The 100 TB path swaps the in-window rank for broadcast
+    // approx-quantile cutoffs (q34's documented pattern); the window form
+    // here is the exact-semantics contract that variant is judged against.
+    "t11_length_band" -> ((s, dir) => {
+      val nWords = bi(length(col("text"))) -
+        bi(length(regexp_replace(col("text"), " ", ""))) + lit(1L)
+      val w = Window.partitionBy(col("lang")).orderBy(col("n_words"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nWords.as("n_words"))
+        .withColumn("pr", percent_rank().over(w))
+        .where(col("pr") >= 0.05 && col("pr") <= 0.95)
+        .select(col("doc_id"), col("lang"), col("n_words"), round(col("pr"), 6).as("pr"))
+    }),
+
     // nested/array surface (§2.6): per-order sorted quantity array consumed
     // with higher-order functions — size, element access, and an exact
     // decimal fold via `aggregate` — all back to scalars (engines format
@@ -2138,6 +2164,41 @@ object SparkEntry {
         |  round((value - mean) / sqrt(var), 4) AS z
         |FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
         |WHERE var > 0.0 AND abs(value - mean) > 2.5 * sqrt(var)""".stripMargin,
+    // same seeds, same monotone score (a·c - |c|²/2, ties to lowest cid),
+    // same exact-decimal mean — the centroids must agree bit-for-bit.
+    "x02_kmeans_step" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cid, embedding AS cv,
+        |    list_dot_product(embedding, embedding) / 2 AS cn2h
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT e.vec_id, e.embedding, c.cid,
+        |    list_dot_product(e.embedding, c.cv) - c.cn2h AS score
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, embedding, cid,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY score DESC, cid) AS rn
+        |  FROM scored)
+        |SELECT CAST(cid AS BIGINT) AS cluster,
+        |  CAST(i - 1 AS BIGINT) AS dim_idx, count(*) AS n,
+        |  round(CAST(sum(CAST(embedding[i] AS DECIMAL(27,10))) AS DOUBLE)
+        |    / count(*), 6) AS centroid
+        |FROM assign, unnest(range(1, len(embedding) + 1)) AS t(i)
+        |WHERE rn = 1
+        |GROUP BY 1, 2""".stripMargin,
+    // percent_rank = (rank-1)/(n-1): rank arithmetic, engine-independent.
+    "t11_length_band" ->
+      """WITH x AS (
+        |  SELECT doc_id, lang,
+        |    CAST(length(text) AS BIGINT)
+        |      - CAST(length(replace(text, ' ', '')) AS BIGINT) + 1 AS n_words
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_words)
+        |    AS pr FROM x)
+        |SELECT doc_id, lang, n_words, round(pr, 6) AS pr
+        |FROM r WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
     // every event belongs to the 30-min-aligned window starting at its bucket
     // and the one 30 minutes earlier — exactly Spark's hop expansion.
     "q40_hopping_window" ->
