@@ -1076,6 +1076,9 @@ object SparkEntry {
         bi(length(regexp_replace(col("text"), " ", ""))) + lit(1L)
       val w = Window.partitionBy(col("lang")).orderBy(col("n_words"))
       t(s, dir, "documents")
+        // null text must not enter the window: Spark ranks NULLS FIRST,
+        // DuckDB NULLS LAST — one null would shift every rank in its language
+        .where(col("text").isNotNull)
         .select(col("doc_id"), col("lang"), nWords.as("n_words"))
         .withColumn("pr", percent_rank().over(w))
         .where(col("pr") >= 0.05 && col("pr") <= 0.95)
@@ -2168,12 +2171,14 @@ object SparkEntry {
     // same exact-decimal mean — the centroids must agree bit-for-bit.
     "x02_kmeans_step" ->
       """WITH cents AS (
-        |  SELECT vec_id AS cid, embedding AS cv,
-        |    list_dot_product(embedding, embedding) / 2 AS cn2h
+        |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
+        |    list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                     CAST(embedding AS DOUBLE[])) / 2 AS cn2h
         |  FROM embeddings WHERE vec_id < 8),
         |scored AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
-        |    list_dot_product(e.embedding, c.cv) - c.cn2h AS score
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) - c.cn2h
+        |      AS score
         |  FROM embeddings e CROSS JOIN cents c),
         |assign AS (
         |  SELECT vec_id, embedding, cid,
@@ -2193,7 +2198,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    CAST(length(text) AS BIGINT)
         |      - CAST(length(replace(text, ' ', '')) AS BIGINT) + 1 AS n_words
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (
         |  SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY n_words)
         |    AS pr FROM x)

@@ -30,13 +30,12 @@ import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   */
 object BloomJoin {
 
-  /** Inner equi-join of `fact` against selective `dim`, Bloom-pruned.
-    * `expectedDimRows` sizes the filter (bits = 8 per expected item ≈ 2% fpp;
-    * oversizing is cheap, undersizing just raises the false-positive rate —
-    * correctness never depends on it). */
-  def prunedInnerJoin(fact: DataFrame, dim: DataFrame,
-                      factKey: String, dimKey: String,
-                      expectedDimRows: Long): DataFrame = {
+  /** The pruning half alone: `fact` rows whose key MIGHT be in `dim`'s key
+    * set (superset of the true matches by the filter's false-positive rate).
+    * Useful stand-alone as a semi-join reducer before any downstream op. */
+  def prune(fact: DataFrame, dim: DataFrame,
+            factKey: String, dimKey: String,
+            expectedDimRows: Long): DataFrame = {
     require(expectedDimRows > 0, "expectedDimRows must be positive")
     val bloomAgg = column(new BloomFilterAggregate(
       expression(xxhash64(col(dimKey))),
@@ -47,8 +46,18 @@ object BloomJoin {
     // one-row aggregate runs once and its result ships to every probe task.
     val bloomSubquery = ScalarSubquery(
       dim.agg(bloomAgg.as("_bloom")).queryExecution.logical)
-    val pruned = fact.where(column(BloomFilterMightContain(
+    fact.where(column(BloomFilterMightContain(
       bloomSubquery, expression(xxhash64(col(factKey))))))
+  }
+
+  /** Inner equi-join of `fact` against selective `dim`, Bloom-pruned.
+    * `expectedDimRows` sizes the filter (bits = 8 per expected item ≈ 2% fpp;
+    * oversizing is cheap, undersizing just raises the false-positive rate —
+    * correctness never depends on it). */
+  def prunedInnerJoin(fact: DataFrame, dim: DataFrame,
+                      factKey: String, dimKey: String,
+                      expectedDimRows: Long): DataFrame = {
+    val pruned = prune(fact, dim, factKey, dimKey, expectedDimRows)
     pruned.join(dim, pruned(factKey) === dim(dimKey))
   }
 }

@@ -301,10 +301,15 @@ object Dedup {
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
                    chunkWords: Int = 4): DataFrame = {
     require(chunkWords >= 1, s"passageDedup: chunkWords out of range: $chunkWords")
-    val words = split(trim(col(textCol)), "\\s+")
+    // drop empty tokens explicitly: trim only strips ' ', so a leading tab or
+    // newline would otherwise leave a "" first token and shift every chunk
+    // boundary (breaking dedup recall between edge-whitespace variants)
+    val words = filter(split(trim(col(textCol)), "\\s+"), w => w =!= "")
     val nChunks = ceil(size(words).cast("double") / chunkWords).cast("int")
-    val chunks = transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " "))
+    // guard the empty-words case: sequence(0, -1) would count DOWN
+    val chunks = when(size(words) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(words, i * chunkWords + 1, lit(chunkWords)), " ")))
     val occ = df
       .select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "chunk")))
       .where(col("chunk") =!= "")

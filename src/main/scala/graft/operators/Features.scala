@@ -54,9 +54,21 @@ object Features {
     val d = col(valueCol).cast("decimal(18,2)")
     val stats = df.groupBy(col(groupCol))
       .agg(count(col(valueCol)).as("graft_n"),
+        count(d).as("graft_nd"),
         sum(d).cast("double").as("graft_s1"),
         sum(d * d).cast("double").as("graft_s2"))
-      .withColumn("graft_mean", col("graft_s1") / col("graft_n"))
+      // non-ANSI Spark turns decimal overflow into NULL at two layers: a
+      // value too wide for the cast NULLs out (count(d) < count(value) — the
+      // row silently leaves the moments), and a too-large SUM NULLs whole
+      // s1/s2 (the group silently declares itself outlier-free). Fail loud on
+      // both (assert_true rides inside the mean expression so the optimizer
+      // cannot prune it away).
+      .withColumn("graft_mean",
+        when(assert_true(col("graft_n") === col("graft_nd") &&
+            (col("graft_n") === 0 ||
+              (col("graft_s1").isNotNull && col("graft_s2").isNotNull)),
+          lit(s"zScoreOutliers($valueCol): decimal overflow in group moments")).isNull,
+          col("graft_s1") / col("graft_n")))
       .withColumn("graft_var",
         col("graft_s2") / col("graft_n") - col("graft_mean") * col("graft_mean"))
       .withColumnRenamed(groupCol, "graft_g")
@@ -64,7 +76,8 @@ object Features {
       .where(col("graft_var") > 0.0 &&
         abs(col(valueCol) - col("graft_mean")) > lit(zThreshold) * sqrt(col("graft_var")))
       .withColumn("z", round((col(valueCol) - col("graft_mean")) / sqrt(col("graft_var")), 4))
-      .drop("graft_g", "graft_n", "graft_s1", "graft_s2", "graft_mean", "graft_var")
+      .drop("graft_g", "graft_n", "graft_nd", "graft_s1", "graft_s2",
+        "graft_mean", "graft_var")
   }
 
   /** Top-`k` terms per group by a tf-idf-style score. `tf` is the term's

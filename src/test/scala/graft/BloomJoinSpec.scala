@@ -28,12 +28,13 @@ class BloomJoinSpec extends SparkSpec {
   }
 
   test("non-matching fact rows are discarded BEFORE the join's exchange") {
-    // count rows surviving the bloom filter alone: with a well-sized filter on
-    // this tiny dim, false positives are essentially impossible, so the
-    // pre-join row count must drop from 6 to the 3 genuine matches.
-    val bloomOnly = BloomJoin.prunedInnerJoin(fact, dim, "fk", "dk", expectedDimRows = 16)
-      .select("fk").distinct()
-    assert(bloomOnly.count() == 2) // keys 1 and 3 only
+    // measure the bloom filter's output alone — NOT the joined result (the
+    // join would mask a broken filter): with a well-sized filter on this tiny
+    // dim, false positives are essentially impossible, so the pre-join row
+    // count must drop from 6 to the 3 genuine matches.
+    val pruned = BloomJoin.prune(fact, dim, "fk", "dk", expectedDimRows = 16)
+    assert(pruned.count() == 3)
+    assert(pruned.select("fk").as[Long].collect().sorted.toSeq == Seq(1L, 1L, 3L))
   }
 
   test("a fact row matching the bloom but not the dim is removed by the join") {

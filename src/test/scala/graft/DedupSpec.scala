@@ -108,6 +108,20 @@ class DedupSpec extends SparkSpec {
     assert(got == ((3L, 2L, "p q")))
   }
 
+  test("passage dedup: edge whitespace does not shift chunk boundaries") {
+    import spark.implicits._
+    // tab-prefixed and plain variants of the same passage must dedup against
+    // each other (empty tokens are filtered before chunking); all-whitespace
+    // and null texts contribute no chunks
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "\ta b\nc d"), (3L, " \t\n"), (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(docs, "doc_id", "text", chunkWords = 2)
+      .select("id", "n_chunks", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 0L, "a b c d"), (2L, 2L, 2L, "")))
+  }
+
   test("dup-ratio estimate lands near the exact ratio") {
     import spark.implicits._
     // 1000 rows over 400 distinct texts -> true dup ratio 0.6

@@ -46,6 +46,37 @@ class FeaturesSpec extends SparkSpec {
     assert(got == Seq(4L), s"null group must z-score internally: $got")
   }
 
+  test("z-score outliers fails loud when a value overflows the decimal moments") {
+    // 1e17 overflows decimal(18,2) at the cast. Under ANSI (Spark 4 default)
+    // the cast itself throws; under non-ANSI the NULL would silently drop the
+    // row from the moments — the operator's own assert catches that. Either
+    // way: loud failure, never a quietly wrong z.
+    val df = Seq((1L, "a", 1.0e17), (2L, "a", 1.0), (3L, "a", 2.0))
+      .toDF("id", "g", "x")
+    val e = intercept[Exception] {
+      Features.zScoreOutliers(df, "g", "x", zThreshold = 2.0).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("decimal overflow")
+      || m.contains("NUMERIC_VALUE_OUT_OF_RANGE")), msgs(e).toString)
+  }
+
+  test("z-score outliers' non-ANSI overflow guard trips on a NULLed moment") {
+    val prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val df = Seq((1L, "a", 1.0e17), (2L, "a", 1.0), (3L, "a", 2.0))
+        .toDF("id", "g", "x")
+      val e = intercept[Exception] {
+        Features.zScoreOutliers(df, "g", "x", zThreshold = 2.0).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("decimal overflow")), msgs(e).toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   test("tf-idf ranks a group-heavy rare term above common terms") {
     val docs = Seq(
       (1L, "a", "zebra zebra zebra common common"),
