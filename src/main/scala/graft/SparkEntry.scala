@@ -455,6 +455,17 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // hopping-window streaming aggregation (q40's stream twin): 1-hour
+    // windows every 30 minutes through the production Append file sink —
+    // only watermark-finalized windows emit (window end <= max(ts) - 2h).
+    "st09_stream_hopping" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = java.nio.file.Files.createTempDirectory(s"graft-st09-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        graft.streaming.EventsStream.hoppingByType,
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // stream-static enrichment: the events stream joined to the static
     // customer dimension, run through the production Append file sink. No
     // state store — every micro-batch joins against the dimension and emits,
@@ -1422,6 +1433,21 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
         |FROM events
         |WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
+        |GROUP BY 1, 2""".stripMargin,
+    // q40's hop expansion (each event in the aligned 30-min bucket's window
+    // and the one 30 min earlier) + st01's finalization cut, on 1-h windows.
+    "st09_stream_hopping" ->
+      """WITH x AS (
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS window_start,
+        |    event_type, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+        |    event_type, value FROM events)
+        |SELECT window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+        |FROM x
+        |WHERE window_start + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
     "st05_stream_dedup" ->

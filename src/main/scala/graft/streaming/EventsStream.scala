@@ -47,6 +47,19 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
 
+  /** Hopping (sliding) 1-hour windows every 30 minutes, 2-hour watermark —
+    * each event lands in two overlapping windows (q40 is the batch twin).
+    * Spark expands the hop BEFORE the shuffle: state is keyed by (window,
+    * type), so overlap multiplies state rows, not input scans. */
+  def hoppingByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
   /** TEST/VERIFY HARNESS ONLY: run a streaming aggregation to completion and
     * return the complete result via the in-memory sink. `Complete` + memory
     * materializes the whole aggregate on the driver every trigger — fine for

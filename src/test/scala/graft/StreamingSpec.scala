@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("hopping windows double-count each event across two windows and finalize") {
+    val out = java.nio.file.Files.createTempDirectory("graft-st09-test")
+    val streamed = EventsStream.runAvailableNowToFiles(spark, sf0001,
+      EventsStream.hoppingByType, s"$out/data", s"$out/ckpt")
+    val ev = Lake.table(spark, sf0001, "events")
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // every event belongs to exactly 2 hour-long windows (hop 30 min):
+    // the aligned 30-min bucket's window and the one starting 30 min earlier
+    val buckets = ev.select(
+        explode(array(
+          date_trunc("minute", col("ts")) - expr("INTERVAL 1 MINUTE") * (minute(col("ts")) % 30),
+          date_trunc("minute", col("ts")) - expr("INTERVAL 1 MINUTE") * (minute(col("ts")) % 30)
+            - expr("INTERVAL 30 MINUTES"))).as("window_start"),
+        col("event_type"), col("value"))
+    val batch = buckets
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 2 HOURS"))
+    assert(streamed.count() > 0)
+    assert(streamed.orderBy("window_start", "event_type").collect().toSeq ==
+      batch.orderBy("window_start", "event_type").collect().toSeq)
+  }
+
   test("flatMapGroupsWithState sessionization emits watermark-expired sessions " +
     "that match the batch formulation") {
     import spark.implicits._
