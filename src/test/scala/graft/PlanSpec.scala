@@ -33,6 +33,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("t10: passage-dedup exchanges are hash-led; chunk text never keys alone") {
+    val p = plan("t10_passage_dedup")
+    // both the owner aggregation and the join-back partition on
+    // xxhash64(chunk) — the 8-byte key leads every chunk exchange
+    assert(p.contains("hashpartitioning(xxhash64(chunk"), p)
+  }
+
+  test("o06: the might_contain filter sits on the fact scan, before any join") {
+    val p = plan("o06_bloom_join")
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("HashJoin")
+    assert(filterAt >= 0 && joinAt >= 0, p)
+    // executedPlan prints operators top-down (join above its children), so
+    // the pruning filter must appear BELOW (after) the join header
+    assert(filterAt > joinAt, s"bloom filter not under the join:\n$p")
+    assert(p.contains("bloom_filter_agg"), p)
+  }
+
+  test("x02: k-means assignment is map-only — one exchange total (the mean agg)") {
+    val p = plan("x02_kmeans_step")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+  }
+
   test("s01: query side broadcasts — the corpus is never shuffled") {
     val p = plan("s01_ann_bruteforce")
     assert(p.contains("Broadcast"), p)
