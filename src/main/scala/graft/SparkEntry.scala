@@ -1113,6 +1113,20 @@ object SparkEntry {
             (acc, x) => (acc + x).cast("decimal(18,2)")).cast("double").as("sum_qty"),
           bi(size(filter(col("qs"), _ > 25))).as("n_over_25"))),
 
+    // LISTAGG surface (§2.6): ordered string aggregation per group —
+    // listagg(expr, sep) WITHIN GROUP (ORDER BY ...) re-expressed as
+    // sort_array(collect_list(struct)) + array_join so the concatenation
+    // order is deterministic under any partitioning (a bare collect_list
+    // would be partition-order-dependent and flake the hash compare).
+    "q41_listagg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(
+          array_join(transform(
+            array_sort(collect_list(struct(bi(col("l_linenumber")).as("n")))),
+            s0 => s0("n").cast("string")), ",").as("line_numbers"),
+          count(lit(1)).as("n_lines"))),
+
     // batch hopping-window aggregation: 1-hour windows every 30 minutes, so
     // each event lands in exactly two windows (Spark's window() generator in
     // batch mode — the batch twin of st01's tumbling stream windows).
@@ -2230,6 +2244,12 @@ object SparkEntry {
         |    AS pr FROM x)
         |SELECT doc_id, lang, n_words, round(pr, 6) AS pr
         |FROM r WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
+    "q41_listagg" ->
+      """SELECT l_orderkey,
+        |  string_agg(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), ','
+        |    ORDER BY l_linenumber) AS line_numbers,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // every event belongs to the 30-min-aligned window starting at its bucket
     // and the one 30 minutes earlier — exactly Spark's hop expansion.
     "q40_hopping_window" ->
