@@ -1127,6 +1127,22 @@ object SparkEntry {
             s0 => s0("n").cast("string")), ",").as("line_numbers"),
           count(lit(1)).as("n_lines"))),
 
+    // time-RANGE window frame (§2.5): per-user rolling 7-day totals — the
+    // rolling-feature op of a training pipeline. RANGE (not ROWS) frames
+    // bound by the ORDER-BY VALUE, so ties and gaps behave identically in
+    // any engine; the frame is [t - 7d, t] inclusive on epoch seconds.
+    "q42_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+        .rangeBetween(-7L * 86400L, 0L)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"))
+        .withColumn("n_7d", count(lit(1)).over(w))
+        .withColumn("sum_7d", sum(dec(col("value"))).over(w).cast("double"))
+        .select(col("event_id"), col("user_id"), col("ts_s"),
+          col("n_7d"), col("sum_7d"))
+    }),
+
     // batch hopping-window aggregation: 1-hour windows every 30 minutes, so
     // each event lands in exactly two windows (Spark's window() generator in
     // batch mode — the batch twin of st01's tumbling stream windows).
@@ -2244,6 +2260,14 @@ object SparkEntry {
         |    AS pr FROM x)
         |SELECT doc_id, lang, n_words, round(pr, 6) AS pr
         |FROM r WHERE pr >= 0.05 AND pr <= 0.95""".stripMargin,
+    "q42_range_frame" ->
+      """SELECT event_id, user_id,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |  count(*) OVER w AS n_7d,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_7d
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)""".stripMargin,
     "q41_listagg" ->
       """SELECT l_orderkey,
         |  string_agg(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), ','
