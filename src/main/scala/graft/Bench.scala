@@ -31,29 +31,45 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only.exists(n.startsWith) }
       .map { case (name, fn) =>
-      def once(): Double = {
+      // A failed query must NOT masquerade as a (bogus, fast) timing: it is
+      // recorded as null in the JSON and fails the whole bench run (rc != 0)
+      // so a regression can never read as a speedup.
+      def once(): Either[Throwable, Double] = {
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable => Left(e) }
       }
-      once(); once() // warmups, discarded
       // MIN of 3, not median: instrumented runs showed the host stalling for
       // multi-minute windows that span consecutive runs (a 0.5s/round
       // component loop measured 59s+41s inside one stall, 0.4s right after),
       // so any order statistic but the min is poisoned by scheduler noise
       // unrelated to the engine. Min-of-warm-runs is the standard robust
       // estimator for CPU-bound local benchmarks on shared hosts.
-      val best = (1 to 3).map(_ => once()).min
+      val best: Option[Double] = once() match { // first warmup, discarded
+        case Left(e) =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          None
+        case Right(_) =>
+          once() // second warmup, discarded
+          val runs = (1 to 3).map(_ => once())
+          runs.collectFirst { case Left(e) => e } match {
+            case Some(e) =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              None
+            case None => Some(runs.collect { case Right(t) => t }.min)
+          }
+      }
       spark.catalog.clearCache()
       System.gc()
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val failedQueries = results.collect { case (k, None) => k }
 
     // BASELINE.md comparison: the reference's end-to-end ingestion class is
     // extract -> transform -> single-file snappy parquet + CTL manifest
@@ -67,10 +83,12 @@ object Bench {
     // best of 2 for the same host-stall reason as the per-query min above;
     // fresh dest per run (the direct-write path refuses to overwrite by design)
     val (pipeSec, pipeRows) = (1 to 2).map { _ =>
-      val dest = java.nio.file.Files.createTempDirectory("graft-bench-pipe").toString
+      val dest = java.nio.file.Files.createTempDirectory("graft-bench-pipe")
       val t0 = System.nanoTime()
-      val ctx = graft.pipeline.IngestionPipeline.run(spark, cfg, sfDir, dest)
-      ((System.nanoTime() - t0) / 1e9, ctx.rowCount.getOrElse(0L))
+      val ctx = graft.pipeline.IngestionPipeline.run(spark, cfg, sfDir, dest.toString)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      graft.util.Scratch.deleteRecursively(dest) // hygiene: no /tmp leak per run
+      (elapsed, ctx.rowCount.getOrElse(0L))
     }.minBy(_._1)
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
@@ -78,5 +96,9 @@ object Bench {
       s""""pipeline_rows_per_sec":${if (pipeSec > 0) pipeRows / pipeSec else 0.0},""" +
       s""""sf":"$sfDir"}""")
     spark.stop()
+    if (failedQueries.nonEmpty) {
+      System.err.println(s"[bench] FAILED: ${failedQueries.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -354,6 +354,64 @@ object SparkEntry {
           percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
           count(lit(1)).as("n"))),
 
+    // the documented 100 TB swap for q34, landed as a checked entry: bounded-
+    // state approx_percentile (GK sketch, O(accuracy·log n) per group) with a
+    // DRIVER-CHECKED guarantee. The sketch's hard promise is rank-space — the
+    // returned value's rank interval [count(<v), count(<=v)] must intersect
+    // the target rank ± n/accuracy — so the entry emits that bound check per
+    // group (deterministically true, stated literally by the oracle), and
+    // ApproxQuantileSpec pins value-space closeness against exact quantiles.
+    "q43_approx_percentile" -> ((s, dir) => {
+      val acc = 100
+      val slack = lit(1.0) / acc * col("n") + lit(2.0)
+      val o = t(s, dir, "orders").select(col("o_orderpriority"), col("o_totalprice"))
+      val sk = o.groupBy(col("o_orderpriority")).agg(
+        approx_percentile(col("o_totalprice"), lit(0.5), lit(acc)).as("p50"),
+        approx_percentile(col("o_totalprice"), lit(0.9), lit(acc)).as("p90"),
+        count(lit(1)).as("n"))
+      o.join(broadcast(sk), "o_orderpriority")
+        .groupBy(col("o_orderpriority"), col("n"))
+        .agg(
+          sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rle50"),
+          sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("rlt50"),
+          sum(when(col("o_totalprice") <= col("p90"), 1L).otherwise(0L)).as("rle90"),
+          sum(when(col("o_totalprice") < col("p90"), 1L).otherwise(0L)).as("rlt90"))
+        .select(col("o_orderpriority"), bi(col("n")).as("n"),
+          (col("rle50") >= col("n") * 0.5 - slack &&
+            col("rlt50") <= col("n") * 0.5 + slack).cast("int").as("p50_in_bound"),
+          (col("rle90") >= col("n") * 0.9 - slack &&
+            col("rlt90") <= col("n") * 0.9 + slack).cast("int").as("p90_in_bound"))
+    }),
+
+    // t11's adaptive per-language length cutoffs on the same bounded-state
+    // sketch (the exact percent_rank pass buffers whole languages; the sketch
+    // doesn't) — same driver-checked rank-bound shape as q43.
+    "t12_approx_cutoffs" -> ((s, dir) => {
+      val acc = 1000
+      val slack = lit(1.0) / acc * col("n") + lit(2.0)
+      val nWords = bi(length(col("text"))) -
+        bi(length(regexp_replace(col("text"), " ", ""))) + lit(1L)
+      val d = t(s, dir, "documents")
+        .where(col("text").isNotNull && col("lang").isNotNull)
+        .select(col("lang"), nWords.as("n_words"))
+      val sk = d.groupBy(col("lang")).agg(
+        approx_percentile(col("n_words"), lit(0.05), lit(acc)).as("lo"),
+        approx_percentile(col("n_words"), lit(0.95), lit(acc)).as("hi"),
+        count(lit(1)).as("n"))
+      d.join(broadcast(sk), "lang")
+        .groupBy(col("lang"), col("n"))
+        .agg(
+          sum(when(col("n_words") <= col("lo"), 1L).otherwise(0L)).as("rle_lo"),
+          sum(when(col("n_words") < col("lo"), 1L).otherwise(0L)).as("rlt_lo"),
+          sum(when(col("n_words") <= col("hi"), 1L).otherwise(0L)).as("rle_hi"),
+          sum(when(col("n_words") < col("hi"), 1L).otherwise(0L)).as("rlt_hi"))
+        .select(col("lang"), bi(col("n")).as("n"),
+          (col("rle_lo") >= col("n") * 0.05 - slack &&
+            col("rlt_lo") <= col("n") * 0.05 + slack).cast("int").as("lo_in_bound"),
+          (col("rle_hi") >= col("n") * 0.95 - slack &&
+            col("rlt_hi") <= col("n") * 0.95 + slack).cast("int").as("hi_in_bound"))
+    }),
+
     // PIVOT: market segments to columns, explicit value list (required at scale
     // — implicit pivot runs a distinct-collect on the driver first).
     "q35_pivot" -> ((s, dir) => {
@@ -449,7 +507,7 @@ object SparkEntry {
     // stays in StreamingSpec as the equivalence harness only.
     "st01_stream_hourly" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st01-$run")
+      val out = graft.util.Scratch.dir(s"graft-st01-$run")
       graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         graft.streaming.EventsStream.hourlyByType,
         s"$out/data", s"$out/ckpt")
@@ -460,7 +518,7 @@ object SparkEntry {
     // only watermark-finalized windows emit (window end <= max(ts) - 2h).
     "st09_stream_hopping" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st09-$run")
+      val out = graft.util.Scratch.dir(s"graft-st09-$run")
       graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         graft.streaming.EventsStream.hoppingByType,
         s"$out/data", s"$out/ckpt")
@@ -472,7 +530,7 @@ object SparkEntry {
     // so the result equals the batch join exactly.
     "st03_stream_enrich" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st03-$run")
+      val out = graft.util.Scratch.dir(s"graft-st03-$run")
       graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         ev => graft.streaming.EventsStream.enrichWithStatic(
             ev, Lake.table(s, dir, "customer"), "user_id", "c_custkey")
@@ -487,7 +545,7 @@ object SparkEntry {
     // deduped stream equals the original events exactly.
     "st05_stream_dedup" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st05-$run")
+      val out = graft.util.Scratch.dir(s"graft-st05-$run")
       graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         ev => graft.streaming.EventsStream.streamingDedup(ev.union(ev), "event_id")
           .select(col("event_id"), col("user_id"), col("event_type"),
@@ -511,7 +569,7 @@ object SparkEntry {
     // precisely the rows run 1 hadn't seen.
     "i01_incremental" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val base = java.nio.file.Files.createTempDirectory(s"graft-i01-$run")
+      val base = graft.util.Scratch.dir(s"graft-i01-$run")
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       val mm = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
@@ -527,16 +585,19 @@ object SparkEntry {
 
     // schema evolution across increments: an early increment without `lang`
     // and a later one with it read back as one table (mergeSchema unions the
-    // file schemas; pre-drift rows surface the new column as null).
+    // file schemas; pre-drift rows surface the new column as null). The split
+    // point is scale-relative (half of max doc_id, integer-floored the same
+    // way in the oracle) so both increments are non-empty at every SF.
     "i02_schema_evolution" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val base = java.nio.file.Files.createTempDirectory(s"graft-i02-$run")
+      val base = graft.util.Scratch.dir(s"graft-i02-$run")
       val docs = t(s, dir, "documents")
-      docs.where(col("doc_id") < 250).select(col("doc_id"), col("source"))
+      val cut = docs.agg(expr("max(doc_id) div 2").as("cut")).head().getLong(0)
+      docs.where(col("doc_id") < cut).select(col("doc_id"), col("source"))
         .write.parquet(s"$base/data/inc_from=0")
-      docs.where(col("doc_id") >= 250)
+      docs.where(col("doc_id") >= cut)
         .select(col("doc_id"), col("source"), col("lang"))
-        .write.parquet(s"$base/data/inc_from=250")
+        .write.parquet(s"$base/data/inc_from=$cut")
       graft.pipeline.Incremental.readAllEvolved(s, s"$base/data")
         .select(col("doc_id"), col("source"), col("lang"))
     }),
@@ -547,7 +608,7 @@ object SparkEntry {
     // replays idempotent. Output = everything landed, which equals the source.
     "st06_stream_ingest" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st06-$run")
+      val out = graft.util.Scratch.dir(s"graft-st06-$run")
       graft.streaming.EventsStream.runIngestStream(s, dir,
         ev => ev.select(col("event_id"), col("user_id"), col("event_type"),
           unix_timestamp(col("ts")).as("ts_s")),
@@ -561,7 +622,7 @@ object SparkEntry {
     // the window oracle applies.
     "st07_stream_upsert" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st07-$run")
+      val out = graft.util.Scratch.dir(s"graft-st07-$run")
       graft.streaming.UpsertView.runUpsertStream(s, dir, s"$out/snap", s"$out/ckpt")
     }),
 
@@ -572,7 +633,7 @@ object SparkEntry {
     // interval join.
     "st04_stream_join" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st04-$run")
+      val out = graft.util.Scratch.dir(s"graft-st04-$run")
       graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
           .select(col("purchase_id"), col("click_id"),
@@ -587,7 +648,7 @@ object SparkEntry {
     // equals the batch left join; newer rows finalize in the next run.
     "st08_stream_outer_join" -> ((s, dir) => {
       val run = java.util.UUID.randomUUID().toString.take(8)
-      val out = java.nio.file.Files.createTempDirectory(s"graft-st08-$run")
+      val out = graft.util.Scratch.dir(s"graft-st08-$run")
       val emitted = graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
         ev => graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
           .select(col("purchase_id"), col("p_ts"), col("click_id")),
@@ -935,10 +996,15 @@ object SparkEntry {
         (bi(length(col("text"))) - bi(length(regexp_replace(col("text"), " ", ""))) + lit(1L))
           .as("n_words"))),
 
-    // multimodal: binary payload plumbing + stubbed decode (mapPartitions batch).
+    // multimodal: REAL image codec — synthetic PNGs (dims/pixels closed-form in
+    // doc_id) encoded and decoded via javax.imageio inside the mapPartitions
+    // batch; the oracle recomputes the expected features from the closed form,
+    // so the lossless PNG round trip is exactly checked.
     "m01_media_features" -> ((s, dir) =>
       Multimodal.extractFeatures(
-        Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")).toDF()),
+        Multimodal.packSyntheticImages(t(s, dir, "documents"), "doc_id", "source")).toDF()
+        .select(col("media_id"), col("media_type"), col("width"), col("height"),
+          col("channels"), col("mean_intensity"))),
 
     // multimodal metadata path (binary length + content hash — SQL-expressible).
     "m02_media_bytes" -> ((s, dir) =>
@@ -1408,6 +1474,20 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90_price,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // q43/t12: the sketch's rank-error guarantee holds unconditionally, so
+    // the oracle states the bound checks as literal truth; n pins that the
+    // right rows fed the sketch.
+    "q43_approx_percentile" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(1 AS INTEGER) AS p50_in_bound,
+        |  CAST(1 AS INTEGER) AS p90_in_bound
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "t12_approx_cutoffs" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(1 AS INTEGER) AS lo_in_bound,
+        |  CAST(1 AS INTEGER) AS hi_in_bound
+        |FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |GROUP BY lang""".stripMargin,
     "q35_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
@@ -1492,9 +1572,12 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,
+    // `div` (Spark) and `//` (DuckDB) both floor for non-negative operands;
+    // plain `/` would be double division with engine-specific cast rounding.
     "i02_schema_evolution" ->
       """SELECT doc_id, source,
-        |  CASE WHEN doc_id < 250 THEN NULL ELSE lang END AS lang
+        |  CASE WHEN doc_id < (SELECT max(doc_id) // 2 FROM documents)
+        |       THEN NULL ELSE lang END AS lang
         |FROM documents""".stripMargin,
     // global latest-per-user with delete-wins-on-tie, errors as deletes —
     // equal to the batch-folded snapshot because per-key max is associative.
@@ -2013,27 +2096,30 @@ object SparkEntry {
         |      ELSE CAST(n_upper AS DOUBLE) / n_letters END)) * 0.1,
         |  6) AS quality
         |FROM g""".stripMargin,
-    // m01's decoder is a STUB, but a deterministic one: features derive from
-    // java.util.Arrays.hashCode over the payload bytes. The oracle re-computes
-    // that 32-bit fold in SQL (valid because this corpus is pure ASCII, so
-    // ascii(char) == byte), turning the whole mapPartitions plumbing — batching,
-    // schema, row alignment — into an exactly-checked path.
+    // m01's decoder is REAL (javax.imageio over genuine PNG bytes). The fixture
+    // image is closed-form in doc_id — width = id%16+4, height = id%12+4,
+    // sample(x,y,c) = (id*31 + x*7 + y*13 + c*5) % 256 — and PNG is lossless,
+    // so the oracle recomputes the exact decoded features without a PNG decoder.
+    // Division order (sum / pixels / 255) matches the Scala side bit-for-bit.
     "m01_media_features" ->
-      """WITH hashed AS (
-        |  SELECT doc_id AS media_id, 'image' AS media_type,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |    ((list_reduce(list_prepend(CAST(1 AS BIGINT),
-        |        list_transform(range(1, length(text)+1), i -> CAST(ascii(text[i]) AS BIGINT))),
-        |      (acc, b) -> (acc * 31 + b) % 4294967296)
-        |      + 2147483648) % 4294967296) - 2147483648 AS jh
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 12 + 4 AS INTEGER) AS height
         |  FROM documents),
-        |a AS (SELECT *, abs(jh) AS absh FROM hashed)
-        |SELECT media_id, media_type, n_bytes,
-        |  CAST(absh % 1920 + 1 AS INTEGER) AS width,
-        |  CAST((absh // 1920) % 1080 + 1 AS INTEGER) AS height,
+        |s AS (
+        |  SELECT media_id, width, height,
+        |    list_sum(flatten(list_transform(range(0, height), y ->
+        |      list_transform(range(0, width), x ->
+        |        (media_id*31 + x*7 + y*13) % 256
+        |        + (media_id*31 + x*7 + y*13 + 5) % 256
+        |        + (media_id*31 + x*7 + y*13 + 10) % 256)))) AS total
+        |  FROM d)
+        |SELECT media_id, 'image' AS media_type, width, height,
         |  CAST(3 AS INTEGER) AS channels,
-        |  CAST(absh % 256 AS DOUBLE) / 255.0 AS mean_intensity
-        |FROM a""".stripMargin,
+        |  CAST(total AS DOUBLE) / CAST(width*height*3 AS DOUBLE) / 255.0
+        |    AS mean_intensity
+        |FROM s""".stripMargin,
     "m03_frame_sample" ->
       """SELECT media_id, n_frames,
         |  unnest(list_filter(range(0, n_frames), i -> i % 2 = 0)) AS frame_idx
@@ -2224,13 +2310,16 @@ object SparkEntry {
         |FROM events e JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
         |WHERE var > 0.0 AND abs(value - mean) > 2.5 * sqrt(var)""".stripMargin,
     // same seeds, same monotone score (a·c - |c|²/2, ties to lowest cid),
-    // same exact-decimal mean — the centroids must agree bit-for-bit.
+    // same exact-decimal mean — the centroids must agree bit-for-bit. Seeds
+    // are derived exactly as the operator does (k lowest vec_ids via ORDER BY
+    // + LIMIT), not a hardcoded id predicate that assumes 0-based contiguity.
     "x02_kmeans_step" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
         |    list_dot_product(CAST(embedding AS DOUBLE[]),
         |                     CAST(embedding AS DOUBLE[])) / 2 AS cn2h
-        |  FROM embeddings WHERE vec_id < 8),
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 8)),
         |scored AS (
         |  SELECT e.vec_id, e.embedding, c.cid,
         |    list_dot_product(CAST(e.embedding AS DOUBLE[]), c.cv) - c.cn2h

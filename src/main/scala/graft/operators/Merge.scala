@@ -32,7 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
-  /** Collapse `base` + `changes` into the next snapshot.
+  /** Collapse `base` + `changes` into the next snapshot — ONE-SHOT semantics:
+    * any change beats the base row regardless of sequence (sequences order
+    * changes within this batch only), and tombstones are dropped from the
+    * output. Correct when the base is ground truth older than every change;
+    * for repeated folding across runs, where a replayed changelog with stale
+    * sequences must lose to what a previous run already applied, use
+    * [[snapshotState]] — it persists the winning sequence and tombstones.
     *
     * `changes` must carry the base's payload columns plus `opCol` (operation
     * code; rows equal to `deleteOp` are deletes, anything else upserts) and
@@ -59,6 +65,52 @@ object Merge {
       .where(col("graft_rn") === 1 && col("graft_op") =!= deleteOp)
       .select(payload.map(col): _*)
   }
+
+  /** Cross-run-safe stateful snapshot: like [[snapshot]], but the stored shape
+    * persists the winning sequence and operation per key (`graft_seq`,
+    * `graft_op`) and RETAINS tombstones — so folding successive changelogs is
+    * ordered by the changelog's OWN sequence column regardless of run order.
+    * A replayed or out-of-order batch with stale sequences loses to the
+    * persisted winner, and a deleted key can never be resurrected by a late
+    * update with an older sequence (the same rule as
+    * streaming `UpsertView.mergeBatch`, generalized to multi-column keys).
+    *
+    * `base` is either a previous snapshotState output (carries
+    * `graft_seq`/`graft_op`) or a plain first-run base, whose rows enter at
+    * sequence 0. On a sequence tie: delete wins, then the incoming change
+    * beats the persisted row. Filter live rows with [[serve]]. Same
+    * single-Exchange plan as [[snapshot]]. */
+  def snapshotState(base: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                    seqCol: String, opCol: String,
+                    deleteOp: String = "D"): DataFrame = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val stateCols = Set("graft_seq", "graft_op")
+    val payload = base.columns.toSeq.filterNot(stateCols)
+    require(payload.forall(changes.columns.contains),
+      s"changes must carry every base column; missing ${payload.filterNot(changes.columns.contains)}")
+    val b =
+      if (base.columns.contains("graft_seq"))
+        base.select(payload.map(col) :+ col("graft_seq") :+ col("graft_op") :+
+          lit(0L).as("graft_pri"): _*)
+      else
+        base.select(payload.map(col) :+ lit(0L).as("graft_seq") :+
+          lit("").as("graft_op") :+ lit(0L).as("graft_pri"): _*)
+    val c = changes.select(payload.map(col) :+
+      col(seqCol).cast("long").as("graft_seq") :+
+      col(opCol).as("graft_op") :+ lit(1L).as("graft_pri"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("graft_seq").desc, (col("graft_op") === deleteOp).desc,
+        col("graft_pri").desc)
+    b.unionByName(c)
+      .withColumn("graft_rn", row_number().over(w))
+      .where(col("graft_rn") === 1)
+      .select(payload.map(col) :+ col("graft_seq") :+ col("graft_op"): _*)
+  }
+
+  /** Live rows of a [[snapshotState]] snapshot (tombstones and state columns
+    * are storage concerns, not serve-time ones). */
+  def serve(snap: DataFrame, deleteOp: String = "D"): DataFrame =
+    snap.where(col("graft_op") =!= deleteOp).drop("graft_seq", "graft_op")
 
   /** Distinct values of `partCol` the changelog touches — the partitions a
     * dynamic-overwrite merge must rewrite. Tiny result (collected or broadcast

@@ -1,21 +1,28 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads with
   * typed metadata, and batched per-partition feature extraction.
   *
-  * The Spark-side plumbing is real and tested — schema, partition-sized batching,
-  * decoder signature — while the media decode itself is STUBBED with a
-  * deterministic fake (this container has no image/audio codecs). Swapping in a
-  * real decoder means replacing [[StubDecoder.decode]] only; nothing in the plan
-  * shape changes.
+  * The image path is REAL: payloads are genuine PNG files and
+  * [[ImageCodec.decode]] runs `javax.imageio.ImageIO` (public JDK) to recover
+  * width/height/channels and compute mean pixel intensity from the decoded
+  * raster. Because PNG is lossless, a deterministic synthetic image (dims and
+  * pixel values closed-form in the id — [[SynthImage]]) round-trips exactly,
+  * which is what lets the DuckDB oracle check the decoded features value-for-value
+  * without having a PNG decoder of its own.
   *
   * Scale notes: payloads never pass through a shuffle here — extraction is a
   * narrow `mapPartitions` directly over the scan; metadata-only queries should
   * select the typed columns so the parquet reader prunes the (huge) binary column
-  * away entirely.
+  * away entirely. `ImageIO`'s disk-backed stream cache is disabled once per JVM
+  * (it would otherwise write a temp file per decode on every executor).
   */
 object Multimodal {
 
@@ -36,26 +43,75 @@ object Multimodal {
       channels: Int,
       mean_intensity: Double)
 
-  /** STUB decoder — deterministic fake standing in for a real codec call.
-    * Derives pseudo-dimensions/intensity from the payload bytes so tests are
-    * stable and the full pipeline (batching, schema, nullability) is exercised. */
-  object StubDecoder {
-    def decode(r: MediaRecord): MediaFeatures = {
-      val h = java.util.Arrays.hashCode(r.payload)
-      val absH = math.abs(h.toLong)
-      MediaFeatures(
-        media_id = r.media_id,
-        media_type = r.media_type,
-        n_bytes = r.payload.length.toLong,
-        width = (absH % 1920 + 1).toInt,
-        height = (absH / 1920 % 1080 + 1).toInt,
-        channels = 3,
-        mean_intensity = (absH % 256).toDouble / 255.0)
+  /** Deterministic synthetic image: dims and every RGB sample are closed-form in
+    * the id, so an external oracle can recompute the expected features while the
+    * engine proves them through a real PNG encode→decode round trip. */
+  object SynthImage {
+    def width(id: Long): Int  = (id % 16 + 4).toInt  // 4..19 px
+    def height(id: Long): Int = (id % 12 + 4).toInt  // 4..15 px
+
+    /** Channel sample at (x, y): c=0/1/2 for R/G/B. */
+    def sample(id: Long, x: Int, y: Int, c: Int): Int =
+      ((id * 31 + x * 7 + y * 13 + c * 5) % 256).toInt
+
+    /** Encode the synthetic image as a real PNG via javax.imageio. */
+    def png(id: Long): Array[Byte] = {
+      val w = width(id); val h = height(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = (sample(id, x, y, 0) << 16) | (sample(id, x, y, 1) << 8) |
+            sample(id, x, y, 2)
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
     }
   }
 
-  /** Pack a text table into the media shape (test stand-in for real media bytes:
-    * `encode(text)` is the opaque payload). */
+  /** Real image decoder: `ImageIO.read` over the payload bytes. Corrupt or
+    * non-image payloads yield `None` (callers drop them — a 100 TB media crawl
+    * always contains undecodable bytes; crashing the stage on one is wrong). */
+  object ImageCodec {
+    // One-time JVM setting: keep ImageIO off its disk-backed stream cache.
+    ImageIO.setUseCache(false)
+
+    def decode(r: MediaRecord): Option[MediaFeatures] = {
+      val img =
+        try ImageIO.read(new ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        // intensity over the RGB planes regardless of alpha presence
+        val mean = sum.toDouble / (w.toLong * h * 3).toDouble / 255.0
+        Some(MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, w, h,
+          img.getColorModel.getNumComponents, mean))
+      }
+    }
+  }
+
+  /** Pack a text table into the media shape (opaque-bytes stand-in:
+    * `encode(text)` is the payload). Used by the metadata-only paths (m02/m03)
+    * where the payload is never decoded. */
   def packFromText(df: DataFrame, idCol: String, textCol: String,
                    sourceCol: String): DataFrame =
     df.select(
@@ -64,15 +120,29 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       col(sourceCol).as("source"))
 
+  /** Pack real PNG payloads ([[SynthImage.png]]) keyed by an id column. The
+    * encode runs distributed in the executors — the driver never sees a byte. */
+  def packSyntheticImages(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "image", SynthImage.png(id), src)
+      })
+      .toDF()
+  }
+
   /** Batched feature extraction: one decoder invocation stream per partition —
     * the Scala analogue of `mapInPandas` (iterator-of-batches in, iterator out),
-    * so decoder setup cost is amortized per partition, not per row. */
+    * so decoder setup cost is amortized per partition, not per row. Undecodable
+    * payloads are dropped, not fatal. */
   def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions { it =>
-      // per-partition decoder setup would go here (codec contexts, model load)
-      it.map(StubDecoder.decode)
+      // per-partition decoder setup goes here (codec contexts, model load)
+      it.flatMap(ImageCodec.decode)
     }
   }
 

@@ -246,9 +246,10 @@ object IngestionPipeline {
     * version, mirroring the single-file CTL contract.
     *
     * Sequencing across runs follows the changelog's OWN sequence column (not
-    * run order): pair with high-watermark extraction so each run's changelog
-    * carries later sequences, and note the batch merge drops tombstones — the
-    * streaming UpsertView documents the out-of-order caveat that implies. */
+    * run order): the stored snapshot persists each key's winning sequence and
+    * retains tombstones (`Merge.snapshotState`), so a replayed or out-of-order
+    * changelog with stale sequences cannot regress rows or resurrect deleted
+    * keys. Readers filter tombstones via `Merge.serve`. */
   def mergeWrite(destDir: String): Stage =
     stage("MergeWrite", Severity.Critical) { ctx =>
       val m = ctx.config.merge
@@ -265,7 +266,7 @@ object IngestionPipeline {
         .map { case (_, p) => graft.sinks.SnapshotStore.read(spark, p) }
         .getOrElse(changes.selectExpr(payload.toIndexedSeq: _*)
           .where(org.apache.spark.sql.functions.lit(false)))
-      val next = graft.operators.Merge.snapshot(base, changes,
+      val next = graft.operators.Merge.snapshotState(base, changes,
         m.keyColumns, m.sequenceColumn, m.operationColumn, m.deleteOperation)
       val obs = org.apache.spark.sql.Observation()
       val observed = next.observe(obs, org.apache.spark.sql.functions.count(

@@ -74,7 +74,7 @@ object EventsStream {
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory(s"graft-ckpt-$queryName").toString)
+        graft.util.Scratch.dir(s"graft-ckpt-$queryName").toString)
       .start()
     q.awaitTermination()
     spark.table(queryName)

@@ -30,11 +30,49 @@ class JdbcSpec extends SparkSpec {
   }
 
   test("prefix sniff: statement text vs procedure name (SqlServerDataSource.cs:78-91)") {
+    // every statement-keyword class routes as text...
     assert(Jdbc.isStatementText("SELECT 1"))
     assert(Jdbc.isStatementText("  with cte as (select 1) select * from cte"))
     assert(Jdbc.isStatementText("EXEC sp_thing"))
+    assert(Jdbc.isStatementText("exec dbo.sp_thing @p = 1"))
+    assert(Jdbc.isStatementText("INSERT INTO t VALUES (1)"))
+    assert(Jdbc.isStatementText("update t set a = 1"))
+    assert(Jdbc.isStatementText("Delete From t Where a = 1"))
+    // ...tolerating any leading whitespace (spaces, tabs, newlines, CRLF)
+    assert(Jdbc.isStatementText("\n\t  SELECT 1"))
+    assert(Jdbc.isStatementText("\r\n  WITH x AS (SELECT 1) SELECT * FROM x"))
+    // bare names route as procedures
     assert(!Jdbc.isStatementText("dbo.sp_GetDailyTrades"))
     assert(!Jdbc.isStatementText("HR_PKG.GET_EMPLOYEE_DATA"))
+    // the keyword must be the whole first token, not a prefix of it
+    assert(!Jdbc.isStatementText("SELECTED_ROWS_PROC"))
+    assert(!Jdbc.isStatementText("UPDATER"))
+    // reference contract: the sniff does NOT strip SQL comments — text led by
+    // a comment is treated as a procedure name (and fails at call time), same
+    // as the reference's raw StartsWith check. Pinned so a future "helpful"
+    // comment-stripper shows up as a contract change.
+    assert(!Jdbc.isStatementText("-- daily extract\nSELECT 1"))
+    assert(!Jdbc.isStatementText("/* hint */ SELECT 1"))
+  }
+
+  test("extract routes every statement-keyword prefix through the text path") {
+    val url = JdbcHarness.ensureCustomer(spark, sf0001)
+    // leading whitespace/newlines before the keyword still route as text
+    val df = Jdbc.extract(spark,
+      SourceConfig(`type` = "Jdbc", extractionType = "StoredProcedure",
+        procedureName = "\n  SELECT \"c_custkey\" FROM customer"), url)
+    assert(df.count() > 0)
+    // non-SELECT statement keywords also take the text path: the failure they
+    // produce is Spark's query-wrapping SQL error, never a missing-procedure
+    // error from the callable path (Derby's would name the procedure).
+    val e = intercept[Exception] {
+      Jdbc.extract(spark,
+        SourceConfig(`type` = "Jdbc", extractionType = "StoredProcedure",
+          procedureName = "UPDATE customer SET \"c_name\" = 'x'"), url)
+        .count()
+    }
+    val msg = e.toString + Option(e.getCause).map(_.toString).getOrElse("")
+    assert(!msg.toUpperCase.contains("PROCEDURE"), msg)
   }
 
   // ---- embedded-Derby integration ------------------------------------------

@@ -61,6 +61,39 @@ class MergeSpec extends SparkSpec {
     assert(got == Set("p1", "p3"))
   }
 
+  test("snapshotState: stale replay cannot regress rows or resurrect deletes") {
+    val run1 = Seq(
+      (2L, "b", 21.0, "U", 1L),
+      (3L, "c", 30.0, "U", 1L)
+    ).toDF("k", "name", "price", "op", "seq")
+    val run2 = Seq(
+      (2L, "b", 22.0, "U", 2L),  // newer update
+      (3L, "c", 30.0, "D", 2L)   // delete
+    ).toDF("k", "name", "price", "op", "seq")
+    val s1 = Merge.snapshotState(base, run1, Seq("k"), "seq", "op")
+    val s2 = Merge.snapshotState(s1, run2, Seq("k"), "seq", "op")
+    // tombstone for key 3 is RETAINED in the stored shape
+    assert(s2.where($"graft_op" === "D").select("k").as[Long].collect().toSeq == Seq(3L))
+    // replaying run 1 (stale seqs) on top changes nothing served
+    val s3 = Merge.snapshotState(s2, run1, Seq("k"), "seq", "op")
+    val served = Merge.serve(s3).as[(Long, String, Double)].collect().toSet
+    assert(served == Set((1L, "a", 10.0), (2L, "b", 22.0), (4L, "d", 40.0)),
+      served.toString)
+    // and folding out of order equals folding in order (winner is a max)
+    val r21 = Merge.snapshotState(
+      Merge.snapshotState(base, run2, Seq("k"), "seq", "op"),
+      run1, Seq("k"), "seq", "op")
+    assert(r21.collect().toSet == s3.collect().toSet)
+  }
+
+  test("snapshotState plans the same single key exchange as snapshot") {
+    val changes = Seq((2L, "b", 21.0, "U", 1L)).toDF("k", "name", "price", "op", "seq")
+    val plan = Merge.snapshotState(base, changes, Seq("k"), "seq", "op")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("scd2 keeps every version as an interval; deletes close without a row") {
     val changes = Seq(
       (2L, "b", 21.0, "U", 1L),  // version 2 of key 2

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
+import graft.operators.Multimodal.{MediaRecord, SynthImage}
 import graft.sources.Lake
 import org.apache.spark.sql.functions._
 
@@ -9,6 +10,9 @@ class MultimodalSpec extends SparkSpec {
   private def media = Multimodal.packFromText(
     Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "text", "source")
 
+  private def pngMedia = Multimodal.packSyntheticImages(
+    Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "source")
+
   test("packFromText produces the opaque-payload media schema") {
     val schema = media.schema
     assert(schema("payload").dataType.typeName == "binary")
@@ -16,16 +20,43 @@ class MultimodalSpec extends SparkSpec {
     assert(media.count() == 20)
   }
 
-  test("extractFeatures is deterministic and schema-complete") {
-    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
-    assert(f1.toSeq == f2.toSeq)
-    assert(f1.forall(f => f.width > 0 && f.height > 0 && f.channels == 3))
-    assert(f1.forall(f => f.mean_intensity >= 0.0 && f.mean_intensity <= 1.0))
-    // n_bytes equals the true payload length
-    val lens = media.select(col("media_id"), length(col("payload")).as("len"))
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(f1.forall(f => f.n_bytes == lens(f.media_id).toLong))
+  test("packSyntheticImages emits genuine PNG bytes") {
+    val rows = pngMedia.select("media_id", "payload").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      // PNG signature: 89 50 4E 47 0D 0A 1A 0A
+      assert(bytes.take(8).toSeq ==
+        Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    }
+  }
+
+  test("extractFeatures decodes real PNGs back to the closed-form features") {
+    val feats = Multimodal.extractFeatures(pngMedia).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.width == SynthImage.width(id))
+      assert(f.height == SynthImage.height(id))
+      assert(f.channels == 3)
+      var sum = 0L
+      for (y <- 0 until f.height; x <- 0 until f.width; c <- 0 until 3)
+        sum += SynthImage.sample(id, x, y, c)
+      val expected = sum.toDouble / (f.width.toLong * f.height * 3).toDouble / 255.0
+      assert(f.mean_intensity == expected) // lossless round trip — exact
+      assert(f.n_bytes > 8) // real encoded size, not a formula
+    }
+  }
+
+  test("extractFeatures drops undecodable payloads instead of failing the stage") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corrupt = Seq(
+      MediaRecord(1L, "image", SynthImage.png(1L), "ok"),
+      MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4), "bad"),
+      MediaRecord(3L, "image", Array.emptyByteArray, "empty")).toDF()
+    val out = Multimodal.extractFeatures(corrupt).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L))
   }
 
   test("sampleFrames keeps every stride-th pseudo-frame") {

@@ -128,7 +128,12 @@ class PipelineSpec extends SparkSpec {
       sf0001, dest, now = now)
     assert(!ctx2.failed, ctx2.errors.mkString("; "))
     assert(ctx2.dataFileName.contains("v=1"))
-    val snap = spark.read.parquet(s"$dest/cust-merge_snapshot/v=1")
+    // the STORED snapshot retains the tombstone for key 3 (plus per-key
+    // winning seq/op) so later runs can order against it; serving filters it
+    val stored = spark.read.parquet(s"$dest/cust-merge_snapshot/v=1")
+    assert(stored.select("c_custkey").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L, 9L))
+    val snap = graft.operators.Merge.serve(stored)
     val keys = snap.select("c_custkey").collect().map(_.getLong(0)).toSet
     assert(keys == Set(1L, 2L, 9L), keys.toString)
     // key 2 took the run-2 (uppercased) version; key 1 is untouched
@@ -136,9 +141,25 @@ class PipelineSpec extends SparkSpec {
     assert(names(2L) == names(2L).toUpperCase)
     assert(names(1L) != names(1L).toUpperCase)
     // version 0 still intact for in-flight readers; per-version CTL written
+    // (manifest counts STORED rows — what's actually in the files)
     assert(spark.read.parquet(s"$dest/cust-merge_snapshot/v=0").count() == 3)
-    assert(ctx2.ctl.exists(_.recordCount == 3L))
+    assert(ctx2.ctl.exists(_.recordCount == 4L))
     assert(new java.io.File(s"$dest/cust-merge_snapshot/v1.ctl").exists())
+
+    // run 3: REPLAY of run 1's changelog (stale sequences). The persisted
+    // winning seqs must hold: no resurrection of deleted key 3, no downgrade
+    // of key 2 back to its seq-1 value.
+    val ctx3 = IngestionPipeline.run(spark, cfg(
+      """SELECT c_custkey, c_name, 1 AS seq, 'U' AS op
+        |FROM customer WHERE c_custkey BETWEEN 1 AND 3""".stripMargin),
+      sf0001, dest, now = now)
+    assert(!ctx3.failed, ctx3.errors.mkString("; "))
+    val served3 = graft.operators.Merge.serve(
+      spark.read.parquet(s"$dest/cust-merge_snapshot/v=2"))
+    assert(served3.select("c_custkey").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 9L))
+    val names3 = served3.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names3(2L) == names3(2L).toUpperCase, "stale replay downgraded key 2")
   }
 
   test("environment gating skips non-matching transforms end to end") {
