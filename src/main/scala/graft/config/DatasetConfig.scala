@@ -26,6 +26,7 @@ final case class DatasetConfig(
     parquet: ParquetConfig = ParquetConfig(),
     upload: UploadConfig = UploadConfig(),
     merge: MergeConfig = MergeConfig(),
+    maintenance: MaintenanceConfig = MaintenanceConfig(),
     notifications: NotificationConfig = NotificationConfig(),
     metadata: MetaConfig = MetaConfig())
 
@@ -82,6 +83,16 @@ final case class MergeConfig(
     operationColumn: String = "",
     deleteOperation: String = "D")
 
+/** Lake-engine extension: a MAINTENANCE dataset — its scheduled "run" is a
+  * small-file compaction of a parquet directory (the chronic debt incremental
+  * ingestion accrues) instead of an extraction. Scheduled like any dataset, so
+  * the cron + no-overlap gate apply; `compactDir` resolves against the run's
+  * destination root unless absolute. */
+final case class MaintenanceConfig(
+    enabled: Boolean = false,
+    compactDir: String = "",
+    targetFileBytes: Long = 128L * 1024 * 1024)
+
 final case class FileSystemConfig(basePath: String = "", relativePath: String = "")
 final case class AzureBlobConfig(containerName: String = "", blobPath: String = "")
 final case class NotificationConfig(
@@ -122,6 +133,11 @@ object DatasetConfig {
         sequenceColumn = str(m, "sequenceColumn"),
         operationColumn = str(m, "operationColumn"),
         deleteOperation = strOr(m, "deleteOperation", "D"))).getOrElse(MergeConfig()),
+      maintenance = get(root, "maintenance").map(m => MaintenanceConfig(
+        enabled = bool(m, "enabled", default = false),
+        compactDir = str(m, "compactDir"),
+        targetFileBytes = get(m, "targetFileBytes").map(_.asLong(128L * 1024 * 1024))
+          .getOrElse(128L * 1024 * 1024))).getOrElse(MaintenanceConfig()),
       notifications = get(root, "notifications").map(n => NotificationConfig(
         bool(n, "onSuccess", default = false), bool(n, "onFailure", default = true),
         strSeq(n, "channels"))).getOrElse(NotificationConfig()),

@@ -282,6 +282,37 @@ object IngestionPipeline {
         ctlPath = Some(ctlPath))
     }
 
+  /** Maintenance run (config.maintenance.enabled): instead of extracting, the
+    * scheduled "run" compacts a parquet directory's accumulated small files
+    * into ~targetFileBytes files ([[graft.sinks.ParquetSink.compact]]) and
+    * emits a refreshed directory-level CTL manifest (manifest-of-parts — the
+    * same contract [[mergeWrite]] stamps on snapshot versions) as
+    * `<dirName>.ctl` next to the directory. Scheduled like any dataset, the
+    * no-overlap gate means a slow compaction is skipped-not-overlapped by its
+    * next cron fire; at 100 TB this is the job that keeps scan planning and
+    * file-listing cost flat as streaming/incremental ingestion drips files. */
+  def compactWrite(spark: SparkSession, destDir: String): Stage =
+    stage("Compaction", Severity.Critical) { ctx =>
+      val m = ctx.config.maintenance
+      require(m.compactDir.nonEmpty, "maintenance mode needs compactDir")
+      val dir =
+        if (new java.io.File(m.compactDir).isAbsolute) m.compactDir
+        else s"$destDir/${m.compactDir}"
+      val res = graft.sinks.ParquetSink.compact(spark, dir, m.targetFileBytes,
+        ctx.config.parquet.compressionCodec)
+      val rows = spark.read.parquet(dir).count()
+      val record = CtlManifest.forDirectory(spark, dir, rows,
+        ctx.config.datasetId, "Maintenance", ctx.startTime)
+      val dirName = new org.apache.hadoop.fs.Path(dir).getName
+      // the CTL lives BESIDE the directory (a stray .ctl inside it would trip
+      // the next plain parquet read of the table)
+      val parent = new org.apache.hadoop.fs.Path(dir).getParent.toString
+      val ctlPath = CtlManifest.write(spark, parent, s"$dirName.ctl", record)
+      ctx.copy(writtenPath = Some(res.path), writtenBytes = Some(res.bytes),
+        rowCount = Some(rows), dataFileName = Some(dirName),
+        ctl = Some(record), ctlPath = Some(ctlPath))
+    }
+
   /** Run the full chain for one dataset config. */
   def run(spark: SparkSession, config: DatasetConfig, lakeDir: String, destDir: String,
           environment: String = "Production",
@@ -290,7 +321,10 @@ object IngestionPipeline {
           connectionStrings: Map[String, String] = Map.empty,
           secrets: graft.sources.SecretResolver = graft.sources.SecretResolver.FromEnv): RunContext = {
     val stages: Seq[Stage] =
-      if (config.merge.enabled)
+      if (config.maintenance.enabled)
+        // maintenance dataset: the run IS the compaction (no extraction)
+        Seq(compactWrite(spark, destDir))
+      else if (config.merge.enabled)
         // merge publish: the snapshot version + its CTL are final placement
         Seq(extract(spark, lakeDir, connectionStrings, secrets), transform,
           mergeWrite(destDir))

@@ -90,4 +90,17 @@ class ConfigSpec extends AnyFunSuite {
     // absent section -> disabled
     assert(!DatasetConfig.parse("""{ "datasetId": "x" }""").merge.enabled)
   }
+
+  test("maintenance section parses case-insensitively with defaults") {
+    val cfg = DatasetConfig.parse("""{
+      "datasetId": "m",
+      "Maintenance": { "Enabled": true, "compactDir": "events_tbl",
+                       "targetFileBytes": 1048576 }
+    }""")
+    assert(cfg.maintenance.enabled)
+    assert(cfg.maintenance.compactDir == "events_tbl")
+    assert(cfg.maintenance.targetFileBytes == 1048576L)
+    val d = DatasetConfig.parse("""{ "datasetId": "x" }""").maintenance
+    assert(!d.enabled && d.targetFileBytes == 128L * 1024 * 1024)
+  }
 }

@@ -162,6 +162,49 @@ class PipelineSpec extends SparkSpec {
     assert(names3(2L) == names3(2L).toUpperCase, "stale replay downgraded key 2")
   }
 
+  test("scheduled compaction job folds ingest increments into few files + one CTL") {
+    val dest = Files.createTempDirectory("graft-pipe-compact").toString
+    val tbl = s"$dest/events_tbl"
+    // 5 small ingest increments drip 20 part files into one table directory
+    (0 until 5).foreach { i =>
+      spark.range(i * 1000L, i * 1000L + 1000L).selectExpr("id", "id * 2 AS v")
+        .repartition(4).write.mode("append").parquet(tbl)
+    }
+    val fs = new Path(tbl).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = graft.sinks.ParquetSink.listPartFiles(fs, new Path(tbl))
+    assert(before.size == 20, s"expected 20 small files, got ${before.size}")
+    val sumBefore = spark.read.parquet(tbl).selectExpr("sum(v)").first().getLong(0)
+
+    // wire through the REAL scheduler: a maintenance dataset whose cron fire
+    // runs the compaction pipeline (synchronous execute for determinism)
+    val cfg = DatasetConfig(datasetId = "compact-events",
+      cronExpression = "0 * * * * ?", // every minute at second 0
+      maintenance = graft.config.MaintenanceConfig(enabled = true,
+        compactDir = "events_tbl", targetFileBytes = 512L * 1024 * 1024))
+    var ctx: IngestionPipeline.RunContext = null
+    val sched = new graft.pipeline.DatasetScheduler(Seq(cfg),
+      d => ctx = IngestionPipeline.run(spark, d, sf0001, dest, now = now),
+      () => now)
+    val launched = sched.tick(now, r => r.run())
+    assert(launched == Seq("compact-events"))
+
+    assert(ctx != null && !ctx.failed, Option(ctx).map(_.errors.mkString("; ")).getOrElse("no run"))
+    // same rows, same content, far fewer files
+    val after = graft.sinks.ParquetSink.listPartFiles(fs, new Path(tbl))
+    assert(after.size <= 2, s"compaction left ${after.size} files")
+    assert(ctx.rowCount.contains(5000L))
+    assert(spark.read.parquet(tbl).count() == 5000L)
+    assert(spark.read.parquet(tbl).selectExpr("sum(v)").first().getLong(0) == sumBefore)
+    // one directory-level CTL beside the table, counting the stored rows
+    val ctl = new java.io.File(dest, "events_tbl.ctl")
+    assert(ctl.exists())
+    assert(ctx.ctl.exists(_.recordCount == 5000L))
+    // manifest checksum matches an independent recompute over the final files
+    val expected = CtlManifest.forDirectory(spark, tbl, 5000L, "compact-events",
+      "Maintenance", now)
+    assert(ctx.ctl.exists(_.checksum == expected.checksum))
+  }
+
   test("environment gating skips non-matching transforms end to end") {
     val dest = Files.createTempDirectory("graft-pipe-env").toString
     val cfg = tradesConfig.copy(transformations = Seq(
