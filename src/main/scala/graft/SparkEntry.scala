@@ -744,9 +744,14 @@ object SparkEntry {
     // while the oracle computes in float64, and the 6th decimal can differ. At
     // production thresholds (≥0.9, ~0.9 prob/plane) the same recall costs far
     // fewer, more selective tables.
+    // planesPerTable = 0 auto-sizes planes to the corpus (max(4, log2(n/128)))
+    // — identical to the recall-measured 4-plane config at sf0.01 AND sf0.1,
+    // while a 10x corpus gets 8 planes and keeps candidate generation ~linear
+    // (fixed 16-bucket tables measured x178 at data x10; see Dedup scaladoc
+    // for the recall-vs-cost trade that buys).
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 4, tables = 24)
+        dim = 64, threshold = 0.45, planesPerTable = 0, tables = 24)
         .select(col("id_a"), col("id_b"))),
 
     // near-dup CLUSTERS: pair list → connected components → canonical min-id

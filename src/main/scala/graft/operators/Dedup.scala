@@ -243,21 +243,40 @@ object Dedup {
   }
 
   /** Embedding near-dup pairs: sign-LSH bucketing (multi-table for recall) then
-    * exact cosine ≥ threshold within candidates. */
+    * exact cosine ≥ threshold within candidates.
+    *
+    * `planesPerTable = 0` AUTO-SIZES the planes to the corpus:
+    * `max(4, ceil(log2(n / targetBucketSize)))` — the per-table bucket count
+    * then grows with n, holding expected bucket occupancy (and therefore the
+    * bucket self-join's pair count) roughly CONSTANT per bucket, i.e. total
+    * candidate generation stays ~linear in n. Fixed planes are quadratic: at a
+    * 10x corpus a 16-bucket table turns a 125-row bucket into 1250 rows and
+    * the self-join cost x100 (measured: d06 went x178 at data x10 before
+    * auto-sizing). The flip side is the honest LSH trade — more planes lower
+    * per-table recall (collision prob p^planes), so a scaled corpus at the
+    * same `tables` budget trades recall instead of cost; raise `tables` (cost
+    * ~linear in it) or the threshold to buy recall back. The count() that
+    * sizes the planes is a parquet-metadata action, same driver seam as the
+    * IVF centroid seed. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             planesPerTable: Int = 12, tables: Int = 4,
-                            seed: Long = 42L): DataFrame = {
+                            seed: Long = 42L,
+                            targetBucketSize: Int = 128): DataFrame = {
+    val ppt =
+      if (planesPerTable > 0) planesPerTable
+      else autoPlanes(df.count(), targetBucketSize)
+    require(ppt * tables <= 960, s"plane budget too large: $ppt x $tables")
     val vecs = df.select(col(idCol).as("id"), V.l2normalize(col(vecCol)).as("v"))
     // all tables' hyperplanes in one literal matrix → all buckets in one pass
     val planes2d = (0 until tables).toArray
-      .flatMap(t => V.hyperplanes(dim, planesPerTable, seed + t))
+      .flatMap(t => V.hyperplanes(dim, ppt, seed + t))
     // letBind: dots stay a lambda leaf in the buckets expression (see
     // VectorFunctions.letBind — avoids CollapseProject tree multiplication)
     val banded = vecs
       .withColumn("_buckets",
         V.letBind(V.planeDots(col("v"), planes2d))(
-          dots => V.bucketsFromDots(dots, planesPerTable, tables)))
+          dots => V.bucketsFromDots(dots, ppt, tables)))
       .select(col("id"), col("v"),
         posexplode(col("_buckets")).as(Seq("table", "bucket")))
 
@@ -279,6 +298,13 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Planes so that n rows over 2^planes buckets sit at ~`targetBucketSize`
+    * occupancy; the floor of 4 keeps verify-scale corpora at the
+    * recall-measured config. */
+  private[operators] def autoPlanes(n: Long, targetBucketSize: Int): Int =
+    math.max(4, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
 
   /** Passage-level (CCNet-style) dedup: split each document into fixed-size
     * word chunks, keep only the globally FIRST occurrence of each distinct

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Lake-table catalog over the driver-generated parquet test lake.
   *
@@ -27,12 +27,18 @@ object Lake {
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The events table stores TIMESTAMP(NANOS), which Spark reads only as raw
-    // nanos-since-epoch longs (spark.sql.legacy.parquet.nanosAsLong=true — set by
-    // Verify/Bench/test sessions). Surface it as a real TimestampType, truncated
-    // to Spark's microsecond precision.
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The events table's `ts` contract is a UTC instant (TimestampType), but
+    // lake files come from mixed writers: the driver-generated lake stores
+    // TIMESTAMP(NANOS), which Spark reads only as raw nanos-since-epoch longs
+    // (spark.sql.legacy.parquet.nanosAsLong=true — set by Verify/Bench/test
+    // sessions); other engines write TIMESTAMP_NTZ with UTC wall-clock values.
+    // Normalize both to TimestampType (micros) so every downstream time op
+    // sees one type regardless of who wrote the file.
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
     else df
   }
 
