@@ -302,7 +302,7 @@ object Dedup {
   /** Planes so that n rows over 2^planes buckets sit at ~`targetBucketSize`
     * occupancy; the floor of 4 keeps verify-scale corpora at the
     * recall-measured config. */
-  private[operators] def autoPlanes(n: Long, targetBucketSize: Int): Int =
+  private[graft] def autoPlanes(n: Long, targetBucketSize: Int): Int =
     math.max(4, math.ceil(
       math.log(math.max(1.0, n.toDouble / targetBucketSize)) / math.log(2.0)).toInt)
 

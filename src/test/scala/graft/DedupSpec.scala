@@ -81,6 +81,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("autoPlanes holds verify scales at the measured config and grows with n") {
+    // the floor pins sf0.01 (500 vecs) and sf0.1 (2000) to the SAME 4-plane
+    // tables the recall was measured at — oracle results cannot shift
+    assert(Dedup.autoPlanes(500, 128) == 4)
+    assert(Dedup.autoPlanes(2000, 128) == 4)
+    // a 10x corpus gets more buckets (8 planes = 256/table), keeping bucket
+    // occupancy ~ targetBucketSize and candidate generation ~linear
+    assert(Dedup.autoPlanes(20000, 128) == 8)
+    assert(Dedup.autoPlanes(2000000, 128) == 14)
+    // degenerate inputs stay sane
+    assert(Dedup.autoPlanes(0, 128) == 4)
+    // auto (planesPerTable = 0) goes through the same pipeline end to end
+    val vs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j + 1).toFloat).toSeq))
+    val dfAuto = vs.toDF("vec_id", "embedding")
+    val auto = Dedup.embeddingNearDupPairs(dfAuto, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planesPerTable = 0, tables = 4)
+    val fixed = Dedup.embeddingNearDupPairs(dfAuto, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planesPerTable = 4, tables = 4)
+    assert(auto.collect().toSet == fixed.collect().toSet) // n=40 -> auto = 4
+  }
+
   test("passage dedup keeps only the first global occurrence of a repeated chunk") {
     import spark.implicits._
     // chunkWords=2: doc1 = [ab, cd], doc2 = [ab, xy], doc3 = [cd] — "ab"
