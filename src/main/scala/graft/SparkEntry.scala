@@ -412,6 +412,37 @@ object SparkEntry {
             col("rlt_hi") <= col("n") * 0.95 + slack).cast("int").as("hi_in_bound"))
     }),
 
+    // gaps-and-islands: per-user consecutive-activity-day streaks via the
+    // classic day − dense_rank grouping key — the window composition every
+    // retention/engagement pipeline ends up writing. Days are epoch-day ints
+    // so the arithmetic is engine-neutral; the distinct, the window, and the
+    // final aggregate all key on user_id-led keys.
+    "q44_gaps_islands" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      t(s, dir, "events")
+        .select(col("user_id"), expr("unix_date(CAST(ts AS DATE))").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - dense_rank().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("streak_start_day"),
+          bi(count(lit(1))).as("n_days"))
+        .select(col("user_id"), col("streak_start_day"), col("n_days"))
+    }),
+
+    // sketch-backed distinct count (HLL++, fixed state, partial-aggregable —
+    // the 100 TB swap for exact countDistinct's expand + wide shuffle) with a
+    // DRIVER-CHECKED error bound: |approx − exact| within 4x the configured
+    // relative standard deviation (deterministic for fixed data — HLL is
+    // hash-based, not randomized), stated literally by the oracle like q43.
+    "q45_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact"),
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx"))
+        .select(col("event_type"), bi(col("exact")).as("n_users"),
+          (abs(col("approx") - col("exact")) <=
+            greatest(col("exact") * 0.08, lit(8.0))).cast("int").as("in_bound"))),
+
     // PIVOT: market segments to columns, explicit value list (required at scale
     // — implicit pivot runs a distinct-collect on the driver first).
     "q35_pivot" -> ((s, dir) => {
@@ -1493,6 +1524,23 @@ object SparkEntry {
         |  CAST(1 AS INTEGER) AS hi_in_bound
         |FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
         |GROUP BY lang""".stripMargin,
+    // day - dense_rank is constant within a consecutive run and unique across
+    // runs; both engines compute it over identical (user, day) sets.
+    "q44_gaps_islands" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(ts AS DATE) - DATE '1970-01-01' AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |    day - dense_rank() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d)
+        |SELECT user_id, min(day) AS streak_start_day, count(*) AS n_days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
+    "q45_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  CAST(1 AS INTEGER) AS in_bound
+        |FROM events GROUP BY event_type""".stripMargin,
     "q35_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",

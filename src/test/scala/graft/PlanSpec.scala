@@ -83,6 +83,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("d06: LSH verification is candidates-only — no cartesian/nested-loop, " +
+       "vectors attach after the distinct") {
+    val p = plan("d06_embedding_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket self-join and pair-distinct run on ids; the vector payload
+    // re-attaches by equi-join afterwards, so each distinct pair dots once
+    assert(p.contains("HashAggregate"), p) // the pair distinct
+    assert("(BroadcastHash|ShuffledHash|SortMerge)Join".r.findAllIn(p).nonEmpty, p)
+  }
+
   test("t07: both stratum windows share ONE exchange (rank + count, same partitioning)") {
     val p = plan("t07_stratified_sample")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
