@@ -85,6 +85,33 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotState: any batch chopping/order of a changelog folds to the " +
+       "same served state (random changelogs)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(600 + seed)
+      val base = (1L to 20L).map(k => (k, rnd.nextInt(100))).toDF("k", "v")
+      // unique (k, seq): the winner per key is a max over (seq, isDelete) —
+      // associative + commutative, so ANY chopping into batches in ANY order
+      // must serve the same rows
+      val chg = rnd.shuffle((1L to 30L).toList).take(15).flatMap { k =>
+        rnd.shuffle((1L to 5L).toList).take(rnd.between(1, 4)).map(seq =>
+          (k, rnd.nextInt(100), if (rnd.nextBoolean()) "U" else "D", seq))
+      }
+      def fold(batches: Seq[Seq[(Long, Int, String, Long)]]): Map[Long, Int] = {
+        val end = batches.filter(_.nonEmpty).foldLeft(base) { (acc, b) =>
+          graft.operators.Merge.snapshotState(acc, b.toDF("k", "v", "op", "seq"),
+            Seq("k"), "seq", "op")
+        }
+        graft.operators.Merge.serve(end).as[(Long, Int)].collect().toMap
+      }
+      val oneShot = fold(Seq(chg))
+      val chopped = fold(chg.grouped(math.max(1, chg.size / 3)).toSeq)
+      val reversed = fold(chg.grouped(math.max(1, chg.size / 3)).toSeq.reverse)
+      assert(chopped == oneShot, s"seed=$seed chopped != one-shot")
+      assert(reversed == oneShot, s"seed=$seed reversed != one-shot")
+    }
+  }
+
   test("reconcile diff reports exactly the injected damage (random damage sets)") {
     for (seed <- 1 to 6) {
       val rnd = new Random(500 + seed)
