@@ -88,6 +88,26 @@ object ParquetSink {
     WriteResult(destDir, files.map(_.toString), files.map(p => fs.getFileStatus(p).getLen).sum)
   }
 
+  /** Hive-style partition columns of a parquet directory, read off the
+    * first-level `name=value` subdirectory chain (directory listing only, no
+    * data scan). Empty for a flat directory. */
+  def partitionColumnsOf(fs: FileSystem, dir: Path): Seq[String] = {
+    val cols = Seq.newBuilder[String]
+    var level = dir
+    var found = true
+    while (found) {
+      found = false
+      val subs = fs.listStatus(level).filter(s => s.isDirectory &&
+        !s.getPath.getName.startsWith(".") && s.getPath.getName.contains("="))
+      if (subs.nonEmpty) {
+        cols += subs.head.getPath.getName.takeWhile(_ != '=')
+        level = subs.head.getPath
+        found = true
+      }
+    }
+    cols.result()
+  }
+
   /** Compact a parquet directory's small files into ~`targetBytes` files —
     * the small-files problem is the chronic failure mode of incremental
     * ingestion at scale (every streaming micro-batch / cron run adds part
@@ -95,6 +115,10 @@ object ParquetSink {
     * degrade long before the data does). Rewrites into
     * `ceil(totalBytes / targetBytes)` partitions, then swaps the directory
     * atomically-enough for an uncatalogued lake path (write aside + rename).
+    * Hive-partitioned directories keep their layout: partition columns are
+    * detected from the `k=v` directory chain and the rewrite re-applies
+    * `partitionBy`, so partition pruning survives compaction (a flattening
+    * rewrite would keep the rows but silently kill every pruned scan).
     * Returns the new layout. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
@@ -103,12 +127,21 @@ object ParquetSink {
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val currentBytes = listPartFiles(fs, dest).map(p => fs.getFileStatus(p).getLen).sum
     val parts = math.max(1, math.ceil(currentBytes.toDouble / targetBytes).toInt)
+    val partCols = partitionColumnsOf(fs, dest)
     val tmp = new Path(dest.getParent, s".compact-${UUID.randomUUID()}")
     // the rewrite action completes before any rename, so the source directory
-    // is never read and replaced concurrently
-    spark.read.parquet(dir).repartition(parts).write
+    // is never read and replaced concurrently. Partitioned layouts cluster the
+    // rewrite by partition key so each output partition dir gets ~`parts`
+    // whole files rather than a sliver of every task's output.
+    val src = spark.read.parquet(dir)
+    val rewrite =
+      if (partCols.isEmpty) src.repartition(parts)
+      else src.repartition(parts,
+        partCols.map(org.apache.spark.sql.functions.col): _*)
+    val writer = rewrite.write
       .option("compression", codecOption(compression))
       .mode("overwrite")
+    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
       .parquet(tmp.toString)
     val old = new Path(dest.getParent, s".old-${UUID.randomUUID()}")
     if (!fs.rename(dest, old)) throw new IllegalStateException(s"rename away failed: $dest")

@@ -2,6 +2,7 @@ package graft
 
 import graft.sinks.{CtlManifest, ParquetSink}
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.col
 
 import java.nio.file.Files
 import java.time.{ZoneOffset, ZonedDateTime}
@@ -110,5 +111,34 @@ class SinksSpec extends SparkSpec {
     val after = spark.read.parquet(dir)
     assert(after.count() == df.count())
     assert(after.exceptAll(df).isEmpty && df.exceptAll(after).isEmpty)
+  }
+
+  test("compact preserves hive partition layout — pruning still works after") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // 3 small increments per partition value -> many files under each p=dir
+    (1 to 3).foreach { _ =>
+      df.write.mode("append").partitionBy("o_orderpriority").parquet(dir)
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ParquetSink.partitionColumnsOf(fs, new Path(dir)) == Seq("o_orderpriority"))
+    val res = ParquetSink.compact(spark, dir, targetBytes = 1L << 30)
+    // layout survived: k=v subdirectories still exist...
+    val subdirs = fs.listStatus(new Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).filter(_.contains("="))
+    assert(subdirs.nonEmpty, "partition directories flattened away")
+    assert(subdirs.forall(_.startsWith("o_orderpriority=")), subdirs.mkString(","))
+    // ...rows intact (3x the base: three appends)...
+    val after = spark.read.parquet(dir)
+    assert(after.count() == df.count() * 3)
+    // ...and a partition-value predicate still prunes at planning time
+    val q = after.where(col("o_orderpriority") === "1-URGENT")
+    assert(q.count() ==
+      df.where(col("o_orderpriority") === "1-URGENT").count() * 3)
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .find(_.nodeName.contains("Scan")).get.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.contains("o_orderpriority"), scan)
   }
 }
