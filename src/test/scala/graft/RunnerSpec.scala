@@ -54,4 +54,31 @@ class RunnerSpec extends SparkSpec {
     val rows = spark.read.parquet(metricsFile.toString).count()
     assert(rows == 2L)
   }
+
+  test("--once runs a maintenance (compaction) dataset from its JSON config") {
+    val dest = Files.createTempDirectory("graft-runner-maint")
+    // a table directory that accumulated small files
+    val tbl = dest.resolve("drip_tbl").toString
+    (0 until 4).foreach { i =>
+      spark.range(i * 100L, i * 100L + 100L).toDF("id")
+        .repartition(3).write.mode("append").parquet(tbl)
+    }
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.sinks.ParquetSink.listPartFiles(fs,
+      new org.apache.hadoop.fs.Path(tbl)).size == 12)
+
+    val datasets = Files.createTempDirectory("graft-runner-maint-ds")
+    Files.writeString(datasets.resolve("dataset-compact.json"),
+      """{"datasetId": "compact-drip",
+        | "maintenance": {"enabled": true, "compactDir": "drip_tbl"}}""".stripMargin)
+    Runner.execute(Array(
+      "--datasets", datasets.toString, "--lake", sf0001,
+      "--dest", dest.toString, "--once", "true"), spark)
+
+    assert(graft.sinks.ParquetSink.listPartFiles(fs,
+      new org.apache.hadoop.fs.Path(tbl)).size <= 2, "not compacted")
+    assert(spark.read.parquet(tbl).count() == 400L)
+    assert(dest.resolve("drip_tbl.ctl").toFile.exists(), "directory CTL missing")
+  }
 }
