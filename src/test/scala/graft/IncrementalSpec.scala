@@ -10,7 +10,7 @@ class IncrementalSpec extends SparkSpec {
     .select(col("event_id"), col("ts"))
 
   test("increments partition the table exactly; an empty run is a no-op") {
-    val base = java.nio.file.Files.createTempDirectory("graft-inc")
+    val base = graft.util.Scratch.dir("graft-inc")
     val state = s"$base/wm"; val dest = s"$base/data"
     val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val cut = (mm.getLong(0) + mm.getLong(1)) / 2
@@ -37,7 +37,7 @@ class IncrementalSpec extends SparkSpec {
     // pushable; write a native-timestamp copy and show the increment's filter
     // lands in PushedFilters — the property that makes incremental ingest skip
     // old data at the scan.
-    val base = java.nio.file.Files.createTempDirectory("graft-inc-push")
+    val base = graft.util.Scratch.dir("graft-inc-push")
     events.limit(100).write.parquet(s"$base/native")
     val native = spark.read.parquet(s"$base/native")
     val state = s"$base/wm"
@@ -51,7 +51,7 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("a retried increment overwrites its own subdirectory (idempotent replay)") {
-    val base = java.nio.file.Files.createTempDirectory("graft-inc-retry")
+    val base = graft.util.Scratch.dir("graft-inc-retry")
     val state = s"$base/wm"; val dest = s"$base/data"
     val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val cut = (mm.getLong(0) + mm.getLong(1)) / 2
@@ -71,7 +71,7 @@ class IncrementalSpec extends SparkSpec {
   }
 
   test("retention sweep drops only increments whose data is entirely <= cutoff") {
-    val base = java.nio.file.Files.createTempDirectory("graft-inc-ret")
+    val base = graft.util.Scratch.dir("graft-inc-ret")
     val state = s"$base/wm"; val dest = s"$base/data"
     val mm = events.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
@@ -106,7 +106,7 @@ class IncrementalSpec extends SparkSpec {
 
   test("evolved read surfaces columns added by later increments, null for older rows") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft-inc-evolve").toString
+    val base = graft.util.Scratch.dir("graft-inc-evolve").toString
     Seq((1L, "a"), (2L, "b")).toDF("id", "s")
       .write.parquet(s"$base/inc_from=0")
     Seq((3L, "c", 7.5), (4L, "d", 8.5)).toDF("id", "s", "score")

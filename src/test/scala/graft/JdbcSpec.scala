@@ -154,7 +154,7 @@ class JdbcSpec extends SparkSpec {
         connectionStringKey = "TradesDb",
         sqlText = "SELECT TRADE_ID, SYMBOL, QTY FROM trades WHERE symbol = @Symbol",
         parameters = Map("Symbol" -> "AAPL")))
-    val dest = Files.createTempDirectory("graft-jdbc-pipe").toString
+    val dest = graft.util.Scratch.dir("graft-jdbc-pipe").toString
     val ctx = IngestionPipeline.run(spark, cfg, sf0001, dest,
       connectionStrings = Map("TradesDb" -> "jdbc:derby:memory:{vault:DB_NAME};create=true"),
       secrets = SecretResolver.FromMap(Map("DB_NAME" -> "pipetest")))
@@ -169,7 +169,7 @@ class JdbcSpec extends SparkSpec {
       datasetId = "jdbc-nokey",
       source = SourceConfig(`type` = "SqlServer", extractionType = "Query",
         connectionStringKey = "Nope", sqlText = "SELECT 1"))
-    val dest = Files.createTempDirectory("graft-jdbc-nokey").toString
+    val dest = graft.util.Scratch.dir("graft-jdbc-nokey").toString
     val ctx = IngestionPipeline.run(spark, cfg, sf0001, dest)
     assert(ctx.failed)
     assert(ctx.errors.exists(_.message.contains("Nope")))

@@ -31,7 +31,7 @@ class LayoutSpec extends SparkSpec {
     // (x, y) hyper-rectangle, so most row groups are skipped on that same
     // predicate. Asserted on the scan's numOutputRows metric (= rows read
     // from surviving row groups, before Spark's residual Filter).
-    val base = java.nio.file.Files.createTempDirectory("graft-zorder-payoff")
+    val base = graft.util.Scratch.dir("graft-zorder-payoff")
     try {
       val n = 100000L
       val df = spark.range(n).select(

@@ -26,7 +26,7 @@ class PipelineSpec extends SparkSpec {
         config = Map("requiredColumns" -> List("l_orderkey", "l_shipdate")))))
 
   test("full pipeline: extract -> transform -> parquet + ctl, counts and checksum agree") {
-    val dest = Files.createTempDirectory("graft-pipe").toString
+    val dest = graft.util.Scratch.dir("graft-pipe").toString
     val ctx = IngestionPipeline.run(spark, tradesConfig, sf0001, dest, now = now)
     assert(ctx.errors.isEmpty, ctx.errors.mkString("; "))
     assert(!ctx.failed)
@@ -48,7 +48,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("validation failure is Critical and aborts before any write") {
-    val dest = Files.createTempDirectory("graft-pipe-fail").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-fail").toString
     val bad = tradesConfig.copy(transformations = Seq(
       TransformConfig("DataValidation", order = 1,
         config = Map("requiredColumns" -> List("no_such_column")))))
@@ -62,7 +62,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("direct-write path honors overwriteExisting=false (the config default)") {
-    val dest = Files.createTempDirectory("graft-pipe-ow").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-ow").toString
     // no upload destination configured -> the write stage IS final placement
     val ctx1 = IngestionPipeline.run(spark, tradesConfig, sf0001, dest, now = now)
     assert(!ctx1.failed)
@@ -83,8 +83,8 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("azureBlobConfig routes upload through the container URI template") {
-    val dest = Files.createTempDirectory("graft-pipe-az-stage").toString
-    val blobRoot = Files.createTempDirectory("graft-pipe-az-store").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-az-stage").toString
+    val blobRoot = graft.util.Scratch.dir("graft-pipe-az-store").toString
     val cfg = tradesConfig.copy(upload = tradesConfig.upload.copy(
       provider = "AzureBlob",
       azureBlobConfig = Some(graft.config.AzureBlobConfig(
@@ -105,7 +105,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("merge-publish mode folds changelog runs into versioned snapshots + CTL") {
-    val dest = Files.createTempDirectory("graft-pipe-merge").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-merge").toString
     def cfg(sql: String) = DatasetConfig(
       datasetId = "cust-merge",
       source = SourceConfig(extractionType = "Query", sqlText = sql),
@@ -163,7 +163,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("scheduled compaction job folds ingest increments into few files + one CTL") {
-    val dest = Files.createTempDirectory("graft-pipe-compact").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-compact").toString
     val tbl = s"$dest/events_tbl"
     // 5 small ingest increments drip 20 part files into one table directory
     (0 until 5).foreach { i =>
@@ -206,7 +206,7 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("environment gating skips non-matching transforms end to end") {
-    val dest = Files.createTempDirectory("graft-pipe-env").toString
+    val dest = graft.util.Scratch.dir("graft-pipe-env").toString
     val cfg = tradesConfig.copy(transformations = Seq(
       TransformConfig("DataValidation", order = 1, environments = Seq("Development"),
         config = Map("requiredColumns" -> List("no_such_column")))))

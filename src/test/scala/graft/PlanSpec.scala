@@ -137,7 +137,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("partitioned layout: a partition-column filter prunes directories at plan time") {
-    val base = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    val base = graft.util.Scratch.dir("graft-prune").toString
     graft.sources.Lake.table(spark, sf0001, "documents")
       .write.partitionBy("source").parquet(s"$base/docs")
     val pruned = spark.read.parquet(s"$base/docs").where(col("source") === "src3")

@@ -18,7 +18,7 @@ class RunnerSpec extends SparkSpec {
       } finally st.close()
     } finally conn.close()
 
-    val datasets = Files.createTempDirectory("graft-runner-ds")
+    val datasets = graft.util.Scratch.dir("graft-runner-ds")
     Files.writeString(datasets.resolve("dataset-lake.json"),
       """{"datasetId": "lake-lineitem",
         | "source": {"type": "Parquet", "extractionType": "Query",
@@ -33,11 +33,12 @@ class RunnerSpec extends SparkSpec {
     Files.writeString(datasets.resolve("dataset-disabled.json"),
       """{"datasetId": "disabled-one", "enabled": false,
         | "source": {"type": "Parquet", "extractionType": "Query", "sqlText": "SELECT 1"}}""".stripMargin)
-    val connections = Files.createTempFile("graft-conns", ".json")
+    // lives inside the Scratch-managed dir, so it is cleaned with it
+    val connections = datasets.resolve("conns.json")
     Files.writeString(connections,
       """{"MetricsDb": "jdbc:derby:memory:runnerdb;create=true"}""")
 
-    val dest = Files.createTempDirectory("graft-runner-out")
+    val dest = graft.util.Scratch.dir("graft-runner-out")
     Runner.execute(Array(
       "--datasets", datasets.toString, "--lake", sf0001, "--dest", dest.toString,
       "--connections", connections.toString, "--once", "true"), spark)
@@ -56,7 +57,7 @@ class RunnerSpec extends SparkSpec {
   }
 
   test("--once runs a maintenance (compaction) dataset from its JSON config") {
-    val dest = Files.createTempDirectory("graft-runner-maint")
+    val dest = graft.util.Scratch.dir("graft-runner-maint")
     // a table directory that accumulated small files
     val tbl = dest.resolve("drip_tbl").toString
     (0 until 4).foreach { i =>
@@ -68,7 +69,7 @@ class RunnerSpec extends SparkSpec {
     assert(graft.sinks.ParquetSink.listPartFiles(fs,
       new org.apache.hadoop.fs.Path(tbl)).size == 12)
 
-    val datasets = Files.createTempDirectory("graft-runner-maint-ds")
+    val datasets = graft.util.Scratch.dir("graft-runner-maint-ds")
     Files.writeString(datasets.resolve("dataset-compact.json"),
       """{"datasetId": "compact-drip",
         | "maintenance": {"enabled": true, "compactDir": "drip_tbl"}}""".stripMargin)

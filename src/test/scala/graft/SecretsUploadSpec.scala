@@ -46,8 +46,8 @@ class UploadSpec extends SparkSpec {
   }
 
   test("place moves the file to the destination with overwrite") {
-    val src = Files.createTempDirectory("up-src").toString
-    val dst = Files.createTempDirectory("up-dst").toString
+    val src = graft.util.Scratch.dir("up-src").toString
+    val dst = graft.util.Scratch.dir("up-dst").toString
     val f = mkFile(src, "data.parquet", "content-1")
     val res = Upload.place(spark, f, dst, "out.parquet",
       UploadConfig(overwriteExisting = true))
@@ -60,8 +60,8 @@ class UploadSpec extends SparkSpec {
   }
 
   test("overwriteExisting=false refuses without retrying") {
-    val src = Files.createTempDirectory("up-src2").toString
-    val dst = Files.createTempDirectory("up-dst2").toString
+    val src = graft.util.Scratch.dir("up-src2").toString
+    val dst = graft.util.Scratch.dir("up-dst2").toString
     val f = mkFile(src, "a", "x")
     Upload.place(spark, f, dst, "out", UploadConfig(overwriteExisting = true))
     val e = intercept[IllegalStateException] {
@@ -72,8 +72,8 @@ class UploadSpec extends SparkSpec {
   }
 
   test("transient failures retry up to maxRetries (missing source appears late)") {
-    val src = Files.createTempDirectory("up-src3").toString
-    val dst = Files.createTempDirectory("up-dst3").toString
+    val src = graft.util.Scratch.dir("up-src3").toString
+    val dst = graft.util.Scratch.dir("up-dst3").toString
     val missing = src + "/ghost"
     var slept = 0
     // first two attempts fail (no file); create it during the second backoff
@@ -98,9 +98,9 @@ class UploadSpec extends SparkSpec {
   }
 
   test("keepLocalCopy writes a secondary copy, non-fatal if impossible") {
-    val src = Files.createTempDirectory("up-src4").toString
-    val dst = Files.createTempDirectory("up-dst4").toString
-    val lc = Files.createTempDirectory("up-lc").toString
+    val src = graft.util.Scratch.dir("up-src4").toString
+    val dst = graft.util.Scratch.dir("up-dst4").toString
+    val lc = graft.util.Scratch.dir("up-lc").toString
     val f = mkFile(src, "a", "data")
     val res = Upload.place(spark, f, dst, "out",
       UploadConfig(overwriteExisting = true, keepLocalCopy = true, localCopyPath = lc))

@@ -10,7 +10,7 @@ import java.time.{ZoneOffset, ZonedDateTime}
 class SinksSpec extends SparkSpec {
   import spark.implicits._
 
-  private def tmpDir() = Files.createTempDirectory("graft-sink").toString
+  private def tmpDir() = graft.util.Scratch.dir("graft-sink").toString
 
   test("writeSingleFile produces exactly one parquet file with the given name") {
     val dir = tmpDir()
@@ -100,7 +100,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("compact collapses a many-small-files directory, preserving the data") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val dir = graft.util.Scratch.dir("graft-compact").toString + "/t"
     val df = spark.read.parquet(s"$sf0001/orders.parquet")
     df.repartition(20).write.parquet(dir)
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -114,7 +114,7 @@ class SinksSpec extends SparkSpec {
   }
 
   test("compact preserves hive partition layout — pruning still works after") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-compact-part").toString + "/t"
+    val dir = graft.util.Scratch.dir("graft-compact-part").toString + "/t"
     val df = spark.read.parquet(s"$sf0001/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
     // 3 small increments per partition value -> many files under each p=dir

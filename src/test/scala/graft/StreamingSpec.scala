@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("Append-to-files production path emits exactly the watermark-closed windows") {
-    val out = java.nio.file.Files.createTempDirectory("graft-st01-test")
+    val out = graft.util.Scratch.dir("graft-st01-test")
     val streamed = EventsStream.runAvailableNowToFiles(spark, sf0001,
       EventsStream.hourlyByType, s"$out/data", s"$out/ckpt")
       .orderBy("window_start", "event_type").collect()
@@ -41,7 +41,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("hopping windows double-count each event across two windows and finalize") {
-    val out = java.nio.file.Files.createTempDirectory("graft-st09-test")
+    val out = graft.util.Scratch.dir("graft-st09-test")
     val streamed = EventsStream.runAvailableNowToFiles(spark, sf0001,
       EventsStream.hoppingByType, s"$out/data", s"$out/ckpt")
     val ev = Lake.table(spark, sf0001, "events")
@@ -81,7 +81,7 @@ class StreamingSpec extends SparkSpec {
       .outputMode(OutputMode.Append())
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-ckpt-sess").toString)
+        graft.util.Scratch.dir("graft-ckpt-sess").toString)
       .start()
     q.awaitTermination()
     val streamed = spark.table("t_sessions")
@@ -107,7 +107,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("foreachBatch ingest stream lands parquet + CTL per micro-batch, rows complete") {
-    val out = java.nio.file.Files.createTempDirectory("graft-st-ingest")
+    val out = graft.util.Scratch.dir("graft-st-ingest")
     val landed = EventsStream.runIngestStream(spark, sf0001,
       ev => ev.select(col("event_id"), col("user_id")),
       s"$out/data", s"$out/ckpt")
@@ -131,7 +131,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("left-outer stream join emits watermark-finalized unmatched purchases") {
-    val out = java.nio.file.Files.createTempDirectory("graft-st08-spec")
+    val out = graft.util.Scratch.dir("graft-st08-spec")
     val res = graft.streaming.EventsStream.runAvailableNowToFiles(spark, sf0001,
       ev => graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
         .select(col("purchase_id"), col("p_ts"), col("click_id")),

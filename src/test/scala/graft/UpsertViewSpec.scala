@@ -42,8 +42,8 @@ class UpsertViewSpec extends SparkSpec {
   }
 
   test("end-to-end stream run serves latest non-deleted state and matches batch window") {
-    val snap = java.nio.file.Files.createTempDirectory("graft-upsert-snap").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-upsert-ckpt").toString
+    val snap = graft.util.Scratch.dir("graft-upsert-snap").toString
+    val ckpt = graft.util.Scratch.dir("graft-upsert-ckpt").toString
     val got = UpsertView.runUpsertStream(spark, "/root/testdata/sf0.001", snap, ckpt)
     val events = graft.sources.Lake.table(spark, "/root/testdata/sf0.001", "events")
     val expect = UpsertView.mergeBatch(
@@ -55,7 +55,7 @@ class UpsertViewSpec extends SparkSpec {
   }
 
   test("a replayed batch rebuilds its own version from the prior one (idempotent)") {
-    val snap = java.nio.file.Files.createTempDirectory("graft-upsert-replay").toString
+    val snap = graft.util.Scratch.dir("graft-upsert-replay").toString
     // simulate: batch 0 written, then batch 1 written TWICE (replay after crash)
     def writeVersion(id: Long, df: DataFrame, base: DataFrame): Unit =
       merge(base, df).write.mode("overwrite").parquet(s"$snap/v=$id")
@@ -73,7 +73,7 @@ class UpsertViewSpec extends SparkSpec {
 
   test("snapshot sweep keeps the newest versions, deletes the rest") {
     import graft.sinks.SnapshotStore
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap-sweep").toString
+    val dir = graft.util.Scratch.dir("graft-snap-sweep").toString
     (0L to 3L).foreach(i => SnapshotStore.write(chg((1L, i, i, "U", i.toDouble)), dir, i))
     val deleted = SnapshotStore.sweep(spark, dir, keep = 2)
     assert(deleted.size == 2 && deleted.forall(p => p.endsWith("v=0") || p.endsWith("v=1")))
@@ -98,7 +98,7 @@ class UpsertViewSpec extends SparkSpec {
 
   test("versions() ignores uncommitted (marker-less) directories") {
     import graft.sinks.SnapshotStore
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap-commit").toString
+    val dir = graft.util.Scratch.dir("graft-snap-commit").toString
     SnapshotStore.write(chg((1L, 1L, 1L, "U", 1.0)), dir, 0L)
     // fake a crashed writer: directory exists, no _SUCCESS
     val half = new java.io.File(s"$dir/v=1"); half.mkdirs()
@@ -110,7 +110,7 @@ class UpsertViewSpec extends SparkSpec {
 
   test("sweep reclaims superseded marker-less crash leftovers, spares in-flight writers") {
     import graft.sinks.SnapshotStore
-    val dir = java.nio.file.Files.createTempDirectory("graft-snap-crash").toString
+    val dir = graft.util.Scratch.dir("graft-snap-crash").toString
     SnapshotStore.write(chg((1L, 0L, 1L, "U", 0.0)), dir, 0L)
     SnapshotStore.write(chg((1L, 2L, 2L, "U", 2.0)), dir, 2L)
     def markerless(id: Long): Unit = {
