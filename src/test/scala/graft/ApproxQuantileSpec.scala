@@ -48,6 +48,37 @@ class ApproxQuantileSpec extends SparkSpec {
     checkRankBounds(o, "o_orderpriority", "o_totalprice", Seq(0.5, 0.9), acc = 1000)
   }
 
+  test("negative control: the entries' bound checks fail for wrong values") {
+    // q43's rank-bound formula with an adversarial 'sketch' output (below the
+    // group minimum): rank(<=) = 0, far outside 0.5n +/- slack -> flag 0.
+    // Proves the oracle's literal-1 comparison actually discriminates.
+    val o = Lake.table(spark, sf001, "orders")
+      .select(col("o_orderpriority"), col("o_totalprice"))
+    val acc = 100
+    val slack = lit(1.0) / acc * col("n") + lit(2.0)
+    val sk = o.groupBy(col("o_orderpriority")).agg(
+      (min(col("o_totalprice")) - 1.0).as("p50"), // wrong on purpose
+      count(lit(1)).as("n"))
+    val flags = o.join(broadcast(sk), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("n"))
+      .agg(sum(when(col("o_totalprice") <= col("p50"), 1L).otherwise(0L)).as("rle50"),
+        sum(when(col("o_totalprice") < col("p50"), 1L).otherwise(0L)).as("rlt50"))
+      .select((col("rle50") >= col("n") * 0.5 - slack &&
+        col("rlt50") <= col("n") * 0.5 + slack).cast("int").as("in_bound"))
+      .collect().map(_.getInt(0))
+    assert(flags.nonEmpty && flags.forall(_ == 0), flags.mkString(","))
+
+    // q45's error bound with a doubled 'approx': |2e - e| = e > max(0.08e, 8)
+    // for every real group here -> flag 0.
+    val ev = Lake.table(spark, sf001, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+      .select((abs(col("exact") * 2 - col("exact")) <=
+        greatest(col("exact") * 0.08, lit(8.0))).cast("int").as("in_bound"))
+      .collect().map(_.getInt(0))
+    assert(ev.nonEmpty && ev.forall(_ == 0), ev.mkString(","))
+  }
+
   test("approx length cutoffs (t12's shape) stay within the exact rank envelope") {
     val d = Lake.table(spark, sf001, "documents")
       .where(col("text").isNotNull && col("lang").isNotNull)
