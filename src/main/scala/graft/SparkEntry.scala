@@ -1011,6 +1011,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("source")),
         "source", "doc_id", Map("src0" -> 2.3, "src1" -> 0.4))),
 
+    // PPS systematic weighted sample: 50 docs proportional to text length,
+    // exact integer boundary-crossing selection (no RNG, no transcendental
+    // sort keys) over a DISTRIBUTED prefix sum — see Sampling.ppsSystematic.
+    "t13_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.ppsSystematic(
+        t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast("long").as("w")),
+        "doc_id", "w", k = 50)),
+
     // top-k per group as a heap AGGREGATE (map-side combine: k rows per group
     // per partition reach the shuffle) — the scale-safe twin of the window
     // formulation in q05, which must shuffle-and-sort every row.
@@ -1541,6 +1550,19 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  CAST(1 AS INTEGER) AS in_bound
         |FROM events GROUP BY event_type""".stripMargin,
+    // the oracle's global cumulative window equals the operator's distributed
+    // range-cumsum + offsets; `//` and `div` both floor on non-negatives.
+    "t13_weighted_sample" ->
+      """WITH w AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    sum(w) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT sum(w) FROM w) AS total
+        |  FROM w)
+        |SELECT doc_id FROM c
+        |WHERE (cum * 50) // total > ((cum - w) * 50) // total""".stripMargin,
     "q35_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",

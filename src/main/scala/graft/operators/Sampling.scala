@@ -92,4 +92,48 @@ object Sampling {
       .where(col("graft_rk") <= ceil(col("graft_n") * frac))
       .drop("graft_rk", "graft_n")
   }
+
+  /** PPS systematic sampling (probability proportional to size): walk the
+    * id-ordered cumulative weight line and pick the row covering each of `k`
+    * equally spaced integer boundaries — the classic survey-sampling scheme
+    * for "sample documents proportional to length/quality weight". A row is
+    * selected iff `floor(cum·k/total)` increases across it, ALL integer
+    * arithmetic — no RNG, no transcendental keys whose last-ulp could differ
+    * across engines — so the selection reproduces exactly in ANSI SQL. Rows
+    * heavier than `total/k` are selected once (never duplicated), so the
+    * result can be slightly under `k` rows on skewed weights.
+    *
+    * Scale shape: the global prefix sum is distributed — ids split into
+    * `parts` ARITHMETIC ranges (no sampled partitioner, so the two passes see
+    * identical partitioning by construction), each range cumsums locally
+    * behind one Exchange, and only the `parts` per-range subtotals reach the
+    * driver to become offsets (same bounded seam as the IVF centroid seed).
+    * No global-order single-task window anywhere. `cum·k` must fit a long:
+    * fine for k ≤ ~10^4 against ~10^14 total weight. */
+  def ppsSystematic(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                    parts: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = df.select(col(idCol), col(weightCol).cast("long").as("graft_w"))
+    val maxId = w.agg(max(col(idCol)).cast("long")).head().getLong(0)
+    val width = math.max(1L, maxId / parts + 1)
+    val ranged = w.withColumn("graft_rid",
+      expr(s"CAST($idCol AS BIGINT) div $width"))
+    // bounded driver collect: one (range, subtotal) row per arithmetic range
+    val subtotals = ranged.groupBy(col("graft_rid"))
+      .agg(sum(col("graft_w")).as("sw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = subtotals.map(_._2).sum
+    require(total > 0, "total weight is zero")
+    val offsets = subtotals.map(_._1)
+      .zip(subtotals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
+    val offset = offsets.foldLeft(lit(0L)) { case (acc, (rid, off)) =>
+      when(col("graft_rid") === rid, lit(off)).otherwise(acc)
+    }
+    val inRange = Window.partitionBy(col("graft_rid")).orderBy(col(idCol))
+    ranged
+      .withColumn("graft_cum", sum(col("graft_w")).over(inRange) + offset)
+      .where(expr(s"graft_cum * $k div $total") >
+        expr(s"(graft_cum - graft_w) * $k div $total"))
+      .select(col(idCol))
+  }
 }

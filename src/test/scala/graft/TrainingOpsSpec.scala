@@ -69,6 +69,39 @@ class TrainingOpsSpec extends SparkSpec {
     assert(again == mixed.collect().toSet)
   }
 
+  test("PPS systematic sample == single-pass reference; weight-proportional") {
+    val s = spark; import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // sparse, non-contiguous ids with varied weights (incl. zero-weight rows)
+    val rows = (0 until 300).map(i => (i * 7L + rnd.nextInt(5), // gappy ids
+      if (i % 41 == 0) 0L else 1L + rnd.nextInt(500).toLong)).distinctBy(_._1)
+    val df = rows.toDF("id", "w")
+    val k = 20
+    val got = Sampling.ppsSystematic(df, "id", "w", k, parts = 7)
+      .as[Long].collect().toSet
+    // reference: driver-side global cumulative walk, same integer rule
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val want = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val before = cum * k / total; cum += w
+      if (cum * k / total > before) Some(id) else None
+    }.toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    assert(want.size == k, s"boundaries -> exactly $k here")
+    // zero-weight rows can never be selected
+    val zeros = rows.filter(_._2 == 0L).map(_._1).toSet
+    assert(got.intersect(zeros).isEmpty)
+    // selection is weight-biased: mean weight of the sample exceeds the
+    // population mean (PPS by construction)
+    val wById = rows.toMap
+    assert(got.map(wById).sum.toDouble / got.size >
+      total.toDouble / rows.size)
+    // partition-count invariance: the distributed prefix sum is exact
+    val other = Sampling.ppsSystematic(df, "id", "w", k, parts = 2)
+      .as[Long].collect().toSet
+    assert(other == got)
+  }
+
   test("contamination finds planted verbatim n-gram overlap, excludes self") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),
