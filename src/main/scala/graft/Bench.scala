@@ -91,10 +91,17 @@ object Bench {
       (elapsed, ctx.rowCount.getOrElse(0L))
     }.minBy(_._1)
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""pipeline_rows":$pipeRows,"pipeline_sec":$pipeSec,""" +
       s""""pipeline_rows_per_sec":${if (pipeSec > 0) pipeRows / pipeSec else 0.0},""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(jsonLine)
+    // stdout tails get truncated by log capture; a file copy keeps the
+    // artifact lossless (every query present, parseable)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     if (failedQueries.nonEmpty) {
       System.err.println(s"[bench] FAILED: ${failedQueries.mkString(", ")}")

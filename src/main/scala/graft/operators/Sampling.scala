@@ -109,12 +109,27 @@ object Sampling {
     * behind one Exchange, and only the `parts` per-range subtotals reach the
     * driver to become offsets (same bounded seam as the IVF centroid seed).
     * No global-order single-task window anywhere. `cum·k` must fit a long:
-    * fine for k ≤ ~10^4 against ~10^14 total weight. */
+    * fine for k ≤ ~10^4 against ~10^14 total weight.
+    *
+    * Ids must be non-null and non-negative (integer `div` is not monotone
+    * across zero, so negative ids would break range monotonicity); ids are
+    * assumed ROUGHLY DENSE in [0, max]. Sparse/skewed id spaces stay CORRECT
+    * (ranges are arithmetic, the prefix sum doesn't care how many rows land
+    * in each) but concentrate rows into few ranges, serializing the local
+    * cumsum window — re-densify ids first if that bites. */
   def ppsSystematic(df: DataFrame, idCol: String, weightCol: String, k: Int,
                     parts: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val w = df.select(col(idCol), col(weightCol).cast("long").as("graft_w"))
-    val maxId = w.agg(max(col(idCol)).cast("long")).head().getLong(0)
+    val stats = w.agg(
+      count(lit(1)), count(col(idCol)),
+      min(col(idCol)).cast("long"), max(col(idCol)).cast("long")).head()
+    require(stats.getLong(0) > 0, "ppsSystematic: empty input")
+    require(stats.getLong(1) == stats.getLong(0),
+      "ppsSystematic: ids must be non-null")
+    require(stats.getLong(2) >= 0,
+      s"ppsSystematic: ids must be non-negative (min=${stats.getLong(2)})")
+    val maxId = stats.getLong(3)
     val width = math.max(1L, maxId / parts + 1)
     val ranged = w.withColumn("graft_rid",
       expr(s"CAST($idCol AS BIGINT) div $width"))
@@ -129,7 +144,12 @@ object Sampling {
     val offset = offsets.foldLeft(lit(0L)) { case (acc, (rid, off)) =>
       when(col("graft_rid") === rid, lit(off)).otherwise(acc)
     }
+    // Explicit ROWS frame: the default RANGE frame would hand every peer of a
+    // tied orderBy value the full tied-group sum, making `cum - w` not the
+    // previous cumulative weight. Ids are expected unique, but the frame makes
+    // the prefix sum row-accurate regardless.
     val inRange = Window.partitionBy(col("graft_rid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
       .withColumn("graft_cum", sum(col("graft_w")).over(inRange) + offset)
       .where(expr(s"graft_cum * $k div $total") >

@@ -89,19 +89,33 @@ object ParquetSink {
   }
 
   /** Hive-style partition columns of a parquet directory, read off the
-    * first-level `name=value` subdirectory chain (directory listing only, no
-    * data scan). Empty for a flat directory. */
+    * `name=value` subdirectory chain (directory listing only, no data scan).
+    * Empty for a flat directory. At each level, ALL sibling subdirectories
+    * must agree: either none is `k=v` (flat) or every one is `k=v` with the
+    * same key — a mixed or inconsistent directory fails loudly rather than
+    * silently misdetecting the layout (and then silently flattening a
+    * partitioned table on compact). */
   def partitionColumnsOf(fs: FileSystem, dir: Path): Seq[String] = {
     val cols = Seq.newBuilder[String]
     var level = dir
     var found = true
     while (found) {
       found = false
-      val subs = fs.listStatus(level).filter(s => s.isDirectory &&
-        !s.getPath.getName.startsWith(".") && s.getPath.getName.contains("="))
-      if (subs.nonEmpty) {
-        cols += subs.head.getPath.getName.takeWhile(_ != '=')
-        level = subs.head.getPath
+      val subs = fs.listStatus(level).filter { s =>
+        val n = s.getPath.getName
+        s.isDirectory && !n.startsWith(".") && !n.startsWith("_")
+      }
+      val kv = subs.filter(_.getPath.getName.contains("="))
+      if (kv.nonEmpty) {
+        val stray = subs.filterNot(_.getPath.getName.contains("="))
+        require(stray.isEmpty,
+          s"Mixed directory under $level: hive 'k=v' subdirs alongside " +
+            s"non-partition dirs [${stray.map(_.getPath.getName).mkString(", ")}]")
+        val keys = kv.map(_.getPath.getName.takeWhile(_ != '=')).distinct
+        require(keys.length == 1,
+          s"Inconsistent partition keys under $level: [${keys.mkString(", ")}]")
+        cols += keys.head
+        level = kv.head.getPath
         found = true
       }
     }
@@ -119,6 +133,12 @@ object ParquetSink {
     * detected from the `k=v` directory chain and the rewrite re-applies
     * `partitionBy`, so partition pruning survives compaction (a flattening
     * rewrite would keep the rows but silently kill every pruned scan).
+    * Partition VALUES are read back as strings (type inference disabled for
+    * the rewrite read): `k=0250` must come back as directory `k=0250`, not a
+    * re-rendered `k=250`. Sizing note: the partitioned rewrite clusters by
+    * partition key, so a hot partition lands in one task and can produce a
+    * single file above `targetBytes` — the pruning-preserving trade; split
+    * such a partition downstream if it outgrows a task.
     * Returns the new layout. */
   def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
               targetBytes: Long = 128L * 1024 * 1024,
@@ -133,16 +153,24 @@ object ParquetSink {
     // is never read and replaced concurrently. Partitioned layouts cluster the
     // rewrite by partition key so each output partition dir gets ~`parts`
     // whole files rather than a sliver of every task's output.
-    val src = spark.read.parquet(dir)
-    val rewrite =
-      if (partCols.isEmpty) src.repartition(parts)
-      else src.repartition(parts,
-        partCols.map(org.apache.spark.sql.functions.col): _*)
-    val writer = rewrite.write
-      .option("compression", codecOption(compression))
-      .mode("overwrite")
-    (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
-      .parquet(tmp.toString)
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val src = spark.read.parquet(dir)
+      val rewrite =
+        if (partCols.isEmpty) src.repartition(parts)
+        else src.repartition(parts,
+          partCols.map(org.apache.spark.sql.functions.col): _*)
+      val writer = rewrite.write
+        .option("compression", codecOption(compression))
+        .mode("overwrite")
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
+        .parquet(tmp.toString)
+    } finally prevInfer match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None    => spark.conf.unset(inferKey)
+    }
     val old = new Path(dest.getParent, s".old-${UUID.randomUUID()}")
     if (!fs.rename(dest, old)) throw new IllegalStateException(s"rename away failed: $dest")
     if (!fs.rename(tmp, dest)) {

@@ -25,7 +25,11 @@ object Scratch {
     p
   }
 
-  /** Best-effort recursive delete (cleanup must never mask a real failure). */
+  /** Best-effort recursive delete (cleanup must never mask a real failure).
+    * Catches NonFatal, not just IOException: Files.walk traversal throws
+    * UncheckedIOException (e.g. a dir removed concurrently), and an escape
+    * inside the single shutdown hook would abort cleanup of every remaining
+    * registered dir. */
   def deleteRecursively(p: Path): Unit =
     try {
       if (Files.exists(p)) {
@@ -34,5 +38,5 @@ object Scratch {
           .forEach(f => Files.deleteIfExists(f))
         finally walk.close()
       }
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 }

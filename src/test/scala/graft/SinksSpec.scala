@@ -141,4 +141,35 @@ class SinksSpec extends SparkSpec {
     assert(scan.contains("PartitionFilters") &&
       scan.contains("o_orderpriority"), scan)
   }
+
+  test("partitionColumnsOf fails loudly on a mixed k=v / stray-dir directory") {
+    val root = new Path(tmpDir(), "mixed")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root, "k=a"))
+    fs.mkdirs(new Path(root, "strayDir"))
+    val ex = intercept[IllegalArgumentException] {
+      ParquetSink.partitionColumnsOf(fs, root)
+    }
+    assert(ex.getMessage.contains("strayDir"), ex.getMessage)
+    // inconsistent keys at one level also fail loudly
+    val root2 = new Path(tmpDir(), "twokeys")
+    fs.mkdirs(new Path(root2, "k=a"))
+    fs.mkdirs(new Path(root2, "j=b"))
+    val ex2 = intercept[IllegalArgumentException] {
+      ParquetSink.partitionColumnsOf(fs, root2)
+    }
+    assert(ex2.getMessage.contains("Inconsistent"), ex2.getMessage)
+  }
+
+  test("compact keeps numeric-looking string partition values verbatim (k=0250)") {
+    val dir = tmpDir() + "/t"
+    Seq(("0250", 1L), ("0250", 2L), ("9", 3L)).toDF("k", "v")
+      .write.partitionBy("k").parquet(dir)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ParquetSink.compact(spark, dir, targetBytes = 1L << 30)
+    val subdirs = fs.listStatus(new Path(dir))
+      .filter(_.isDirectory).map(_.getPath.getName).toSet
+    // without inference disabled, the rewrite would re-render k=0250 as k=250
+    assert(subdirs == Set("k=0250", "k=9"), subdirs.mkString(","))
+  }
 }

@@ -102,6 +102,53 @@ class TrainingOpsSpec extends SparkSpec {
     assert(other == got)
   }
 
+  test("PPS stays correct on a severely sparse id space; guards reject bad ids") {
+    val s = spark; import s.implicits._
+    // ids concentrated at the far end of the range: nearly all rows land in
+    // one arithmetic range (documented serialization trade), but the result
+    // must still equal the global single-pass reference.
+    val rows = Seq(0L, 3L, 9L).map(id => (id, 10L)) ++
+      (0 until 200).map(i => (4_000_000_000_000L + i * 3L, 1L + (i % 17).toLong))
+    val df = rows.toDF("id", "w")
+    val k = 15
+    val got = Sampling.ppsSystematic(df, "id", "w", k, parts = 8)
+      .as[Long].collect().toSet
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    val want = rows.sortBy(_._1).flatMap { case (id, w) =>
+      val before = cum * k / total; cum += w
+      if (cum * k / total > before) Some(id) else None
+    }.toSet
+    assert(got == want, s"got ${got.size}, want ${want.size}")
+    // guards: empty input, null ids, negative ids all fail loudly
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(
+        Seq((Some(1L), 2L), (None, 3L)).toDF("id", "w"), "id", "w", 5)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.ppsSystematic(Seq((-4L, 2L), (7L, 3L)).toDF("id", "w"), "id", "w", 5)
+    }
+  }
+
+  test("PPS prefix sum is row-accurate under duplicate ids (explicit ROWS frame)") {
+    val s = spark; import s.implicits._
+    // duplicate ids: the default RANGE window frame would give every peer the
+    // full tied-group sum; the explicit ROWS frame keeps per-row prefix sums
+    // so total-weight conservation still holds and results stay deterministic.
+    val rows = Seq((1L, 5L), (1L, 5L), (2L, 5L), (2L, 5L), (3L, 5L), (3L, 5L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.ppsSystematic(df, "id", "w", k = 3, parts = 2)
+      .as[Long].collect()
+    // k=3 boundaries over total=30 -> every 10 weight units -> 3 selections
+    assert(got.length == 3, got.mkString(","))
+    val again = Sampling.ppsSystematic(df, "id", "w", k = 3, parts = 4)
+      .as[Long].collect()
+    assert(got.sorted.sameElements(again.sorted))
+  }
+
   test("contamination finds planted verbatim n-gram overlap, excludes self") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -30,6 +30,18 @@ def copy(sql, table):
     n = con.execute(f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n}")
 
+def check_offset(table, key, offset):
+    """Replica keys are `key + r*offset`; if max(key) >= offset the replicas
+    silently collide and the bench lake is corrupted."""
+    mx = con.execute(f"SELECT max({key}) FROM '{src}/{table}.parquet'").fetchone()[0]
+    assert mx < offset, f"{table}.{key} max={mx} >= replica offset {offset}: keys would collide"
+
+check_offset("orders", "o_orderkey", 1_000_000)
+check_offset("lineitem", "l_orderkey", 1_000_000)
+check_offset("events", "event_id", 1_000_000)
+check_offset("documents", "doc_id", 100_000)
+check_offset("embeddings", "vec_id", 100_000)
+
 for t in ["region", "nation", "customer", "supplier", "part"]:
     copy(f"SELECT * FROM '{src}/{t}.parquet'", t)
 
