@@ -973,9 +973,14 @@ object SparkEntry {
           graft.operators.Layout.zValue(Seq(col("ub"), col("vb")), bits = 8)
             .as("zv"))),
 
-    // interval-overlap join (same binning rewrite, exactly-once via
-    // first-shared-bin emission): March-1995 order windows against all order
+    // interval-overlap COUNT: March-1995 order windows against all order
     // windows — "how many other orders were in flight while this one was".
+    // Counting overlaps does not need the pair join at all: n(a) =
+    // #{b_lo <= a_hi} - #{b_hi < a_lo}, two rank queries off one distributed
+    // prefix sum (RangeJoin.intervalOverlapCount), so wall scales with DATA
+    // even when genuine pair density grows quadratically with the corpus.
+    // Self-overlap (every order is in both sides, keys unique) is the -1;
+    // the >0 filter matches the oracle's inner-join semantics.
     "o04_interval_overlap" -> ((s, dir) => {
       def windows(df: DataFrame, key: String, lo: String, hi: String) = df
         .select(col("o_orderkey").as(key),
@@ -985,11 +990,30 @@ object SparkEntry {
         t(s, dir, "orders").where(col("o_orderdate").between("1995-03-01", "1995-03-31")),
         "a_key", "a_lo", "a_hi")
       val allB = windows(t(s, dir, "orders"), "b_key", "b_lo", "b_hi")
-      graft.operators.RangeJoin.intervalOverlap(
-          marchA, "a_lo", "a_hi", allB, "b_lo", "b_hi", binWidth = 4L)
-        .where(col("a_key") =!= col("b_key"))
-        .groupBy(col("a_key").as("o_orderkey"))
-        .agg(count(lit(1)).as("n_concurrent"))
+      graft.operators.RangeJoin.intervalOverlapCount(
+          marchA, "a_key", "a_lo", "a_hi", allB, "b_lo", "b_hi")
+        .select(col("a_key").as("o_orderkey"),
+          (col("overlap_count") - 1L).as("n_concurrent"))
+        .where(col("n_concurrent") > 0)
+    }),
+
+    // interval-overlap PAIR enumeration via the per-bin plane sweep
+    // (RangeJoin.intervalOverlapSweep): candidates compared == pairs emitted,
+    // so per-bin CPU is output-linear even when bin density grows — the
+    // enumeration-path complement to o04's count path. salt=2 exercises the
+    // cross-cell exactly-once tie-break under the oracle.
+    "o07_interval_pairs" -> ((s, dir) => {
+      def windows(df: DataFrame, key: String, lo: String, hi: String) = df
+        .where(col("o_orderdate").between("1995-03-01", "1995-03-07"))
+        .select(col("o_orderkey").as(key),
+          datediff(col("o_orderdate"), lit("1970-01-01")).cast("long").as(lo))
+        .withColumn(hi, col(lo) + 3L)
+      val a = windows(t(s, dir, "orders"), "a_key", "a_lo", "a_hi")
+      val b = windows(t(s, dir, "orders"), "b_key", "b_lo", "b_hi")
+      graft.operators.RangeJoin.intervalOverlapSweep(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", binWidth = 4L, salt = 2)
+        .where(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"))
     }),
 
     // bottom-k (KMV) sketch per source — a custom TypedImperativeAggregate.
@@ -2120,6 +2144,14 @@ object SparkEntry {
         | AND a.o_orderkey <> b.o_orderkey
         |WHERE a.o_orderdate BETWEEN '1995-03-01' AND '1995-03-31'
         |GROUP BY a.o_orderkey""".stripMargin,
+    "o07_interval_pairs" ->
+      """SELECT a.o_orderkey AS a_key, b.o_orderkey AS b_key
+        |FROM orders a JOIN orders b
+        |  ON CAST(a.o_orderdate AS DATE) <= CAST(b.o_orderdate AS DATE) + 3
+        | AND CAST(b.o_orderdate AS DATE) <= CAST(a.o_orderdate AS DATE) + 3
+        | AND a.o_orderkey < b.o_orderkey
+        |WHERE a.o_orderdate BETWEEN '1995-03-01' AND '1995-03-07'
+        |  AND b.o_orderdate BETWEEN '1995-03-01' AND '1995-03-07'""".stripMargin,
     "o03_range_join" ->
       """SELECT o_orderkey, count(*) AS n_pts,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

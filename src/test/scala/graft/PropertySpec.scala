@@ -51,6 +51,71 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("sweep interval overlap == naive theta join, exactly once " +
+       "(random inputs, salt 1 and 3)") {
+    for (seed <- 1 to 6; salt <- Seq(1, 3)) {
+      val rnd = new Random(700 + seed)
+      val w = Seq(2L, 5L, 32L)(rnd.nextInt(3))
+      val adf = intervals(rnd, 25).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("aid", "a_lo", "a_hi")
+      val bdf = intervals(rnd, 25).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("bid", "b_lo", "b_hi")
+      val got = RangeJoin.intervalOverlapSweep(
+          adf, "a_lo", "a_hi", bdf, "b_lo", "b_hi", w, salt)
+        .select("aid", "bid").as[(Long, Long)].collect().toList
+      val want = adf.crossJoin(bdf)
+        .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .select("aid", "bid").as[(Long, Long)].collect().toList
+      assert(got.sorted == want.sorted, s"seed=$seed w=$w salt=$salt")
+      assert(got.size == got.toSet.size,
+        s"seed=$seed salt=$salt duplicate emissions")
+    }
+  }
+
+  test("sweep interval overlap: heavy lo/hi ties never double-emit across salt cells") {
+    // Many identical intervals (the tie-break stress case): every pair of
+    // distinct rows with the same [lo, hi] overlaps, and the emitter-is-later
+    // rule must pick exactly one emitter per pair in exactly one cell.
+    val a = (1L to 30L).map(i => (i, 10L, 20L)).toDF("aid", "a_lo", "a_hi")
+    val b = (1L to 30L).map(i => (i, 10L, 20L)).toDF("bid", "b_lo", "b_hi")
+    for (salt <- Seq(1, 4)) {
+      val got = RangeJoin.intervalOverlapSweep(
+          a, "a_lo", "a_hi", b, "b_lo", "b_hi", 8L, salt)
+        .select("aid", "bid").as[(Long, Long)].collect().toList
+      assert(got.size == 900, s"salt=$salt size=${got.size}")
+      assert(got.toSet.size == 900, s"salt=$salt duplicates")
+    }
+  }
+
+  test("interval overlap count == naive theta-join count (random, incl ties)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(900 + seed)
+      // small value range forces heavy endpoint ties (the inclusivity edge)
+      val adf = intervals(rnd, 40).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("aid", "a_lo", "a_hi")
+      val bdf = intervals(rnd, 40).zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("bid", "b_lo", "b_hi")
+      val got = RangeJoin.intervalOverlapCount(
+          adf, "aid", "a_lo", "a_hi", bdf, "b_lo", "b_hi", parts = 4)
+        .as[(Long, Long)].collect().toMap
+      val want = adf.crossJoin(bdf)
+        .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+        .groupBy($"aid").agg(count(lit(1)))
+        .as[(Long, Long)].collect().toMap
+      val full = (0L until 40L).map(i => i -> want.getOrElse(i, 0L)).toMap
+      assert(got == full, s"seed=$seed")
+    }
+  }
+
+  test("interval overlap count: empty b side gives zero counts") {
+    val adf = Seq((1L, 0L, 5L), (2L, 3L, 9L)).toDF("aid", "a_lo", "a_hi")
+    val bdf = Seq.empty[(Long, Long, Long)].toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapCount(
+        adf, "aid", "a_lo", "a_hi", bdf, "b_lo", "b_hi")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L))
+  }
+
   test("bottom_k == sort-distinct-take (random strings, random k)") {
     for (seed <- 1 to 8) {
       val rnd = new Random(200 + seed)
