@@ -1075,6 +1075,17 @@ object SparkEntry {
         .select(col("media_id"), col("media_type"), col("width"), col("height"),
           col("channels"), col("mean_intensity"))),
 
+    // multimodal: REAL audio codec — synthetic 16-bit mono PCM WAVs (rate,
+    // sample count, and every sample closed-form in doc_id) encoded and
+    // decoded via javax.sound.sampled; WAV is lossless, so the oracle
+    // recomputes duration/RMS exactly from the closed form.
+    "m04_audio_features" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(
+        Multimodal.packSyntheticAudio(t(s, dir, "documents"), "doc_id", "source")).toDF()
+        .select(col("media_id"), col("media_type"), col("sample_rate"),
+          col("channels"), col("bits"), col("n_samples"),
+          col("duration_sec"), col("rms"))),
+
     // multimodal metadata path (binary length + content hash — SQL-expressible).
     "m02_media_bytes" -> ((s, dir) =>
       Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")
@@ -2226,6 +2237,31 @@ object SparkEntry {
         |  CAST(3 AS INTEGER) AS channels,
         |  CAST(total AS DOUBLE) / CAST(width*height*3 AS DOUBLE) / 255.0
         |    AS mean_intensity
+        |FROM s""".stripMargin,
+    // m04's decoder is REAL (javax.sound.sampled over genuine RIFF/WAVE
+    // bytes). The fixture is closed-form in doc_id — n = id%256+64 samples,
+    // rate by id%4, sample(i) = (id*31 + i*17) % 2003 - 1001 — and WAV PCM is
+    // lossless, so the oracle recomputes the decoded features without an
+    // audio decoder. Sum of squares is exact integer; the doubles are the
+    // same two divisions + sqrt on both sides.
+    "m04_audio_features" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(doc_id % 256 + 64 AS BIGINT) AS n_samples,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+        |         WHEN 2 THEN 16000 ELSE 22050 END AS INTEGER) AS sample_rate
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, n_samples, sample_rate,
+        |    list_sum(list_transform(range(0, n_samples), i ->
+        |      ((media_id*31 + i*17) % 2003 - 1001)
+        |      * ((media_id*31 + i*17) % 2003 - 1001))) AS ss
+        |  FROM d)
+        |SELECT media_id, 'audio' AS media_type, sample_rate,
+        |  CAST(1 AS INTEGER) AS channels, CAST(16 AS INTEGER) AS bits,
+        |  n_samples,
+        |  CAST(n_samples AS DOUBLE) / sample_rate AS duration_sec,
+        |  sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms
         |FROM s""".stripMargin,
     "m03_frame_sample" ->
       """SELECT media_id, n_frames,

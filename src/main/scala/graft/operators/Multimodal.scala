@@ -109,6 +109,113 @@ object Multimodal {
     }
   }
 
+  /** Extracted audio features — flat schema, same design as [[MediaFeatures]]. */
+  final case class AudioFeatures(
+      media_id: Long,
+      media_type: String,
+      sample_rate: Int,
+      channels: Int,
+      bits: Int,
+      n_samples: Long,
+      duration_sec: Double,
+      rms: Double)
+
+  /** Deterministic synthetic audio: sample count, rate, and every 16-bit PCM
+    * sample are closed-form in the id, so an external oracle recomputes the
+    * expected duration/RMS while the engine proves them through a real WAV
+    * encode→decode round trip (`javax.sound.sampled`, public JDK — WAV PCM is
+    * lossless, the audio analogue of [[SynthImage]]'s PNG argument). */
+  object SynthAudio {
+    private val rates = Array(8000, 11025, 16000, 22050)
+    def sampleRate(id: Long): Int = rates((id % 4).toInt)
+    def nSamples(id: Long): Int   = (id % 256 + 64).toInt
+
+    /** Signed 16-bit PCM sample i, range -1001..1001. */
+    def sample(id: Long, i: Int): Int = ((id * 31 + i * 17) % 2003).toInt - 1001
+
+    /** Encode as a real RIFF/WAVE file: 16-bit little-endian mono PCM. */
+    def wav(id: Long): Array[Byte] = {
+      import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+      val n = nSamples(id)
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val s = sample(id, i)
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate(id).toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(new ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+  }
+
+  /** Real audio decoder: `AudioSystem.getAudioInputStream` parses the RIFF
+    * header (rate/channels/bits) and yields raw PCM frames; RMS and duration
+    * come from the decoded samples. Undecodable payloads yield `None`, same
+    * drop-not-fatal contract as [[ImageCodec]]. Sum of squares stays in exact
+    * Long arithmetic; the only floating ops are the final two divisions and
+    * the sqrt, so an ANSI-SQL oracle reproduces the doubles bit-for-bit. */
+  object AudioCodec {
+    def decode(r: MediaRecord): Option[AudioFeatures] = {
+      import javax.sound.sampled.{AudioSystem, UnsupportedAudioFileException}
+      val ais =
+        try AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
+        catch {
+          case _: UnsupportedAudioFileException => null
+          case _: java.io.IOException => null
+        }
+      if (ais == null) None
+      else {
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        if (bits != 16 || fmt.isBigEndian) None // scope: 16-bit LE PCM
+        else {
+          val n = bytes.length / 2
+          var ss = 0L
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+            ss += s.toLong * s
+            i += 1
+          }
+          val perChannel = n.toLong / channels
+          val rate = fmt.getSampleRate.toDouble
+          Some(AudioFeatures(r.media_id, r.media_type, fmt.getSampleRate.toInt,
+            channels, bits, perChannel,
+            perChannel.toDouble / rate,
+            math.sqrt(ss.toDouble / n)))
+        }
+      }
+    }
+  }
+
+  /** Pack real WAV payloads ([[SynthAudio.wav]]) keyed by an id column; the
+    * encode runs in the executors, same as [[packSyntheticImages]]. */
+  def packSyntheticAudio(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "audio", SynthAudio.wav(id), src)
+      })
+      .toDF()
+  }
+
+  /** Batched audio feature extraction — iterator-in/iterator-out per
+    * partition, undecodable rows dropped (see [[extractFeatures]]). */
+  def extractAudioFeatures(media: DataFrame): Dataset[AudioFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap(AudioCodec.decode))
+  }
+
   /** Pack a text table into the media shape (opaque-bytes stand-in:
     * `encode(text)` is the payload). Used by the metadata-only paths (m02/m03)
     * where the payload is never decoded. */

@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaRecord, SynthImage}
+import graft.operators.Multimodal.{MediaRecord, SynthAudio, SynthImage}
 import graft.sources.Lake
 import org.apache.spark.sql.functions._
 
@@ -56,6 +56,52 @@ class MultimodalSpec extends SparkSpec {
       MediaRecord(2L, "image", Array[Byte](1, 2, 3, 4), "bad"),
       MediaRecord(3L, "image", Array.emptyByteArray, "empty")).toDF()
     val out = Multimodal.extractFeatures(corrupt).collect()
+    assert(out.map(_.media_id).toSeq == Seq(1L))
+  }
+
+  test("packSyntheticAudio emits genuine RIFF/WAVE bytes") {
+    val wavMedia = Multimodal.packSyntheticAudio(
+      Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "source")
+    val rows = wavMedia.select("media_id", "payload").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("payload")
+      assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+      assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    }
+  }
+
+  test("extractAudioFeatures decodes real WAVs back to the closed-form features") {
+    val wavMedia = Multimodal.packSyntheticAudio(
+      Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "source")
+    val feats = Multimodal.extractAudioFeatures(wavMedia).collect()
+    assert(feats.length == 20)
+    feats.foreach { f =>
+      val id = f.media_id
+      assert(f.sample_rate == SynthAudio.sampleRate(id))
+      assert(f.channels == 1)
+      assert(f.bits == 16)
+      assert(f.n_samples == SynthAudio.nSamples(id).toLong)
+      var ss = 0L
+      for (i <- 0 until SynthAudio.nSamples(id)) {
+        val s = SynthAudio.sample(id, i).toLong
+        ss += s * s
+      }
+      // lossless PCM round trip — doubles match exactly, not approximately
+      assert(f.duration_sec == f.n_samples.toDouble / f.sample_rate)
+      assert(f.rms == math.sqrt(ss.toDouble / f.n_samples))
+    }
+  }
+
+  test("extractAudioFeatures drops undecodable payloads instead of failing the stage") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corrupt = Seq(
+      MediaRecord(1L, "audio", SynthAudio.wav(1L), "ok"),
+      MediaRecord(2L, "audio", Array[Byte](82, 73, 70, 70, 1, 2, 3), "truncated"),
+      MediaRecord(3L, "audio", Array.emptyByteArray, "empty"),
+      MediaRecord(4L, "audio", SynthImage.png(4L), "wrong-codec")).toDF()
+    val out = Multimodal.extractAudioFeatures(corrupt).collect()
     assert(out.map(_.media_id).toSeq == Seq(1L))
   }
 
