@@ -35,6 +35,65 @@ class SecretsSpec extends AnyFunSuite {
     now = 300001
     assert(b.build("{vault:k}") == "v2") // expired -> re-resolved
   }
+  test("HTTP vault: bearer-token GET over live HTTP resolves {vault:...} paths") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val hits = new java.util.concurrent.atomic.AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/secret/", { ex =>
+      hits.incrementAndGet()
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      val path = ex.getRequestURI.getPath.stripPrefix("/v1/secret/")
+      val (code, body) =
+        if (auth != "Bearer tok-123") (403, "forbidden")
+        else path match {
+          case "db/pass" => (200, """{"value":"s3cr3t","lease":60}""")
+          case _           => (404, "not found")
+        }
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1/secret"
+      val b = new ConnectionStringBuilder(
+        SecretResolver.bearer(base, "tok-123", jsonField = Some("value")))
+      assert(b.build("Server=x;Password={vault:db/pass}") ==
+        "Server=x;Password=s3cr3t")
+      // second build inside the TTL: served from the builder cache, no HTTP
+      assert(b.build("{vault:db/pass}") == "s3cr3t")
+      assert(hits.get() == 1)
+      // missing path and bad token surface as the uniform unresolvable error
+      intercept[IllegalArgumentException](b.build("{vault:nope}"))
+      val bad = new ConnectionStringBuilder(
+        SecretResolver.bearer(base, "wrong", jsonField = Some("value")))
+      intercept[IllegalArgumentException](bad.build("{vault:db/pass}"))
+    } finally server.stop(0)
+  }
+
+  test("HTTP vault: api-key header shape and raw-body (non-JSON) responses") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/kv/", { ex =>
+      val key = ex.getRequestHeaders.getFirst("X-API-Key")
+      val body = if (key == "k-9") "raw-secret-bytes" else "nope"
+      val code = if (key == "k-9") 200 else 401
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/kv"
+      val r = SecretResolver.apiKey(base, "k-9")
+      assert(r.resolve("any/path").contains("raw-secret-bytes"))
+      assert(SecretResolver.apiKey(base, "bad").resolve("any").isEmpty)
+    } finally server.stop(0)
+  }
 }
 
 class UploadSpec extends SparkSpec {
