@@ -2,12 +2,14 @@
 """Local stand-in for the driver's t2 gate: run Verify's parquet dumps against
 DuckDB oracle SQL on the same lake, compare schema/rows/values exactly.
 
-Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir>
+Usage: python3 tools/compare_oracle.py <verify_out_dir> <sf_dir> [report.json]
 """
 import json, sys, glob, os
 import duckdb
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
+report_path = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
@@ -17,27 +19,34 @@ oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 all_q = sorted(d for d in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, d)))
 fails = 0
+def record(name, ok, **kw):
+    report[name] = {"pass": ok, **kw}
 for name in all_q:
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:
-        print(f"FAIL {name}: no parquet output"); fails += 1; continue
+        print(f"FAIL {name}: no parquet output"); fails += 1
+        record(name, False, err="no parquet output"); continue
     got = con.execute(f"SELECT * FROM '{files[0]}'").fetchdf()
     if name not in oracle:
         print(f"ROWS-ONLY {name}: {len(got)} rows, cols={list(got.columns)}")
         if len(got) == 0:
             print(f"  WARN {name}: zero rows")
+        record(name, len(got) > 0, rows=len(got), mode="rows-only")
         continue
     try:
         want = con.execute(oracle[name]).fetchdf()
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error {e}"); fails += 1
+        record(name, False, err=f"oracle error {e}"); continue
     gc, wc = sorted(got.columns), sorted(want.columns)
     if gc != wc:
-        print(f"FAIL {name}: columns {gc} vs {wc}"); fails += 1; continue
+        print(f"FAIL {name}: columns {gc} vs {wc}"); fails += 1
+        record(name, False, err=f"columns {gc} vs {wc}"); continue
     g = got[gc].sort_values(gc, kind="mergesort").reset_index(drop=True)
     w = want[wc].sort_values(wc, kind="mergesort").reset_index(drop=True)
     if len(g) != len(w):
-        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1; continue
+        print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1
+        record(name, False, err=f"rows {len(g)} vs {len(w)}"); continue
     # exact compare cell by cell (stringified to dodge dtype wrappers)
     mism = 0
     for c in gc:
@@ -50,10 +59,16 @@ for name in all_q:
                   f"{a[i]!r} vs {b[i]!r} (dtypes {g[c].dtype}/{w[c].dtype})")
     if mism:
         print(f"FAIL {name}: {mism} cell mismatches"); fails += 1
+        record(name, False, err=f"{mism} cell mismatches", rows=len(g))
     else:
         print(f"OK   {name}: {len(g)} rows x {len(gc)} cols exact match")
+        record(name, True, rows=len(g), cols=len(gc))
 missing = sorted(set(oracle) - set(all_q))
 if missing:
     print(f"WARN: oracle entries with no output: {missing}")
 print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {len(all_q) - fails}/{len(all_q)} queries clean")
+if report_path:
+    json.dump({"sf_dir": sf_dir, "clean": fails == 0, "queries": report},
+              open(report_path, "w"), indent=1)
+    print("wrote", report_path)
 sys.exit(1 if fails else 0)
