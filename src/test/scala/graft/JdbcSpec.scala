@@ -95,6 +95,65 @@ class JdbcSpec extends SparkSpec {
     assert(viaJdbc == viaLake)
   }
 
+  test("type-mapping contract: decimal scale, char padding, date/timestamp, null") {
+    // The dialect edges a live SQL Server / Oracle would stress — as far as
+    // an embedded ANSI engine can express them (H2's compatibility modes are
+    // not resolvable offline; Derby is the in-container ceiling): DECIMAL
+    // precision/scale must survive into Spark's DecimalType exactly (the
+    // Oracle NUMBER(p,s) mapping), CHAR(n) comes back padded (extraction is
+    // pass-through, no silent trim), and DATE/TIMESTAMP/NULL round-trip.
+    val url = JdbcHarness.derbyUrl("graft_typemap")
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute("DROP TABLE typemap") catch { case _: java.sql.SQLException => }
+      st.execute(
+        """CREATE TABLE typemap (
+          |  id BIGINT NOT NULL,
+          |  amt DECIMAL(31,8),
+          |  tag CHAR(6),
+          |  d DATE,
+          |  ts TIMESTAMP,
+          |  note VARCHAR(20))""".stripMargin)
+      st.execute("INSERT INTO typemap VALUES " +
+        "(1, 12345678901234567890123.45678901, 'ab', " +
+        "DATE('1995-03-15'), TIMESTAMP('1995-03-15 12:34:56.789'), ''), " +
+        "(2, 0.00000001, 'padded', NULL, NULL, NULL)")
+      st.close()
+    } finally conn.close()
+
+    val df = Jdbc.readQuery(spark, url,
+      "SELECT id, amt, tag, d, ts, note FROM typemap", Map.empty)
+    val sch = df.schema
+    assert(sch("AMT").dataType ==
+      org.apache.spark.sql.types.DecimalType(31, 8)) // scale survives exactly
+    assert(sch("D").dataType == org.apache.spark.sql.types.DateType)
+    assert(sch("TS").dataType == org.apache.spark.sql.types.TimestampType)
+    val rows = df.orderBy("ID").collect()
+    assert(rows(0).getDecimal(1).toPlainString == "12345678901234567890123.45678901")
+    assert(rows(1).getDecimal(1).toPlainString == "0.00000001")
+    assert(rows(0).getString(2) == "ab    ") // CHAR(6) pad preserved
+    assert(rows(0).getDate(3).toString == "1995-03-15")
+    assert(rows(0).getTimestamp(4).toString == "1995-03-15 12:34:56.789")
+    assert(rows(0).getString(5) == "") // empty string stays empty, not NULL
+    assert(rows(1).isNullAt(3) && rows(1).isNullAt(4) && rows(1).isNullAt(5))
+  }
+
+  test("ANSI paging idiom (OFFSET/FETCH) flows through the statement path") {
+    val url = JdbcHarness.ensureCustomer(spark, sf0001)
+    // the portable form of SQL Server TOP / Oracle ROWNUM paging — the shape
+    // the reference builds for chunked extraction
+    val q = """SELECT "c_custkey" FROM customer ORDER BY "c_custkey"
+              |OFFSET 5 ROWS FETCH FIRST 3 ROWS ONLY""".stripMargin
+    assert(Jdbc.isStatementText(q))
+    val keys = Jdbc.readQuery(spark, url, q, Map.empty)
+      .collect().map(_.getLong(0)).toSeq
+    val all = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey").orderBy("c_custkey")
+      .collect().map(_.getLong(0)).toSeq
+    assert(keys == all.slice(5, 8))
+  }
+
   test("readTablePartitioned splits the read into range partitions with identical rows") {
     val url = JdbcHarness.ensureCustomer(spark, sf0001)
     val single = Jdbc.readQuery(spark, url,
