@@ -1086,6 +1086,17 @@ object SparkEntry {
           col("channels"), col("bits"), col("n_samples"),
           col("duration_sec"), col("rms"))),
 
+    // multimodal: REAL video-style frame sampling — length-prefixed containers
+    // of genuine PNG frames (frame f keyed by doc_id*1000+f, closed-form);
+    // every stride-th frame is ImageIO-decoded, skipped frames cost a seek
+    // not a decode. Frame features are exactly oracle-able like m01.
+    "m05_video_frames" -> ((s, dir) =>
+      Multimodal.extractSampledFrames(
+        Multimodal.packSyntheticVideo(t(s, dir, "documents"), "doc_id", "source"),
+        stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_intensity"))),
+
     // multimodal metadata path (binary length + content hash — SQL-expressible).
     "m02_media_bytes" -> ((s, dir) =>
       Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")
@@ -2262,6 +2273,36 @@ object SparkEntry {
         |  n_samples,
         |  CAST(n_samples AS DOUBLE) / sample_rate AS duration_sec,
         |  sqrt(CAST(ss AS DOUBLE) / n_samples) AS rms
+        |FROM s""".stripMargin,
+    // m05: sampled frames decode REAL PNGs; frame key fk = media_id*1000 + f
+    // makes width/height/pixels closed-form per frame, same argument as m01.
+    "m05_video_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 6 + 2 AS INTEGER) AS nf
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id,
+        |    CAST(unnest(list_filter(range(0, nf), i -> i % 2 = 0)) AS INTEGER)
+        |      AS frame_idx
+        |  FROM d),
+        |g AS (
+        |  SELECT media_id, frame_idx, media_id*1000 + frame_idx AS fk FROM f),
+        |h AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(fk % 16 + 4 AS INTEGER) AS width,
+        |    CAST(fk % 12 + 4 AS INTEGER) AS height, fk
+        |  FROM g),
+        |s AS (
+        |  SELECT media_id, frame_idx, width, height,
+        |    list_sum(flatten(list_transform(range(0, height), y ->
+        |      list_transform(range(0, width), x ->
+        |        (fk*31 + x*7 + y*13) % 256
+        |        + (fk*31 + x*7 + y*13 + 5) % 256
+        |        + (fk*31 + x*7 + y*13 + 10) % 256)))) AS total
+        |  FROM h)
+        |SELECT media_id, frame_idx, width, height,
+        |  CAST(total AS DOUBLE) / CAST(width*height*3 AS DOUBLE) / 255.0
+        |    AS mean_intensity
         |FROM s""".stripMargin,
     "m03_frame_sample" ->
       """SELECT media_id, n_frames,

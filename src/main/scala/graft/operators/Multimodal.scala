@@ -195,6 +195,106 @@ object Multimodal {
     }
   }
 
+  /** Per-frame features from a decoded video-style container. */
+  final case class FrameFeatures(
+      media_id: Long,
+      frame_idx: Int,
+      width: Int,
+      height: Int,
+      mean_intensity: Double)
+
+  /** Deterministic synthetic "video": a length-prefixed stream of REAL PNG
+    * frames (`GFV1` magic, then per frame a 4-byte big-endian length + the
+    * PNG bytes). Container framing is the part a video pipeline owns — the
+    * per-frame codec is the image path, reused. Frame f of id is
+    * [[SynthImage]] keyed by `id * 1000 + f`, so every sampled frame's
+    * decoded features stay closed-form for the oracle. */
+  object SynthVideo {
+    val Magic: Array[Byte] = "GFV1".getBytes("US-ASCII")
+    def nFrames(id: Long): Int = (id % 6 + 2).toInt // 2..7 frames
+    def frameKey(id: Long, f: Int): Long = id * 1000L + f
+
+    def container(id: Long): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(Magic)
+      var f = 0
+      while (f < nFrames(id)) {
+        val png = SynthImage.png(frameKey(id, f))
+        bos.write(png.length >>> 24); bos.write(png.length >>> 16)
+        bos.write(png.length >>> 8); bos.write(png.length)
+        bos.write(png)
+        f += 1
+      }
+      bos.toByteArray
+    }
+  }
+
+  /** Real frame sampler + decoder: walk the container's frame index, decode
+    * ONLY every `stride`-th frame via `ImageIO` (skipped frames cost a seek,
+    * not a decode — the point of frame sampling), and emit per-frame
+    * features. A payload without the magic or with a corrupt length yields
+    * no rows; an individually undecodable frame is skipped, not fatal —
+    * the same drop contract as [[ImageCodec]]/[[AudioCodec]]. */
+  object VideoCodec {
+    def sampleFrames(r: MediaRecord, stride: Int): Iterator[FrameFeatures] = {
+      val p = r.payload
+      val m = SynthVideo.Magic
+      if (p.length < m.length + 4 || !p.take(m.length).sameElements(m))
+        return Iterator.empty
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+      var off = m.length
+      var f = 0
+      while (off + 4 <= p.length) {
+        val len = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+        off += 4
+        if (len < 0 || off + len > p.length) return out.iterator // truncated tail
+        if (f % stride == 0) {
+          val img =
+            try ImageIO.read(new ByteArrayInputStream(p, off, len))
+            catch { case _: java.io.IOException => null }
+          if (img != null) {
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            out += FrameFeatures(r.media_id, f, img.getWidth, img.getHeight,
+              sum.toDouble / (img.getWidth.toLong * img.getHeight * 3).toDouble / 255.0)
+          }
+        }
+        off += len
+        f += 1
+      }
+      out.iterator
+    }
+  }
+
+  /** Pack real frame containers ([[SynthVideo.container]]) keyed by an id. */
+  def packSyntheticVideo(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "video", SynthVideo.container(id), src)
+      })
+      .toDF()
+  }
+
+  /** Batched frame-sample + decode over the container column. */
+  def extractSampledFrames(media: DataFrame, stride: Int = 2): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap(VideoCodec.sampleFrames(_, stride)))
+  }
+
   /** Pack real WAV payloads ([[SynthAudio.wav]]) keyed by an id column; the
     * encode runs in the executors, same as [[packSyntheticImages]]. */
   def packSyntheticAudio(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {

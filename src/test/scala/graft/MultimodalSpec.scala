@@ -105,6 +105,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.media_id).toSeq == Seq(1L))
   }
 
+  test("video container round-trips: sampled frames decode to closed-form features") {
+    import graft.operators.Multimodal.SynthVideo
+    val vids = Multimodal.packSyntheticVideo(
+      Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "source")
+    val feats = Multimodal.extractSampledFrames(vids, stride = 2).collect()
+    val byDoc = feats.groupBy(_.media_id)
+    assert(byDoc.size == 20)
+    feats.foreach { f =>
+      val fk = SynthVideo.frameKey(f.media_id, f.frame_idx)
+      assert(f.frame_idx % 2 == 0)
+      assert(f.width == SynthImage.width(fk))
+      assert(f.height == SynthImage.height(fk))
+      var sum = 0L
+      for (y <- 0 until f.height; x <- 0 until f.width; c <- 0 until 3)
+        sum += SynthImage.sample(fk, x, y, c)
+      assert(f.mean_intensity ==
+        sum.toDouble / (f.width.toLong * f.height * 3).toDouble / 255.0)
+    }
+    byDoc.foreach { case (id, fs) =>
+      // frames 0, 2, 4... up to nFrames — sampling is an index walk, exact
+      val expect = (0 until SynthVideo.nFrames(id)).filter(_ % 2 == 0)
+      assert(fs.map(_.frame_idx).sorted.toSeq == expect)
+    }
+  }
+
+  test("video codec: bad magic yields no rows; truncated tail drops cleanly") {
+    import graft.operators.Multimodal.{SynthVideo, VideoCodec}
+    val good = SynthVideo.container(7L)
+    assert(VideoCodec.sampleFrames(
+      MediaRecord(7L, "video", good, "ok"), 1).size == SynthVideo.nFrames(7L))
+    // wrong magic: not this container format
+    assert(VideoCodec.sampleFrames(
+      MediaRecord(8L, "video", "AVI0".getBytes ++ good.drop(4), "bad"), 1).isEmpty)
+    // truncated mid-frame: frames before the cut survive, tail drops
+    val cut = good.take(good.length - 3)
+    val partial = VideoCodec.sampleFrames(
+      MediaRecord(7L, "video", cut, "cut"), 1).toSeq
+    assert(partial.size == SynthVideo.nFrames(7L) - 1)
+    assert(partial.map(_.frame_idx) == (0 until SynthVideo.nFrames(7L) - 1))
+  }
+
   test("sampleFrames keeps every stride-th pseudo-frame") {
     val out = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
     val rows = out.filter(col("media_id") === out.select(min("media_id")).first().getLong(0))
