@@ -55,11 +55,17 @@ object SecretResolver {
 final class HttpSecretResolver(baseUrl: String,
                                headers: Map[String, String] = Map.empty,
                                jsonField: Option[String] = None,
-                               timeoutMs: Long = 10000) extends SecretResolver {
+                               timeoutMs: Long = 10000,
+                               ssl: Option[javax.net.ssl.SSLContext] = None)
+    extends SecretResolver {
   import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 
-  private lazy val client = HttpClient.newBuilder()
-    .connectTimeout(java.time.Duration.ofMillis(timeoutMs)).build()
+  private lazy val client = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs))
+    ssl.foreach(b.sslContext) // mTLS: client cert + pinned trust (CertStore)
+    b.build()
+  }
 
   def resolve(path: String): Option[String] = {
     // encode per segment: vault paths ("db/pass") keep their slashes
