@@ -97,11 +97,11 @@ object Bench {
       s""""sf":"$sfDir"}"""
     println(jsonLine)
     // stdout tails get truncated by log capture; a file copy keeps the
-    // artifact lossless (every query present, parseable)
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { out =>
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
+    // artifact lossless (every query present, parseable). Defaults to
+    // BENCH_LAST.json in the working dir so driver-run benches always leave it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (jsonLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (failedQueries.nonEmpty) {
       System.err.println(s"[bench] FAILED: ${failedQueries.mkString(", ")}")

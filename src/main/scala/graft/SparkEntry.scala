@@ -915,6 +915,16 @@ object SparkEntry {
         T.topTokenFrac(T.tokens(col("text"))).as("top_token_frac"),
         T.dupBigramFrac(col("text")).as("dup_bigram_frac"))),
 
+    // the FULL Gopher char-fraction battery (top-{2,3,4}-gram / dup-{5..10}-
+    // gram char fractions, overlaps counted once) — one compiled pass per doc,
+    // O(len) per document; see functions.TextRepetition for the rule text.
+    "t14_ngram_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextRepetition.ngramRepetition(col("text")).as("r"))
+        .select(col("doc_id") +:
+          graft.functions.TextRepetition.fieldNames.map(f => col(s"r.$f")): _*)),
+
     // Gopher-style quality-rule battery: every stat is an exact integer ratio,
     // so flags AND the keep verdict reproduce bit-for-bit in the oracle.
     "t06_quality_filter" -> ((s, dir) =>
@@ -1363,6 +1373,44 @@ object SparkEntry {
         Seq("o_orderkey"), Seq("o_custkey", "price", "status_c", "pri"))
     })
   )
+
+  /** Generated DuckDB mirror of t14's nine Gopher repetition stats (see
+    * [[graft.functions.TextRepetition]]): per n, grams by 1-based list slices,
+    * the most frequent gram as a struct max over (count, charlen, gram), and
+    * dup coverage as the once-per-char union of duplicated-gram windows. */
+  private def t14OracleSql: String = {
+    import graft.functions.TextRepetition.{dupNs, topNs}
+    val allNs = topNs ++ dupNs
+    val gs = allNs.map(n =>
+      s"CASE WHEN m >= $n THEN list_transform(range(1, m-$n+2), i -> array_to_string(tk[i:i+${n - 1}], ' ')) END AS gs$n")
+      .mkString(",\n    ")
+    val best = topNs.map(n =>
+      s"CASE WHEN m >= $n THEN list_max(list_transform(list_distinct(gs$n), x -> {'c': CAST(len(list_filter(gs$n, y -> y = x)) AS BIGINT), 'l': CAST(length(x) - ${n - 1} AS BIGINT), 'g': x})) END AS best$n")
+    val starts = dupNs.map(n =>
+      s"CASE WHEN m >= $n THEN list_filter(range(1, m-$n+2), i -> len(list_filter(gs$n, y -> y = gs$n[i])) > 1) END AS starts$n")
+    val top = topNs.map(n =>
+      s"CASE WHEN best$n IS NULL THEN 0.0 ELSE CAST(struct_extract(best$n, 'c') * struct_extract(best$n, 'l') AS DOUBLE) / total END AS top${n}_char_frac")
+    val dup = dupNs.map(n =>
+      s"CASE WHEN starts$n IS NULL THEN 0.0 ELSE CAST(COALESCE(list_sum(list_transform(range(1, m+1), j -> CASE WHEN len(list_filter(starts$n, s -> s <= j AND j <= s + ${n - 1})) > 0 THEN length(tk[j]) ELSE 0 END)), 0) AS DOUBLE) / total END AS dup${n}_char_frac")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, tk, len(tk) AS m,
+       |    COALESCE(CAST(list_sum(list_transform(tk, t -> length(t))) AS BIGINT), 0) AS total
+       |  FROM toks),
+       |g AS (
+       |  SELECT *,
+       |    $gs
+       |  FROM base),
+       |b AS (
+       |  SELECT *,
+       |    ${(best ++ starts).mkString(",\n    ")}
+       |  FROM g)
+       |SELECT doc_id,
+       |  ${(top ++ dup).mkString(",\n  ")}
+       |FROM b""".stripMargin
+  }
 
   /** DuckDB oracle SQL per SQL-expressible query; same column names and the same
     * exact-decimal aggregation so values hash identically. */
@@ -2013,6 +2061,11 @@ object SparkEntry {
         |            / (len(words) - 1)
         |  END AS dup_bigram_frac
         |FROM toks""".stripMargin,
+    // generated per-n mirror of the compiled TextRepetition pass: same token
+    // def as t05, same (count, charlen, gram) max tie-break, same count-each-
+    // char-once coverage union. O(m^2) list lambdas are fine at oracle scale;
+    // the Spark side is the O(m) hash-map pass.
+    "t14_ngram_repetition" -> t14OracleSql,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
     "t06_quality_filter" ->

@@ -93,6 +93,34 @@ class PlanSpec extends SparkSpec {
     assert("(BroadcastHash|ShuffledHash|SortMerge)Join".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("o04: overlap counting has no pair join and no global-order window") {
+    val p = plan("o04_interval_overlap")
+    // pair-free: the count comes from rank queries, not a join of a x b
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join crept back into the count path:\n$p")
+    // the prefix-sum window is range-partitioned — a Window with an empty
+    // partition spec would serialize the whole corpus into one task
+    assert(p.contains("hashpartitioning(graft_rid"), p)
+    assert(!p.contains("SinglePartition"), s"global-order window:\n$p")
+  }
+
+  test("o07: sweep pairs plan one exchange keyed by (bin, cell); no nested loop") {
+    val p = plan("o07_interval_pairs")
+    assert(p.contains("hashpartitioning(graft_bin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("m05: frame decode is a narrow map over the scan — no shuffle of payloads") {
+    val p = plan("m05_video_frames")
+    assert(!p.contains("Exchange"), s"payload crossed an exchange:\n$p")
+  }
+
+  test("t14: repetition battery is a narrow map over the scan — no exchange") {
+    val p = plan("t14_ngram_repetition")
+    assert(!p.contains("Exchange"), s"per-doc stats crossed an exchange:\n$p")
+  }
+
   test("t07: both stratum windows share ONE exchange (rank + count, same partitioning)") {
     val p = plan("t07_stratified_sample")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size

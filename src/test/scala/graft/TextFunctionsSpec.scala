@@ -100,4 +100,46 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Double](T.dupBigramFrac(col("t")), "a b a b a") == 0.5)
     assert(one[Double](T.dupBigramFrac(col("t")), "one") == 0.0)
   }
+
+  private def rep(text: String): Map[String, Double] = {
+    val row = Seq(text).toDF("t")
+      .select(graft.functions.TextRepetition.ngramRepetition(col("t")).as("r"))
+      .select(graft.functions.TextRepetition.fieldNames.map(f => col(s"r.$f")): _*)
+      .collect()(0)
+    graft.functions.TextRepetition.fieldNames.zipWithIndex
+      .map { case (f, i) => f -> row.getDouble(i) }.toMap
+  }
+
+  test("ngram repetition: top-n char fractions incl. >1 self-overlap cases") {
+    // "a b a b a b c": 7 tokens, 7 chars. top2 = "a b" x3, charlen 2 -> 6/7;
+    // top3 ties ("a b a" x2, "b a b" x2) -> gram-max tie-break, 2*3/7;
+    // top4 = "a b a b" x2, charlen 4 -> 8/7 (> 1 under self-overlap).
+    val r = rep("a b a b a b c")
+    assert(r("top2_char_frac") == 6.0 / 7)
+    assert(r("top3_char_frac") == 6.0 / 7)
+    assert(r("top4_char_frac") == 8.0 / 7)
+    assert(r("dup5_char_frac") == 0.0, "all 5-grams distinct")
+    // case folding: "spam SPAM spam" -> "spam spam" x2, charlen 8, total 12
+    assert(rep("  spam   SPAM  spam ")("top2_char_frac") == 16.0 / 12)
+  }
+
+  test("ngram repetition: dup-n coverage counts overlapped chars once") {
+    // "x y z x y z x y z w": dup 5-gram starts {0,1,3,4}; their [i, i+4]
+    // windows union to tokens 0..8 -> 9 of 10 chars despite 4x5=20 window slots
+    val r = rep("x y z x y z x y z w")
+    assert(r("dup5_char_frac") == 0.9)
+    assert(r("dup6_char_frac") == 0.9, "starts {0,3} cover 0..8")
+    assert(r("dup7_char_frac") == 0.0, "no duplicated 7-gram")
+    assert(r("top3_char_frac") == 0.9, "'x y z' x3, charlen 3")
+  }
+
+  test("ngram repetition: degenerate inputs are all-zero, never null/NaN") {
+    for (t <- Seq("", "   ", "hello", "a b c")) {
+      val r = rep(t)
+      assert(r.values.forall(v => !v.isNaN && !v.isInfinite), (t, r))
+      assert(r("dup5_char_frac") == 0.0 && r("top4_char_frac") == 0.0, (t, r))
+    }
+    // m == n boundary: exactly one 2-gram, count 1, charlen 4, total 4 -> 1.0
+    assert(rep("ab cd")("top2_char_frac") == 1.0)
+  }
 }
