@@ -827,6 +827,14 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_eval_matches"), col("max_jaccard"))
     }),
 
+    // ExactSubstr-style cross-doc verbatim span coverage (Lee et al. 2022):
+    // per doc, the token fraction covered by 8-grams duplicated anywhere in
+    // the corpus, overlaps counted once. Gram text never crosses an exchange.
+    "d10_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpanCoverage(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 8)),
+
     // GPT-style sequence packing: concatenate docs per source in doc_id order,
     // cut at a 512-token budget — each doc's pack id is floor(tokens-before /
     // 512). One window sum per source partition; exact integer arithmetic.
@@ -2156,6 +2164,31 @@ object SparkEntry {
         |  FROM nonempty c JOIN ev e ON c.doc_id <> e.eval_id)
         |SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
         |FROM pairs WHERE j >= 0.02 GROUP BY doc_id""".stripMargin,
+    // same token def as t14; the oracle groups duplicated grams by STRING where
+    // Spark shuffles xxhash64(gram) — identical output absent hash collisions
+    // (the d01/d02 fingerprint precedent). Fixed-length interval union:
+    // sum(min(k, next-pos)) over per-doc sorted dup starts, + k for the last.
+    "d10_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '') AS tk
+        |  FROM documents),
+        |base AS (SELECT doc_id, tk, len(tk) AS m FROM toks),
+        |sh AS (
+        |  SELECT doc_id, m, j AS pos, array_to_string(tk[j:j+7], ' ') AS gram
+        |  FROM base, UNNEST(range(1, greatest(m-8+2, 1))) AS t(j)),
+        |dup AS (SELECT gram FROM sh GROUP BY gram HAVING count(*) > 1),
+        |starts AS (
+        |  SELECT sh.doc_id, sh.pos,
+        |    lead(sh.pos) OVER (PARTITION BY sh.doc_id ORDER BY sh.pos) AS nxt
+        |  FROM sh JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans,
+        |    CAST(sum(CASE WHEN nxt IS NULL THEN 8 ELSE least(8, nxt - pos) END) AS BIGINT) AS covered
+        |  FROM starts GROUP BY doc_id)
+        |SELECT b.doc_id, COALESCE(c.n_dup_spans, 0) AS n_dup_spans,
+        |  COALESCE(c.covered, 0) AS covered_tokens,
+        |  CASE WHEN b.m = 0 THEN 0.0 ELSE CAST(COALESCE(c.covered, 0) AS DOUBLE) / b.m END AS dup_span_frac
+        |FROM base b LEFT JOIN cov c USING (doc_id)""".stripMargin,
     // gram construction identical to d05's (words from lower(text)); the oracle
     // joins on gram STRINGS where Spark joins on xxhash64(gram) — identical
     // output absent 64-bit collisions.

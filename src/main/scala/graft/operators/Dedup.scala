@@ -361,6 +361,56 @@ object Dedup {
           s => s("chunk")), " ").as("clean_text"))
   }
 
+  /** Cross-document verbatim span coverage — the ExactSubstr dedup signal
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): for each document, find every k-token shingle that occurs more
+    * than once ANYWHERE in the corpus (any offset, any document, including a
+    * second occurrence in the same document) and measure the fraction of the
+    * document's tokens covered by the union of their `[pos, pos+k-1]` windows,
+    * counting overlapped tokens once. Catches verbatim spans at arbitrary
+    * offsets that chunk-aligned [[passageDedup]] and whole-doc MinHash miss.
+    *
+    * Scale shape (100 TB): the gram text is dropped BEFORE the first exchange —
+    * duplication detection shuffles `(id, pos, xxhash64(gram))` by the 8-byte
+    * hash (a window count; no join build side), and the coverage sweep is a
+    * per-document window over duplicated starts (second exchange, id-keyed)
+    * with the fixed-length-interval union formula `sum(min(k, next - pos))`.
+    * Linear in corpus size, no all-pairs comparison anywhere. A hash collision
+    * can mark a unique span as duplicated (expected ~n²/2⁶⁴ gram pairs) — the
+    * same trade as [[exact]]'s fingerprint key.
+    *
+    * Returns one row per document:
+    * `(idCol, n_dup_spans, covered_tokens, dup_span_frac)`. */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8): DataFrame = {
+    require(k >= 1, s"dupSpanCoverage: k out of range: $k")
+    val sh = df
+      .select(col(idCol), posexplode(H.word_shingles(col(textCol), k))
+        .as(Seq("pos", "gram")))
+      .select(col(idCol), col("pos"), xxhash64(col("gram")).as("gh"))
+    val dupStarts = sh
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy("gh")))
+      .where(col("occ") > 1)
+    val cov = dupStarts
+      .withColumn("nxt", lead(col("pos"), 1)
+        .over(Window.partitionBy(idCol).orderBy("pos")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_dup_spans"),
+        sum(when(col("nxt").isNull, k.toLong)
+          .otherwise(least(lit(k.toLong), (col("nxt") - col("pos")).cast("long"))))
+          .as("covered_tokens"))
+    df.select(col(idCol), size(T.tokens(col(textCol))).cast("long").as("m"))
+      .join(cov, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("m") === 0L, 0.0)
+          .otherwise(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+            / col("m"))
+          .as("dup_span_frac"))
+  }
+
   /** Duplication-ratio ESTIMATE — the planning pass run before committing a
     * cluster to a full dedup of a 100 TB corpus: one scan, no shuffle of the
     * payload (HLL sketches merge map-side), answering "how much smaller would

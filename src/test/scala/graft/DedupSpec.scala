@@ -220,4 +220,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L, 0)), pairs.toString)
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("d10 dup-span coverage: cross-doc + intra-doc spans, overlaps counted once") {
+    val spanDocs = Seq(
+      (10L, "p q r s x p q r s"), // intra-doc repeated 4-gram at 0 and 5
+      (11L, "unique words only here nothing shared"),
+      (12L, "alpha beta gamma delta eps zeta"), // 12/13 share a 5-token run ->
+      (13L, "pre alpha beta gamma delta eps post"), //   2 overlapping 4-gram starts
+      (14L, "sh") // shorter than k: no shingles, zero row still emitted
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpanCoverage(spanDocs, "doc_id", "text", k = 4)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3))))
+      .toMap
+    assert(r(10L) == ((2L, 8L, 8.0 / 9)), r(10L).toString) // union [0,3]+[5,8]
+    assert(r(11L) == ((0L, 0L, 0.0)))
+    assert(r(12L) == ((2L, 5L, 5.0 / 6)), "5 covered tokens, not 2x4")
+    assert(r(13L) == ((2L, 5L, 5.0 / 7)))
+    assert(r(14L) == ((0L, 0L, 0.0)))
+  }
 }

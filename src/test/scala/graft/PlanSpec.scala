@@ -121,6 +121,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"per-doc stats crossed an exchange:\n$p")
   }
 
+  test("d10: dup detection shuffles the 8-byte gram hash, never the gram text") {
+    val p = plan("d10_dup_spans")
+    assert(p.contains("hashpartitioning(gh"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // no exchange is keyed by the gram string — only gh/doc_id key shuffles
+    val keys = "hashpartitioning\\([a-zA-Z_]+".r.findAllIn(p).toSet
+    assert(keys.subsetOf(Set("hashpartitioning(gh", "hashpartitioning(doc_id")), keys.toString)
+  }
+
   test("t07: both stratum windows share ONE exchange (rank + count, same partitioning)") {
     val p = plan("t07_stratified_sample")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
