@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface over the `events` table.
   *
@@ -19,21 +20,29 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** The events schema (streaming reads need it declared up front; batch infers
-    * it from the footer). ts arrives as TIMESTAMP(NANOS) → long nanos under
-    * `nanosAsLong` (see graft.sources.Lake). */
-  private val eventsSchemaDDL =
-    "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
-
   /** Open the events parquet as a file stream with a proper event-time column.
     * (File streaming sources take a directory; pathGlobFilter selects the one
-    * table out of the shared lake directory.) */
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchemaDDL)
+    * table out of the shared lake directory.)
+    *
+    * Streaming reads need the schema declared up front, and lake files come from
+    * mixed writers — `ts` may be TIMESTAMP(NANOS) (surfacing as long nanos under
+    * `nanosAsLong`), TIMESTAMP_NTZ, or plain TIMESTAMP micros. One cheap batch
+    * footer read (driver-side metadata only, no data scan) sniffs the on-disk
+    * type, then the stream declares exactly that schema and normalizes to
+    * TimestampType — same contract as the batch path (graft.sources.Lake). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val onDisk = spark.read
+      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val raw = spark.readStream
+      .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    onDisk("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => raw
+    }
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. Late rows beyond
     * the watermark are dropped — state stays bounded no matter how long the

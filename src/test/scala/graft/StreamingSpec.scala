@@ -69,11 +69,7 @@ class StreamingSpec extends SparkSpec {
     "that match the batch formulation") {
     import spark.implicits._
     val gap = 30
-    val events = spark.readStream
-      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(sf0001)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = EventsStream.readEvents(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[EventsStream.Event]
     val q = EventsStream.sessionize(events, gap).writeStream
