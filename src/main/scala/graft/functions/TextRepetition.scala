@@ -31,8 +31,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * count + an O(L) coverage sweep — no O(L²) candidate scan, so cost stays
   * linear in document length at corpus scale. Same CodegenFallback rationale
   * as [[HashExpressions]]: the per-row call is chunky, only the inner loop
-  * matters. Tie-break gram comparison uses Java UTF-16 string order, which
-  * matches UTF-8 byte order on BMP text (all lake corpora here).
+  * matters. Character counts are Unicode code points and the tie-break gram
+  * comparison is code-point order (= UTF-8 byte order, what DuckDB's VARCHAR
+  * compare and `length()` use) — NOT Java's UTF-16 units/order, which diverge
+  * off the BMP (an emoji is two UTF-16 units but one character, and surrogate
+  * blocks sort below U+E000..U+FFFF in UTF-16).
   *
   * Beyond the reference (its only text ops are trim/empty→null,
   * `/root/reference/src/Infrastructure/Transformation/Common/DataCleansingStep.cs:43-51`)
@@ -57,7 +60,7 @@ object TextRepetition {
       val m = toks.length
       var total = 0L
       var i = 0
-      while (i < m) { total += toks(i).length; i += 1 }
+      while (i < m) { total += cpLen(toks(i)); i += 1 }
 
       val out = new Array[Any](topNs.length + dupNs.length)
       var f = 0
@@ -95,6 +98,29 @@ object TextRepetition {
       c
     }
 
+    /** Code points, not UTF-16 units: one emoji = one character. */
+    private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+    /** Compare in Unicode code-point order — identical to unsigned UTF-8 byte
+      * order. UTF-16 code units ≥ U+E000 are shifted below the surrogate
+      * blocks so that supplementary code points (encoded as surrogates) sort
+      * above all BMP chars, exactly as their UTF-8 encodings do. */
+    private def utf8Compare(a: String, b: String): Int = {
+      val la = a.length; val lb = b.length
+      var i = 0
+      while (i < la && i < lb) {
+        var ca = a.charAt(i).toInt
+        var cb = b.charAt(i).toInt
+        if (ca != cb) {
+          if (ca >= 0xE000) ca -= 0x800 else if (ca >= 0xD800) ca += 0x2000
+          if (cb >= 0xE000) cb -= 0x800 else if (cb >= 0xD800) cb += 0x2000
+          return ca - cb
+        }
+        i += 1
+      }
+      la - lb
+    }
+
     private def topFrac(toks: Array[String], n: Int, total: Long): Double = {
       val c = counts(grams(toks, n))
       var bestCnt = 0; var bestLen = -1L; var bestG = ""
@@ -102,9 +128,9 @@ object TextRepetition {
       while (it.hasNext) {
         val e = it.next()
         val cnt = e.getValue.intValue()
-        val len = (e.getKey.length - (n - 1)).toLong
+        val len = cpLen(e.getKey) - (n - 1)
         if (cnt > bestCnt || (cnt == bestCnt &&
-            (len > bestLen || (len == bestLen && e.getKey.compareTo(bestG) > 0)))) {
+            (len > bestLen || (len == bestLen && utf8Compare(e.getKey, bestG) > 0)))) {
           bestCnt = cnt; bestLen = len; bestG = e.getKey
         }
       }
@@ -122,7 +148,7 @@ object TextRepetition {
         if (c.get(gs(i)) > 1) {
           var from = math.max(i, end + 1)
           val to = i + n - 1
-          while (from <= to) { chars += toks(from).length; from += 1 }
+          while (from <= to) { chars += cpLen(toks(from)); from += 1 }
           end = to
         }
         i += 1

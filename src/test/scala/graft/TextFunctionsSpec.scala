@@ -133,6 +133,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(r("top3_char_frac") == 0.9, "'x y z' x3, charlen 3")
   }
 
+  test("ngram repetition: supplementary-plane text counts code points, not UTF-16 units") {
+    // toks [😀, 😀, ab], total 4 chars. Both 2-grams occur once; code-point
+    // charlen makes "😀 ab" (3 chars) beat "😀 😀" (2 chars) -> 3/4. Counting
+    // UTF-16 units would tie both grams at 4 and yield 4/6 — the off-BMP
+    // divergence from the DuckDB oracle (code points, UTF-8 byte order) that
+    // this case pins.
+    assert(rep("😀 😀 ab")("top2_char_frac") == 3.0 / 4)
+    // dup5 coverage: duplicated 5-gram windows cover tokens 0..9 of 11
+    // single-CHAR tokens (an emoji is one character); UTF-16 units would give
+    // 12/13 instead.
+    assert(rep("😀 a b c d 😀 a b c d e")("dup5_char_frac") == 10.0 / 11)
+    // CJK Ext-B (U+20000, also supplementary): same rule, top2 = "𠀀 ab" 3/4
+    assert(rep("𠀀 𠀀 ab")("top2_char_frac") == 3.0 / 4)
+  }
+
   test("ngram repetition: degenerate inputs are all-zero, never null/NaN") {
     for (t <- Seq("", "   ", "hello", "a b c")) {
       val r = rep(t)
