@@ -1115,6 +1115,18 @@ object SparkEntry {
         .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
           col("mean_intensity"))),
 
+    // multimodal: PUBLIC video container — real multi-frame GIF89a written and
+    // frame-sampled via the JDK ImageIO gif plugin. Frames are 8-bit gray over
+    // an identity palette (GIF's indexed model is lossless there), every gray
+    // sample closed-form in (doc_id, frame, x, y) so the oracle recomputes the
+    // decoded mean intensity exactly. Complements m05's bespoke GFV1 framing.
+    "m06_gif_frames" -> ((s, dir) =>
+      Multimodal.extractGifFrames(
+        Multimodal.packSyntheticGif(t(s, dir, "documents"), "doc_id", "source"),
+        stride = 2).toDF()
+        .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_intensity"))),
+
     // multimodal metadata path (binary length + content hash — SQL-expressible).
     "m02_media_bytes" -> ((s, dir) =>
       Multimodal.packFromText(t(s, dir, "documents"), "doc_id", "text", "source")
@@ -2386,6 +2398,30 @@ object SparkEntry {
         |        + (fk*31 + x*7 + y*13 + 5) % 256
         |        + (fk*31 + x*7 + y*13 + 10) % 256)))) AS total
         |  FROM h)
+        |SELECT media_id, frame_idx, width, height,
+        |  CAST(total AS DOUBLE) / CAST(width*height*3 AS DOUBLE) / 255.0
+        |    AS mean_intensity
+        |FROM s""".stripMargin,
+    // m06: GIF frames are 8-bit gray (r=g=b), so the decoder's RGB-plane sum is
+    // exactly 3x the gray sum; the oracle mirrors the same integers and the
+    // same IEEE division order (3*S) / (w*h*3) / 255.
+    "m06_gif_frames" ->
+      """WITH d AS (
+        |  SELECT doc_id AS media_id, CAST(doc_id % 6 + 2 AS INTEGER) AS nf,
+        |    CAST(doc_id % 16 + 4 AS INTEGER) AS width,
+        |    CAST(doc_id % 12 + 4 AS INTEGER) AS height
+        |  FROM documents),
+        |f AS (
+        |  SELECT media_id, width, height,
+        |    CAST(unnest(list_filter(range(0, nf), i -> i % 2 = 0)) AS INTEGER)
+        |      AS frame_idx
+        |  FROM d),
+        |s AS (
+        |  SELECT media_id, frame_idx, width, height,
+        |    3 * list_sum(flatten(list_transform(range(0, height), y ->
+        |      list_transform(range(0, width), x ->
+        |        (media_id*31 + frame_idx*97 + x*7 + y*13) % 256)))) AS total
+        |  FROM f)
         |SELECT media_id, frame_idx, width, height,
         |  CAST(total AS DOUBLE) / CAST(width*height*3 AS DOUBLE) / 255.0
         |    AS mean_intensity

@@ -75,6 +75,28 @@ object Multimodal {
     }
   }
 
+  /** Exact integer RGB sum over the raster; one entry point so every codec's
+    * mean-intensity doubles are built from the same integers with the same
+    * IEEE op order (what lets an ANSI-SQL oracle match them bit-for-bit). */
+  private def rgbSum(img: BufferedImage): Long = {
+    var sum = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
+
+  /** intensity over the RGB planes regardless of alpha presence */
+  private def meanIntensity(img: BufferedImage): Double =
+    rgbSum(img).toDouble / (img.getWidth.toLong * img.getHeight * 3).toDouble / 255.0
+
   /** Real image decoder: `ImageIO.read` over the payload bytes. Corrupt or
     * non-image payloads yield `None` (callers drop them — a 100 TB media crawl
     * always contains undecodable bytes; crashing the stage on one is wrong). */
@@ -87,25 +109,10 @@ object Multimodal {
         try ImageIO.read(new ByteArrayInputStream(r.payload))
         catch { case _: java.io.IOException => null }
       if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-            x += 1
-          }
-          y += 1
-        }
-        // intensity over the RGB planes regardless of alpha presence
-        val mean = sum.toDouble / (w.toLong * h * 3).toDouble / 255.0
-        Some(MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong, w, h,
-          img.getColorModel.getNumComponents, mean))
-      }
+      else
+        Some(MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
+          img.getWidth, img.getHeight, img.getColorModel.getNumComponents,
+          meanIntensity(img)))
     }
   }
 
@@ -253,27 +260,137 @@ object Multimodal {
           val img =
             try ImageIO.read(new ByteArrayInputStream(p, off, len))
             catch { case _: java.io.IOException => null }
-          if (img != null) {
-            var sum = 0L
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val rgb = img.getRGB(x, y)
-                sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
+          if (img != null)
             out += FrameFeatures(r.media_id, f, img.getWidth, img.getHeight,
-              sum.toDouble / (img.getWidth.toLong * img.getHeight * 3).toDouble / 255.0)
-          }
+              meanIntensity(img))
         }
         off += len
         f += 1
       }
       out.iterator
     }
+  }
+
+  /** Deterministic synthetic multi-frame GIF — the PUBLIC-container video
+    * path (GIF89a via the JDK's `ImageIO` gif plugin), complementing
+    * [[SynthVideo]]'s bespoke length-prefixed framing. GIF frames are
+    * palette-indexed (≤256 colors), so losslessness needs frames that fit one
+    * palette: each frame is 8-bit GRAYSCALE over a 256-entry identity gray
+    * ramp — an indexed write/read round-trips every sample exactly, which is
+    * what keeps the decoded features closed-form for the oracle. All frames
+    * of one container share the logical-screen dims (constant frame size,
+    * like real video); pixels vary per frame. */
+  object SynthGif {
+    def nFrames(id: Long): Int = (id % 6 + 2).toInt // 2..7 frames
+    def width(id: Long): Int   = (id % 16 + 4).toInt
+    def height(id: Long): Int  = (id % 12 + 4).toInt
+
+    /** Gray level of frame f at (x, y) — closed form for the oracle. */
+    def gray(id: Long, f: Int, x: Int, y: Int): Int =
+      ((id * 31 + f * 97 + x * 7 + y * 13) % 256).toInt
+
+    private val grayRamp: java.awt.image.IndexColorModel = {
+      val ramp = Array.tabulate(256)(_.toByte)
+      new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    }
+
+    def frame(id: Long, f: Int): BufferedImage = {
+      val w = width(id); val h = height(id)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayRamp)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gray(id, f, x, y)); x += 1 }
+        y += 1
+      }
+      img
+    }
+
+    /** Encode as a real multi-frame GIF via `ImageWriter.writeToSequence`. */
+    def container(id: Long): Array[Byte] = {
+      val writer = ImageIO.getImageWritersByFormatName("gif").next()
+      val bos = new ByteArrayOutputStream()
+      val ios = ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        var f = 0
+        while (f < nFrames(id)) {
+          val img = frame(id, f)
+          // The JDK writer defaults to INTERLACED output, whose 4-pass row
+          // order (0,2,1,3 at height 4) does not survive its own read path
+          // for sub-8-row frames — write sequential rows explicitly.
+          val meta = writer.getDefaultImageMetadata(
+            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+          val fmt = meta.getNativeMetadataFormatName
+          val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          desc.setAttribute("interlaceFlag", "FALSE")
+          meta.setFromTree(fmt, tree)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+          f += 1
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+  }
+
+  /** Real GIF frame sampler: the format's own `ImageReader` walks the frame
+    * sequence; only every `stride`-th frame is raster-decoded. Non-GIF or
+    * corrupt payloads yield no rows; a bad individual frame is skipped —
+    * the same drop contract as the other codecs. */
+  object GifCodec {
+    def sampleFrames(r: MediaRecord, stride: Int): Iterator[FrameFeatures] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
+      val iis =
+        try ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      if (iis == null) return Iterator.empty
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Iterator.empty
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val n = try reader.getNumImages(true)
+                  catch { case _: java.io.IOException => 0 }
+          var f = 0
+          while (f < n) {
+            if (f % stride == 0) {
+              val img = try reader.read(f)
+                        catch { case _: java.io.IOException => null }
+              if (img != null)
+                out += FrameFeatures(r.media_id, f, img.getWidth, img.getHeight,
+                  meanIntensity(img))
+            }
+            f += 1
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+      out.iterator
+    }
+  }
+
+  /** Pack real multi-frame GIF containers ([[SynthGif.container]]). */
+  def packSyntheticGif(df: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(sourceCol).as("src"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, src) =>
+        MediaRecord(id, "video", SynthGif.container(id), src)
+      })
+      .toDF()
+  }
+
+  /** Batched GIF frame-sample + decode over the container column. */
+  def extractGifFrames(media: DataFrame, stride: Int = 2): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.as[MediaRecord].mapPartitions(_.flatMap(GifCodec.sampleFrames(_, stride)))
   }
 
   /** Pack real frame containers ([[SynthVideo.container]]) keyed by an id. */

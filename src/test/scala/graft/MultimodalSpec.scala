@@ -146,6 +146,45 @@ class MultimodalSpec extends SparkSpec {
     assert(partial.map(_.frame_idx) == (0 until SynthVideo.nFrames(7L) - 1))
   }
 
+  test("GIF container round-trips: real GIF89a bytes, frames decode closed-form") {
+    import graft.operators.Multimodal.SynthGif
+    // the payload is a genuine GIF file (public container, not bespoke framing)
+    val bytes = SynthGif.container(5L)
+    assert(new String(bytes.take(6), "US-ASCII") == "GIF89a", "not a GIF89a header")
+    val gifs = Multimodal.packSyntheticGif(
+      Lake.table(spark, sf0001, "documents").limit(20), "doc_id", "source")
+    val feats = Multimodal.extractGifFrames(gifs, stride = 2).collect()
+    val byDoc = feats.groupBy(_.media_id)
+    assert(byDoc.size == 20)
+    feats.foreach { f =>
+      assert(f.frame_idx % 2 == 0)
+      assert(f.width == SynthGif.width(f.media_id))
+      assert(f.height == SynthGif.height(f.media_id))
+      var sum = 0L
+      for (y <- 0 until f.height; x <- 0 until f.width)
+        sum += 3L * SynthGif.gray(f.media_id, f.frame_idx, x, y)
+      assert(f.mean_intensity ==
+        sum.toDouble / (f.width.toLong * f.height * 3).toDouble / 255.0)
+    }
+    byDoc.foreach { case (id, fs) =>
+      val expect = (0 until SynthGif.nFrames(id)).filter(_ % 2 == 0)
+      assert(fs.map(_.frame_idx).sorted.toSeq == expect)
+    }
+  }
+
+  test("GIF codec: non-GIF payloads yield no rows, not failures") {
+    import graft.operators.Multimodal.GifCodec
+    assert(GifCodec.sampleFrames(
+      MediaRecord(1L, "video", Array.emptyByteArray, "empty"), 1).isEmpty)
+    assert(GifCodec.sampleFrames(
+      MediaRecord(2L, "video", "not a gif at all".getBytes, "junk"), 1).isEmpty)
+    // a PNG payload finds the png reader, which has exactly one frame — the
+    // gif sampler still behaves (decodes it as frame 0) rather than crashing
+    val png = GifCodec.sampleFrames(
+      MediaRecord(3L, "video", SynthImage.png(3L), "png"), 1).toSeq
+    assert(png.size <= 1)
+  }
+
   test("sampleFrames keeps every stride-th pseudo-frame") {
     val out = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
     val rows = out.filter(col("media_id") === out.select(min("media_id")).first().getLong(0))
