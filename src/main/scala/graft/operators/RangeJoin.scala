@@ -224,19 +224,25 @@ object RangeJoin {
     val subs = ranged.groupBy("graft_rid")
       .agg(sum("graft_dlo").as("slo"), sum("graft_dhi").as("shi"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-    val offLo = subs.map(_._1).zip(subs.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
-    val offHi = subs.map(_._1).zip(subs.scanLeft(0L)(_ + _._3).dropRight(1)).toMap
-    def offsetCol(m: Map[Long, Long]) = m.foldLeft(lit(0L)) {
-      case (acc, (rid, off)) => when(col("graft_rid") === rid, lit(off)).otherwise(acc)
-    }
+    // Exclusive prefix sums over the per-range subtotals, shipped back as a
+    // BROADCAST-joined frame of <= parts+1 rows: O(1) expression depth however
+    // large `parts` is. (A folded when() chain here is linear codegen depth in
+    // `parts` — a compile-time cliff once ranges number in the thousands.)
+    val offLo = subs.scanLeft(0L)(_ + _._2)
+    val offHi = subs.scanLeft(0L)(_ + _._3)
+    val spark = a.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(
+      subs.indices.map(i => (subs(i)._1, offLo(i), offHi(i)))
+        .toDF("graft_rid", "graft_offlo", "graft_offhi"))
 
     import org.apache.spark.sql.expressions.Window
     val win = Window.partitionBy("graft_rid")
       .orderBy(col("graft_v"), col("graft_ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("graft_clo", sum("graft_dlo").over(win) + offsetCol(offLo))
-      .withColumn("graft_chi", sum("graft_dhi").over(win) + offsetCol(offHi))
+    ranged.join(offsets, Seq("graft_rid"))
+      .withColumn("graft_clo", sum("graft_dlo").over(win) + col("graft_offlo"))
+      .withColumn("graft_chi", sum("graft_dhi").over(win) + col("graft_offhi"))
       .where(col("graft_k").isNotNull)
       .groupBy(col("graft_k").as(aKey))
       .agg((sum(when(col("graft_ord") === 2, col("graft_clo")).otherwise(0L)) -

@@ -104,19 +104,22 @@ object Sampling {
     * result can be slightly under `k` rows on skewed weights.
     *
     * Scale shape: the global prefix sum is distributed — ids split into
-    * `parts` ARITHMETIC ranges (no sampled partitioner, so the two passes see
-    * identical partitioning by construction), each range cumsums locally
-    * behind one Exchange, and only the `parts` per-range subtotals reach the
-    * driver to become offsets (same bounded seam as the IVF centroid seed).
-    * No global-order single-task window anywhere. `cum·k` must fit a long:
-    * fine for k ≤ ~10^4 against ~10^14 total weight.
+    * `parts` COUNT-BALANCED ranges (boundaries = deterministic approximate
+    * quantiles of the id distribution, one extra aggregation pass), each range
+    * cumsums locally behind one Exchange, and only the `parts` per-range
+    * subtotals reach the driver to become offsets (same bounded seam as the
+    * IVF centroid seed). No global-order single-task window anywhere.
+    * Quantile boundaries make the ranges hold ~n/parts rows however the ids
+    * cluster in the key space — arithmetic `[0, max]/parts` ranges would
+    * serialize the cumsum window when ids occupy a sliver of the space.
+    * Boundary PLACEMENT only affects load balance, never the result: the
+    * selection predicate reads the offset-corrected GLOBAL cumulative weight,
+    * which is identical under any monotone range assignment. `cum·k` must fit
+    * a long: fine for k ≤ ~10^4 against ~10^14 total weight.
     *
-    * Ids must be non-null and non-negative (integer `div` is not monotone
-    * across zero, so negative ids would break range monotonicity); ids are
-    * assumed ROUGHLY DENSE in [0, max]. Sparse/skewed id spaces stay CORRECT
-    * (ranges are arithmetic, the prefix sum doesn't care how many rows land
-    * in each) but concentrate rows into few ranges, serializing the local
-    * cumsum window — re-densify ids first if that bites. */
+    * Ids must be non-null and non-negative (the documented key contract of
+    * the training-data id space; the quantile ranges themselves would accept
+    * any ordering). */
   def ppsSystematic(df: DataFrame, idCol: String, weightCol: String, k: Int,
                     parts: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
@@ -129,10 +132,15 @@ object Sampling {
       "ppsSystematic: ids must be non-null")
     require(stats.getLong(2) >= 0,
       s"ppsSystematic: ids must be non-negative (min=${stats.getLong(2)})")
-    val maxId = stats.getLong(3)
-    val width = math.max(1L, maxId / parts + 1)
+    val bounds = rangeBoundaries(w, idCol, parts)
+    // range id = #{boundaries <= id}: monotone in id (the correctness
+    // requirement), O(1) expression depth via a single array literal. Long→
+    // double id comparison is monotone at any magnitude (ties collapse into
+    // the same range, which is load-balance-only).
     val ranged = w.withColumn("graft_rid",
-      expr(s"CAST($idCol AS BIGINT) div $width"))
+      if (bounds.isEmpty) lit(0L)
+      else size(filter(array(bounds.map(lit(_)): _*),
+        b => b <= col(idCol).cast("double"))).cast("long"))
     // bounded driver collect: one (range, subtotal) row per arithmetic range
     val subtotals = ranged.groupBy(col("graft_rid"))
       .agg(sum(col("graft_w")).as("sw"))
@@ -156,4 +164,13 @@ object Sampling {
         expr(s"(graft_cum - graft_w) * $k div $total"))
       .select(col(idCol))
   }
+
+  /** Count-based range boundaries for the distributed prefix sum: `parts - 1`
+    * approximate id quantiles (relative error 1%), deduplicated. Exposed for
+    * the range-balance spec; result quality only affects parallelism. */
+  private[graft] def rangeBoundaries(df: DataFrame, idCol: String,
+                                     parts: Int): Array[Double] =
+    if (parts <= 1) Array.empty[Double]
+    else df.stat.approxQuantile(idCol,
+      (1 until parts).map(_.toDouble / parts).toArray, 0.01).distinct.sorted
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Structured Streaming surface over the `events` table.
   *
@@ -30,9 +30,24 @@ object EventsStream {
     * footer read (driver-side metadata only, no data scan) sniffs the on-disk
     * type, then the stream declares exactly that schema and normalizes to
     * TimestampType — same contract as the batch path (graft.sources.Lake). */
+  // Per-path schema cache: the sniff is driver-side metadata-only, but it still
+  // lists the directory and opens a parquet footer — once per STREAM
+  // CONSTRUCTION adds up when many queries open the same table (six st-queries
+  // = six sniffs of one immutable path). A lake table's schema at a fixed path
+  // is stable within a JVM (schema evolution arrives as new paths/partitions),
+  // so one sniff per path is sound. `sniffCount` exposes cache misses so the
+  // spec can pin the once-per-path contract.
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+  private[graft] val sniffCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def sniffSchema(spark: SparkSession, dir: String): StructType =
+    schemaCache.computeIfAbsent(dir, { d =>
+      sniffCount.incrementAndGet()
+      spark.read.option("pathGlobFilter", "events.parquet").parquet(d).schema
+    })
+
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val onDisk = spark.read
-      .option("pathGlobFilter", "events.parquet").parquet(dir).schema
+    val onDisk = sniffSchema(spark, dir)
     val raw = spark.readStream
       .schema(onDisk)
       .option("pathGlobFilter", "events.parquet")

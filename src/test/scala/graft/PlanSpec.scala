@@ -93,12 +93,17 @@ class PlanSpec extends SparkSpec {
     assert("(BroadcastHash|ShuffledHash|SortMerge)Join".r.findAllIn(p).nonEmpty, p)
   }
 
-  test("o04: overlap counting has no pair join and no global-order window") {
+  test("o04: overlap counting has no a-x-b pair join and no global-order window") {
     val p = plan("o04_interval_overlap")
-    // pair-free: the count comes from rank queries, not a join of a x b
-    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+    // pair-free: the count comes from rank queries, not a join of a x b. The
+    // ONLY join allowed is the broadcast of the <= parts+1-row offsets frame
+    // (keyed by graft_rid) that ships the prefix-sum subtotals back.
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
       !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair join crept back into the count path:\n$p")
+    val bhjKeys = "BroadcastHashJoin \\[([a-zA-Z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bhjKeys.subsetOf(Set("graft_rid")),
+      s"broadcast join on a non-offset key (a-x-b pairing?): $bhjKeys\n$p")
     // the prefix-sum window is range-partitioned — a Window with an empty
     // partition spec would serialize the whole corpus into one task
     assert(p.contains("hashpartitioning(graft_rid"), p)
@@ -113,6 +118,11 @@ class PlanSpec extends SparkSpec {
 
   test("m05: frame decode is a narrow map over the scan — no shuffle of payloads") {
     val p = plan("m05_video_frames")
+    assert(!p.contains("Exchange"), s"payload crossed an exchange:\n$p")
+  }
+
+  test("m06: GIF frame decode is a narrow map over the scan — no shuffle of payloads") {
+    val p = plan("m06_gif_frames")
     assert(!p.contains("Exchange"), s"payload crossed an exchange:\n$p")
   }
 

@@ -107,6 +107,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("interval overlap count: parts=1024 stays correct (broadcast offsets, " +
+    "no codegen depth cliff)") {
+    // Far more value ranges than rows: every range's offset must still land on
+    // the right rows via the broadcast offsets join. A when()-chain offset
+    // encoding (linear expression depth in `parts`) chokes here; the join is
+    // O(1) depth at any `parts`.
+    val rnd = new Random(4242)
+    val adf = intervals(rnd, 60).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("aid", "a_lo", "a_hi")
+    val bdf = intervals(rnd, 60).zipWithIndex
+      .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("bid", "b_lo", "b_hi")
+    val got = RangeJoin.intervalOverlapCount(
+        adf, "aid", "a_lo", "a_hi", bdf, "b_lo", "b_hi", parts = 1024)
+      .as[(Long, Long)].collect().toMap
+    val want = adf.crossJoin(bdf)
+      .where($"a_lo" <= $"b_hi" && $"b_lo" <= $"a_hi")
+      .groupBy($"aid").agg(count(lit(1)))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 60L).map(i => i -> want.getOrElse(i, 0L)).toMap)
+  }
+
   test("interval overlap count: empty b side gives zero counts") {
     val adf = Seq((1L, 0L, 5L), (2L, 3L, 9L)).toDF("aid", "a_lo", "a_hi")
     val bdf = Seq.empty[(Long, Long, Long)].toDF("bid", "b_lo", "b_hi")

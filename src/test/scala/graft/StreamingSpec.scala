@@ -126,6 +126,20 @@ class StreamingSpec extends SparkSpec {
     assert(counts.sum == total)
   }
 
+  test("schema footer sniff is cached: many stream constructions, one read per path") {
+    // fresh path so no earlier test has warmed the cache for it
+    val dir = graft.util.Scratch.dir("graft-sniff-cache")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val before = EventsStream.sniffCount.get()
+    (1 to 6).foreach(_ => EventsStream.readEvents(spark, dir.toString))
+    assert(EventsStream.sniffCount.get() - before == 1,
+      "six stream constructions on one path must sniff the footer exactly once")
+    // and the cached schema still yields a working stream
+    assert(EventsStream.readEvents(spark, dir.toString).isStreaming)
+  }
+
   test("left-outer stream join emits watermark-finalized unmatched purchases") {
     val out = graft.util.Scratch.dir("graft-st08-spec")
     val res = graft.streaming.EventsStream.runAvailableNowToFiles(spark, sf0001,

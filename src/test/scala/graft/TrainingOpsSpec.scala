@@ -104,9 +104,11 @@ class TrainingOpsSpec extends SparkSpec {
 
   test("PPS stays correct on a severely sparse id space; guards reject bad ids") {
     val s = spark; import s.implicits._
-    // ids concentrated at the far end of the range: nearly all rows land in
-    // one arithmetic range (documented serialization trade), but the result
-    // must still equal the global single-pass reference.
+    // ids concentrated at the far end of the range — the whole population
+    // occupies a ~600-wide sliver of a [0, 4e12] key space (way under 1%).
+    // The result must equal the global single-pass reference, AND the
+    // count-based quantile ranges must stay balanced (arithmetic [0,max]/parts
+    // ranges would put 200 of 203 rows into one range here).
     val rows = Seq(0L, 3L, 9L).map(id => (id, 10L)) ++
       (0 until 200).map(i => (4_000_000_000_000L + i * 3L, 1L + (i % 17).toLong))
     val df = rows.toDF("id", "w")
@@ -120,6 +122,13 @@ class TrainingOpsSpec extends SparkSpec {
       if (cum * k / total > before) Some(id) else None
     }.toSet
     assert(got == want, s"got ${got.size}, want ${want.size}")
+    // balanced ranges: no range holds more than 3x the even per-range share
+    val bounds = Sampling.rangeBoundaries(df, "id", 8)
+    assert(bounds.length >= 5, s"degenerate boundaries: ${bounds.toSeq}")
+    val perRange = rows.groupBy { case (id, _) => bounds.count(_ <= id.toDouble) }
+      .values.map(_.size)
+    assert(perRange.max <= 3 * rows.size / 8,
+      s"unbalanced ranges under sparse ids: ${perRange.toSeq.sorted.reverse}")
     // guards: empty input, null ids, negative ids all fail loudly
     intercept[IllegalArgumentException] {
       Sampling.ppsSystematic(Seq.empty[(Long, Long)].toDF("id", "w"), "id", "w", 5)
