@@ -14,6 +14,7 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
+// Keep in sync with the plain-java copy in tools/run_bench.sh.
 val jdk17AddOpens = Seq(
   "java.base/java.lang", "java.base/java.lang.invoke",
   "java.base/java.lang.reflect", "java.base/java.io",
