@@ -37,7 +37,9 @@ import json, re, subprocess, sys
 # non-public tokens leaked into the source tree.
 pats = {
     "internal-import": r"import\s+(com|io)\.(anthropic|anthropicinternal)",
-    "internal-url": r"[a-z0-9.-]+\.(corp|internal)\b",
+    # require a URL scheme: bare dotted names would false-positive on public
+    # JVM package paths like org.apache.spark.internal
+    "internal-url": r"https?://[a-z0-9.-]+\.(corp|internal)\b",
     "internal-bucket": r"s3://[a-z0-9-]*(internal|corp|private)[a-z0-9-]*",
     "slack-link": r"slack\.com/archives|#[a-z0-9-]*-(internal|eng)\b",
     "api-key": r"(sk-[A-Za-z0-9]{20,}|AKIA[0-9A-Z]{16})",
