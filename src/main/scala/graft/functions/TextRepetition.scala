@@ -48,6 +48,30 @@ object TextRepetition {
   val fieldNames: Seq[String] =
     topNs.map(n => s"top${n}_char_frac") ++ dupNs.map(n => s"dup${n}_char_frac")
 
+  /** Code points, not UTF-16 units: one emoji = one character. */
+  private[graft] def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** Compare in Unicode code-point order — identical to unsigned UTF-8 byte
+    * order (pinned against real UTF-8 byte arrays in TextFunctionsSpec).
+    * UTF-16 code units ≥ U+E000 are shifted below the surrogate blocks so
+    * that supplementary code points (encoded as surrogates) sort above all
+    * BMP chars, exactly as their UTF-8 encodings do. */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val la = a.length; val lb = b.length
+    var i = 0
+    while (i < la && i < lb) {
+      var ca = a.charAt(i).toInt
+      var cb = b.charAt(i).toInt
+      if (ca != cb) {
+        if (ca >= 0xE000) ca -= 0x800 else if (ca >= 0xD800) ca += 0x2000
+        if (cb >= 0xE000) cb -= 0x800 else if (cb >= 0xD800) cb += 0x2000
+        return ca - cb
+      }
+      i += 1
+    }
+    la - lb
+  }
+
   case class NgramRepetition(child: Expression)
       extends UnaryExpression with CodegenFallback {
 
@@ -96,29 +120,6 @@ object TextRepetition {
       var i = 0
       while (i < gs.length) { c.merge(gs(i), 1, Integer.sum); i += 1 }
       c
-    }
-
-    /** Code points, not UTF-16 units: one emoji = one character. */
-    private def cpLen(s: String): Long = s.codePointCount(0, s.length).toLong
-
-    /** Compare in Unicode code-point order — identical to unsigned UTF-8 byte
-      * order. UTF-16 code units ≥ U+E000 are shifted below the surrogate
-      * blocks so that supplementary code points (encoded as surrogates) sort
-      * above all BMP chars, exactly as their UTF-8 encodings do. */
-    private def utf8Compare(a: String, b: String): Int = {
-      val la = a.length; val lb = b.length
-      var i = 0
-      while (i < la && i < lb) {
-        var ca = a.charAt(i).toInt
-        var cb = b.charAt(i).toInt
-        if (ca != cb) {
-          if (ca >= 0xE000) ca -= 0x800 else if (ca >= 0xD800) ca += 0x2000
-          if (cb >= 0xE000) cb -= 0x800 else if (cb >= 0xD800) cb += 0x2000
-          return ca - cb
-        }
-        i += 1
-      }
-      la - lb
     }
 
     private def topFrac(toks: Array[String], n: Int, total: Long): Double = {

@@ -101,7 +101,7 @@ object RangeJoin {
     val outSchema = StructType(a.schema.fields ++ b.schema.fields)
 
     def prep(df: DataFrame, lo: String, hi: String, side: Int) = {
-      val rowStruct = struct(df.columns.map(col): _*)
+      val rowStruct = struct(df.columns.toIndexedSeq.map(col): _*)
       df.select(
           col(lo).cast("double").as("graft_lo"),
           col(hi).cast("double").as("graft_hi"),

@@ -139,7 +139,7 @@ object Sampling {
     // the same range, which is load-balance-only).
     val ranged = w.withColumn("graft_rid",
       if (bounds.isEmpty) lit(0L)
-      else size(filter(array(bounds.map(lit(_)): _*),
+      else size(filter(array(bounds.toIndexedSeq.map(lit(_)): _*),
         b => b <= col(idCol).cast("double"))).cast("long"))
     // bounded driver collect: one (range, subtotal) row per arithmetic range
     val subtotals = ranged.groupBy(col("graft_rid"))

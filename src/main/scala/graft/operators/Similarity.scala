@@ -122,7 +122,7 @@ object Similarity {
       df.withColumn("_buckets",
           V.letBind(V.planeDots(col(vec), planes2d))(
             dots => V.bucketsFromDots(dots, planesPerTable, tables)))
-        .select(df.columns.map(col) :+
+        .select(df.columns.toIndexedSeq.map(col) :+
           posexplode(col("_buckets")).as(Seq("table", "bucket")): _*)
 
     val candidates = banded(c, "cv")

@@ -148,6 +148,39 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rep("𠀀 𠀀 ab")("top2_char_frac") == 3.0 / 4)
   }
 
+  test("utf8Compare == unsigned UTF-8 byte order on random strings incl. surrogates") {
+    val T14 = graft.functions.TextRepetition
+    val rnd = new scala.util.Random(77)
+    def randString(): String = {
+      val sb = new StringBuilder
+      (0 until rnd.nextInt(8)).foreach { _ =>
+        rnd.nextInt(4) match {
+          case 0 => sb.append(('a' + rnd.nextInt(26)).toChar)                 // ascii
+          case 1 => sb.append((0x20 + rnd.nextInt(0xD7DF)).toChar)            // BMP low
+          case 2 => sb.append((0xE000 + rnd.nextInt(0x2000)).toChar)          // BMP high
+          case 3 => sb.appendAll(Character.toChars(0x10000 + rnd.nextInt(0x10000)))
+        }
+      }
+      sb.toString
+    }
+    def byteCompare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    for (_ <- 1 to 5000) {
+      val x = randString(); val y = randString()
+      val want = Integer.signum(byteCompare(x.getBytes("UTF-8"), y.getBytes("UTF-8")))
+      assert(Integer.signum(T14.utf8Compare(x, y)) == want,
+        s"'$x' (${x.map(_.toInt.toHexString)}) vs '$y' (${y.map(_.toInt.toHexString)})")
+    }
+  }
+
   test("ngram repetition: degenerate inputs are all-zero, never null/NaN") {
     for (t <- Seq("", "   ", "hello", "a b c")) {
       val r = rep(t)
