@@ -105,10 +105,12 @@ object Sampling {
     *
     * Scale shape: the global prefix sum is distributed — ids split into
     * `parts` COUNT-BALANCED ranges (boundaries = deterministic approximate
-    * quantiles of the id distribution, one extra aggregation pass), each range
+    * quantiles of the id distribution, computed from a bounded seeded sample
+    * on large inputs so they never cost a second full scan), each range
     * cumsums locally behind one Exchange, and only the `parts` per-range
     * subtotals reach the driver to become offsets (same bounded seam as the
-    * IVF centroid seed). No global-order single-task window anywhere.
+    * IVF centroid seed), shipped back via a broadcast join (O(1) expression
+    * depth at any `parts`). No global-order single-task window anywhere.
     * Quantile boundaries make the ranges hold ~n/parts rows however the ids
     * cluster in the key space — arithmetic `[0, max]/parts` ranges would
     * serialize the cumsum window when ids occupy a sliver of the space.
@@ -132,7 +134,14 @@ object Sampling {
       "ppsSystematic: ids must be non-null")
     require(stats.getLong(2) >= 0,
       s"ppsSystematic: ids must be non-negative (min=${stats.getLong(2)})")
-    val bounds = rangeBoundaries(w, idCol, parts)
+    // Boundaries only steer load balance (never selection), so on large
+    // inputs they come from a seeded ~200k-row sample — the quantile pass
+    // must not cost a second full scan of a 100 TB table.
+    val n = stats.getLong(0)
+    val boundarySource =
+      if (n > 400000L) w.sample(withReplacement = false, 200000.0 / n, seed = 42L)
+      else w
+    val bounds = rangeBoundaries(boundarySource, idCol, parts)
     // range id = #{boundaries <= id}: monotone in id (the correctness
     // requirement), O(1) expression depth via a single array literal. Long→
     // double id comparison is monotone at any magnitude (ties collapse into
@@ -141,25 +150,30 @@ object Sampling {
       if (bounds.isEmpty) lit(0L)
       else size(filter(array(bounds.toIndexedSeq.map(lit(_)): _*),
         b => b <= col(idCol).cast("double"))).cast("long"))
-    // bounded driver collect: one (range, subtotal) row per arithmetic range
+    // bounded driver collect: one (range, subtotal) row per id range
     val subtotals = ranged.groupBy(col("graft_rid"))
       .agg(sum(col("graft_w")).as("sw"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
     val total = subtotals.map(_._2).sum
     require(total > 0, "total weight is zero")
-    val offsets = subtotals.map(_._1)
-      .zip(subtotals.scanLeft(0L)(_ + _._2).dropRight(1)).toMap
-    val offset = offsets.foldLeft(lit(0L)) { case (acc, (rid, off)) =>
-      when(col("graft_rid") === rid, lit(off)).otherwise(acc)
-    }
+    // Exclusive prefix sums ship back as a broadcast-joined frame of <= parts
+    // rows — O(1) expression depth at any `parts` (same rationale as
+    // RangeJoin.intervalOverlapCount; a folded when() chain is linear codegen
+    // depth in the range count).
+    val off = subtotals.scanLeft(0L)(_ + _._2)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsets = broadcast(
+      subtotals.indices.map(i => (subtotals(i)._1, off(i)))
+        .toDF("graft_rid", "graft_off"))
     // Explicit ROWS frame: the default RANGE frame would hand every peer of a
     // tied orderBy value the full tied-group sum, making `cum - w` not the
     // previous cumulative weight. Ids are expected unique, but the frame makes
     // the prefix sum row-accurate regardless.
     val inRange = Window.partitionBy(col("graft_rid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("graft_cum", sum(col("graft_w")).over(inRange) + offset)
+    ranged.join(offsets, Seq("graft_rid"))
+      .withColumn("graft_cum", sum(col("graft_w")).over(inRange) + col("graft_off"))
       .where(expr(s"graft_cum * $k div $total") >
         expr(s"(graft_cum - graft_w) * $k div $total"))
       .select(col(idCol))
