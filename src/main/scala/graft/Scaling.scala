@@ -143,6 +143,24 @@ object Scaling {
       "10x docs -> 10x containers -> ~10x sampled frames; narrow map over the " +
         "scan, decode cost per frame constant -> ~10x wall")
 
+    record("m06_gif_frames",
+      () => Multimodal.extractGifFrames(
+        Multimodal.packSyntheticGif(docs, "doc_id", "source"), stride = 2).toDF(),
+      () => Multimodal.extractGifFrames(
+        Multimodal.packSyntheticGif(docs10, "doc_id", "source"), stride = 2).toDF(),
+      "10x docs -> 10x GIF containers -> ~10x sampled frames; same narrow-map " +
+        "shape as m05 with the public-container codec")
+
+    record("t13_weighted_sample",
+      () => graft.operators.Sampling.ppsSystematic(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("w")),
+        "doc_id", "w", k = 50),
+      () => graft.operators.Sampling.ppsSystematic(
+        docs10.select(col("doc_id"), length(col("text")).cast("long").as("w")),
+        "doc_id", "w", k = 50),
+      "10x docs through the quantile-ranged distributed prefix sum; output " +
+        "stays k rows, wall must track the scan, not the id-space width")
+
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":"$sfDir","runs_per_case":$runs,"ops":{""",
       ",", "}}")
