@@ -315,20 +315,25 @@ object Multimodal {
       try {
         writer.setOutput(ios)
         writer.prepareWriteSequence(null)
+        var meta: javax.imageio.metadata.IIOMetadata = null
         var f = 0
         while (f < nFrames(id)) {
           val img = frame(id, f)
-          // The JDK writer defaults to INTERLACED output, whose 4-pass row
-          // order (0,2,1,3 at height 4) does not survive its own read path
-          // for sub-8-row frames — write sequential rows explicitly.
-          val meta = writer.getDefaultImageMetadata(
-            new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
-          val fmt = meta.getNativeMetadataFormatName
-          val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
-            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          desc.setAttribute("interlaceFlag", "FALSE")
-          meta.setFromTree(fmt, tree)
+          if (meta == null) {
+            // The JDK writer defaults to INTERLACED output, whose 4-pass row
+            // order (0,2,1,3 at height 4) does not survive its own read path
+            // for sub-8-row frames — write sequential rows explicitly. All
+            // frames of a container share dims+palette, so the metadata tree
+            // is built once and reused across the sequence.
+            meta = writer.getDefaultImageMetadata(
+              new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+            val fmt = meta.getNativeMetadataFormatName
+            val tree = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            val desc = tree.getElementsByTagName("ImageDescriptor").item(0)
+              .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+            desc.setAttribute("interlaceFlag", "FALSE")
+            meta.setFromTree(fmt, tree)
+          }
           writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
           f += 1
         }
