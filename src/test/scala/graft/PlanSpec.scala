@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), s"global-order window:\n$p")
   }
 
+  test("t13: PPS prefix sum is range-partitioned; offsets arrive by broadcast only") {
+    val p = plan("t13_weighted_sample")
+    // the distributed prefix sum partitions by the quantile range id; a
+    // Window with an empty partition spec would serialize the corpus
+    assert(p.contains("hashpartitioning(graft_rid"), p)
+    assert(!p.contains("SinglePartition"), s"global-order window:\n$p")
+    // the only join allowed is the <= parts-row offsets broadcast
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    val bhjKeys = "BroadcastHashJoin \\[([a-zA-Z_]+)".r.findAllMatchIn(p).map(_.group(1)).toSet
+    assert(bhjKeys.subsetOf(Set("graft_rid")), s"unexpected join keys: $bhjKeys\n$p")
+  }
+
   test("o07: sweep pairs plan one exchange keyed by (bin, cell); no nested loop") {
     val p = plan("o07_interval_pairs")
     assert(p.contains("hashpartitioning(graft_bin"), p)
