@@ -14,16 +14,13 @@ run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
-// Keep in sync with the plain-java copy in tools/run_bench.sh.
-val jdk17AddOpens = Seq(
-  "java.base/java.lang", "java.base/java.lang.invoke",
-  "java.base/java.lang.reflect", "java.base/java.io",
-  "java.base/java.net", "java.base/java.nio",
-  "java.base/java.util", "java.base/java.util.concurrent",
-  "java.base/java.util.concurrent.atomic",
-  "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-  "java.base/sun.security.action", "java.base/sun.util.calendar",
-).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Single source of truth: tools/add_opens.txt (also read by the plain-java
+// launchers tools/run_bench.sh and tools/run_scaling.sh — no drift).
+val jdk17AddOpens: Seq[String] =
+  IO.readLines(file("tools/add_opens.txt"))
+    .map(_.trim)
+    .filter(l => l.nonEmpty && !l.startsWith("#"))
+    .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",

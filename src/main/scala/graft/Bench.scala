@@ -65,8 +65,14 @@ object Bench {
       System.gc()
       name -> best
     }
+    // 4-decimal (0.1 ms) fixed-point under Locale.ROOT: Double.toString's
+    // 17 significant digits halve how many queries fit in a log-tail capture
+    // (the r7 round artifact lost q01-q19 to exactly that truncation), and
+    // the f"" interpolator would write decimal commas under a comma locale.
+    def num(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+      "\"" + k + "\":" + v.map(num).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val failedQueries = results.collect { case (k, None) => k }
@@ -91,9 +97,9 @@ object Bench {
       (elapsed, ctx.rowCount.getOrElse(0L))
     }.minBy(_._1)
 
-    val jsonLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""pipeline_rows":$pipeRows,"pipeline_sec":$pipeSec,""" +
-      s""""pipeline_rows_per_sec":${if (pipeSec > 0) pipeRows / pipeSec else 0.0},""" +
+    val jsonLine = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs,""" +
+      s""""pipeline_rows":$pipeRows,"pipeline_sec":${num(pipeSec)},""" +
+      s""""pipeline_rows_per_sec":${num(if (pipeSec > 0) pipeRows / pipeSec else 0.0)},""" +
       s""""sf":"$sfDir"}"""
     println(jsonLine)
     // stdout tails get truncated by log capture; a file copy keeps the

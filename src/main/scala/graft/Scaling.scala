@@ -3,12 +3,15 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Multimodal, RangeJoin}
+import graft.operators.{Components, Dedup, Multimodal, RangeJoin}
 
-/** Scaling harness (SCALING_r07): measures wall-clock growth of the five
-  * operators that postdate SCALING_r04 — o04/o07 interval overlap, d10
-  * cross-doc span coverage, t14 Gopher repetition battery, m05 video frame
-  * sampling — on 1x vs 10x fixtures built from the same lake tables.
+/** Scaling harness (SCALING_r08): measures wall-clock growth on 1x vs 10x
+  * fixtures built from the same lake tables. Covers every operator family the
+  * round-6/7 verdicts asked to see measured rather than argued — o04/o07
+  * interval overlap, d10 span coverage, t14 repetition, t13 PPS, m05/m06 frame
+  * sampling — plus, new in r8, the last two families whose growth behavior was
+  * design-only: d07/d08 connected components and the st04/st08 stream-stream
+  * interval joins.
   *
   * Fixture design per op:
   *  - o04: a AND b replicated 10x onto the SAME interval-value space (fresh
@@ -17,25 +20,49 @@ import graft.operators.{Dedup, Multimodal, RangeJoin}
   *    construction, so wall must track DATA (~10x), not density² (~100x).
   *  - o07: same 10x-density fixture; the sweep ENUMERATES pairs, so its
   *    contract is output-linear — wall must track output pairs (~100x here),
-  *    i.e. wall_ratio should stay in the neighborhood of rows_ratio, and
-  *    comparisons-per-pair must not degrade.
-  *  - d10/t14: documents replicated 10x under fresh doc ids, vowels rotated
-  *    per copy (identity on copy 0) so copies stay mostly disjoint in gram
-  *    space and the 1x dup structure is preserved → wall ~10x.
-  *  - m05: 10x documents → 10x containers → ~10x sampled frames → wall ~10x.
+  *    i.e. wall_ratio should stay in the neighborhood of rows_ratio.
+  *  - d10/t14/d08: documents replicated 10x under fresh doc ids, vowels
+  *    rotated per copy (identity on copy 0) so copies stay mostly disjoint in
+  *    gram space and the 1x dup structure is preserved → wall ~10x.
+  *  - m05/m06: 10x documents → 10x containers → ~10x sampled frames; the
+  *    containers are MATERIALIZED to parquet before timing
+  *    ([[Multimodal.materialize]]), so the measured plan is scan → narrow
+  *    decode map — fixture encode is excluded by construction.
+  *  - d07: synthetic chain graphs of FIXED chain length (8 vertices), 10x the
+  *    chain count. Constant structure keeps the large-star/small-star round
+  *    count constant, so wall must track the edge count (~10x), pinning the
+  *    claim that rounds depend on structure, not scale.
+  *  - st04/st08: the events table replicated 10x with each copy shifted by a
+  *    disjoint 60-day offset (fresh event/user ids). The 1-hour join window
+  *    never spans copies, so matches grow ~10x while watermark-bounded state
+  *    stays proportional to rows-in-window — wall must track data, not
+  *    stream-history².
   *
   * Estimator: per case one discarded warmup then MIN of `runs` timed
   * executions through the noop sink — [[Bench]]'s rationale (min-of-warm is
   * the robust statistic on a shared host; noop defeats column pruning).
-  * Output: ONE JSON line, also written to SPARK_GRAFT_SCALING_OUT.
+  * Output: ONE JSON line, also written to SPARK_GRAFT_SCALING_OUT. All
+  * numbers are formatted under Locale.ROOT (a comma-decimal default locale
+  * must not produce invalid JSON) and note strings are JSON-escaped.
   */
 object Scaling {
+
+  /** Locale-proof fixed-point formatting (the f"" interpolator uses the JVM
+    * default locale, which may write decimal commas → invalid JSON). */
+  private def num(d: Double, decimals: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+
+  private def jstr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_LAST.json")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_SCALING_RUNS", "2").toInt
+    // dev knob: SPARK_GRAFT_SCALING_ONLY="d07,st04" limits the run (unset -> all)
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,6 +88,7 @@ object Scaling {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
     def record(op: String, base: () => DataFrame, x10: () => DataFrame,
                note: String): Unit = {
+      if (only.nonEmpty && !only.exists(op.startsWith)) return
       val baseRows = base().count()
       val x10Rows = x10().count()
       val bSec = timeMin(base)
@@ -68,11 +96,12 @@ object Scaling {
       val wallRatio = xSec / bSec
       val rowsRatio = if (baseRows > 0) x10Rows.toDouble / baseRows else 0.0
       results(op) =
-        f"""{"base_sec":$bSec%.3f,"x10_sec":$xSec%.3f,"wall_ratio":$wallRatio%.2f,""" +
-          f""""base_rows":$baseRows,"x10_rows":$x10Rows,"rows_ratio":$rowsRatio%.2f,""" +
-          s""""note":"$note"}"""
-      System.err.println(f"[scaling] $op base=$bSec%.3fs x10=$xSec%.3fs " +
-        f"wall_ratio=$wallRatio%.2f rows_ratio=$rowsRatio%.2f")
+        s"""{"base_sec":${num(bSec)},"x10_sec":${num(xSec)},""" +
+          s""""wall_ratio":${num(wallRatio, 2)},"base_rows":$baseRows,""" +
+          s""""x10_rows":$x10Rows,"rows_ratio":${num(rowsRatio, 2)},""" +
+          s""""note":${jstr(note)}}"""
+      System.err.println(s"[scaling] $op base=${num(bSec)}s x10=${num(xSec)}s " +
+        s"wall_ratio=${num(wallRatio, 2)} rows_ratio=${num(rowsRatio, 2)}")
       spark.catalog.clearCache()
       System.gc()
     }
@@ -110,7 +139,7 @@ object Scaling {
       "same 10x-density fixture; the sweep ENUMERATES pairs (output-linear " +
         "contract), so wall tracks rows_ratio (~100x), not worse")
 
-    // ---- document fixtures (d10/t14/m05): 10x docs, vowel-rotated copies ----
+    // ---- document fixtures (d10/t14/m05/m06/t13/d08): 10x vowel-rotated docs ----
     val docs = tbl("documents").select(col("doc_id"), col("text"), col("source"))
     val vowelRot = Array("aeiou", "eioua", "iouae", "ouaei", "uaeio",
       "aeiuo", "eioau", "ioaue", "oueai", "ueoia")
@@ -135,21 +164,31 @@ object Scaling {
         graft.functions.TextRepetition.ngramRepetition(col("text")).as("r")),
       "10x docs; one compiled O(len) pass per doc, zero exchanges -> ~10x wall")
 
+    // m05/m06: containers materialized to parquet ONCE (outside timing) —
+    // the measured plan is scan -> narrow decode map, no fixture encode.
     record("m05_video_frames",
       () => Multimodal.extractSampledFrames(
-        Multimodal.packSyntheticVideo(docs, "doc_id", "source"), stride = 2).toDF(),
+        Multimodal.materialize(spark, s"scaling1#video")(
+          Multimodal.packSyntheticVideo(docs, "doc_id", "source")),
+        stride = 2).toDF(),
       () => Multimodal.extractSampledFrames(
-        Multimodal.packSyntheticVideo(docs10, "doc_id", "source"), stride = 2).toDF(),
-      "10x docs -> 10x containers -> ~10x sampled frames; narrow map over the " +
-        "scan, decode cost per frame constant -> ~10x wall")
+        Multimodal.materialize(spark, s"scaling10#video")(
+          Multimodal.packSyntheticVideo(docs10, "doc_id", "source")),
+        stride = 2).toDF(),
+      "10x docs -> 10x containers -> ~10x sampled frames; containers " +
+        "pre-materialized, so the timing is pure scan+decode -> ~10x wall")
 
     record("m06_gif_frames",
       () => Multimodal.extractGifFrames(
-        Multimodal.packSyntheticGif(docs, "doc_id", "source"), stride = 2).toDF(),
+        Multimodal.materialize(spark, s"scaling1#gif")(
+          Multimodal.packSyntheticGif(docs, "doc_id", "source")),
+        stride = 2).toDF(),
       () => Multimodal.extractGifFrames(
-        Multimodal.packSyntheticGif(docs10, "doc_id", "source"), stride = 2).toDF(),
-      "10x docs -> 10x GIF containers -> ~10x sampled frames; same narrow-map " +
-        "shape as m05 with the public-container codec")
+        Multimodal.materialize(spark, s"scaling10#gif")(
+          Multimodal.packSyntheticGif(docs10, "doc_id", "source")),
+        stride = 2).toDF(),
+      "10x docs -> 10x GIF containers -> ~10x sampled frames; containers " +
+        "pre-materialized, same pure scan+decode shape as m05")
 
     record("t13_weighted_sample",
       () => graft.operators.Sampling.ppsSystematic(
@@ -161,8 +200,90 @@ object Scaling {
       "10x docs through the quantile-ranged distributed prefix sum; output " +
         "stays k rows, wall must track the scan, not the id-space width")
 
+    // ---- d07: pure connected components on fixed-structure chain graphs ----
+    // Chains of 8 vertices (7 edges each): constant chain length keeps the
+    // large-star/small-star round count CONSTANT across scales (rounds depend
+    // on structure, not edge count), so wall isolates per-edge shuffle cost.
+    def chainEdges(nChains: Long): DataFrame = {
+      val edgesPerChain = 7L
+      spark.range(nChains * edgesPerChain)
+        .select(
+          ((col("id") / edgesPerChain).cast("long") * (edgesPerChain + 1) +
+            col("id") % edgesPerChain).as("u"))
+        .withColumn("v", col("u") + 1L)
+    }
+    record("d07_connected_components",
+      () => Components.connectedComponents(chainEdges(30000L), "u", "v"),
+      () => Components.connectedComponents(chainEdges(300000L), "u", "v"),
+      "10x chains of FIXED length 8 (210k -> 2.1M edges): round count stays " +
+        "constant by construction, so wall must track edges (~10x), pinning " +
+        "the O(log^2 n)-rounds-independent-of-scale claim")
+
+    // ---- d08: end-to-end pairs -> components -> survivors on 10x docs ----
+    def survivors(d: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.ngramJaccardPairs(d, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+      val clusters = Components.clusters(pairs, "id_a", "id_b")
+      val scored = d.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(scored, clusters("id") === scored("doc_id"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    }
+    record("d08_quality_survivors",
+      () => survivors(docs.select(col("doc_id"), col("text"))),
+      () => survivors(docs10.select(col("doc_id"), col("text"))),
+      "full pipeline (shingle pairs -> components -> ranked survivors) on 10x " +
+        "vowel-rotated docs: per-copy dup structure preserved, cross-copy " +
+        "grams disjoint -> edges ~10x, wall must track data ~linearly")
+
+    // ---- st04/st08: stream-stream interval joins on 10x time-shifted events ----
+    // Each copy shifted by a disjoint 60-day offset with fresh event/user ids:
+    // the 1-hour join window never spans copies, so output grows ~10x and the
+    // watermark keeps state bounded by rows-in-window, not stream history.
+    def writeEventsFixture(df: DataFrame, tag: String): String = {
+      val d = graft.util.Scratch.dir(s"graft-scale-$tag").toString
+      df.write.parquet(s"$d/events.parquet")
+      d
+    }
+    val events = tbl("events")
+    lazy val evBaseDir = writeEventsFixture(events, "ev1")
+    lazy val ev10Dir = writeEventsFixture(
+      (0 until 10).map(i => events
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 60} DAYS")))
+        .reduce(_ unionAll _),
+      "ev10")
+
+    def streamJoinRun(dir: String, leftOuter: Boolean): DataFrame = {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = graft.util.Scratch.dir(s"graft-scale-stj-$run")
+      graft.streaming.EventsStream.runAvailableNowToFiles(spark, dir,
+        ev =>
+          (if (leftOuter) graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
+           else graft.streaming.EventsStream.purchaseClickJoin(ev))
+            .select(col("purchase_id"), col("click_id")),
+        s"$out/data", s"$out/ckpt")
+    }
+    record("st04_stream_join",
+      () => streamJoinRun(evBaseDir, leftOuter = false),
+      () => streamJoinRun(ev10Dir, leftOuter = false),
+      "inner stream-stream interval join over 10x time-shifted events (fresh " +
+        "checkpoint per run): watermark-bounded state -> wall tracks data " +
+        "~linearly, matches ~10x")
+
+    record("st08_stream_outer_join",
+      () => streamJoinRun(evBaseDir, leftOuter = true),
+      () => streamJoinRun(ev10Dir, leftOuter = true),
+      "left-outer variant: unmatched purchases emit on watermark eviction; " +
+        "same bounded-state contract, wall must track data ~linearly")
+
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
-      s"""{"metric":"scaling","sf":"$sfDir","runs_per_case":$runs,"ops":{""",
+      s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",
       ",", "}}")
     println(json)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),

@@ -4,7 +4,7 @@ import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` payloads with
@@ -99,7 +99,11 @@ object Multimodal {
 
   /** Real image decoder: `ImageIO.read` over the payload bytes. Corrupt or
     * non-image payloads yield `None` (callers drop them — a 100 TB media crawl
-    * always contains undecodable bytes; crashing the stage on one is wrong). */
+    * always contains undecodable bytes; crashing the stage on one is wrong).
+    * All codec catches here are `NonFatal`, not just `IOException`: the JDK
+    * readers throw RuntimeExceptions on malformed data (e.g.
+    * ArrayIndexOutOfBoundsException from the GIF LZW decoder), and the
+    * drop-not-crash contract covers those bytes too. */
   object ImageCodec {
     // One-time JVM setting: keep ImageIO off its disk-backed stream cache.
     ImageIO.setUseCache(false)
@@ -107,7 +111,7 @@ object Multimodal {
     def decode(r: MediaRecord): Option[MediaFeatures] = {
       val img =
         try ImageIO.read(new ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (img == null) None
       else
         Some(MediaFeatures(r.media_id, r.media_type, r.payload.length.toLong,
@@ -173,7 +177,7 @@ object Multimodal {
         try AudioSystem.getAudioInputStream(new ByteArrayInputStream(r.payload))
         catch {
           case _: UnsupportedAudioFileException => null
-          case _: java.io.IOException => null
+          case scala.util.control.NonFatal(_) => null
         }
       if (ais == null) None
       else {
@@ -259,7 +263,7 @@ object Multimodal {
         if (f % stride == 0) {
           val img =
             try ImageIO.read(new ByteArrayInputStream(p, off, len))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
           if (img != null)
             out += FrameFeatures(r.media_id, f, img.getWidth, img.getHeight,
               meanIntensity(img))
@@ -352,7 +356,7 @@ object Multimodal {
       val out = scala.collection.mutable.ArrayBuffer.empty[FrameFeatures]
       val iis =
         try ImageIO.createImageInputStream(new ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       if (iis == null) return Iterator.empty
       try {
         val readers = ImageIO.getImageReaders(iis)
@@ -360,13 +364,16 @@ object Multimodal {
         val reader = readers.next()
         try {
           reader.setInput(iis, false, true)
+          // NonFatal, not IOException: the JDK GIF reader throws
+          // ArrayIndexOutOfBoundsException (and kin) on malformed LZW data —
+          // a corrupt crawl payload must drop, not crash the stage.
           val n = try reader.getNumImages(true)
-                  catch { case _: java.io.IOException => 0 }
+                  catch { case scala.util.control.NonFatal(_) => 0 }
           var f = 0
           while (f < n) {
             if (f % stride == 0) {
               val img = try reader.read(f)
-                        catch { case _: java.io.IOException => null }
+                        catch { case scala.util.control.NonFatal(_) => null }
               if (img != null)
                 out += FrameFeatures(r.media_id, f, img.getWidth, img.getHeight,
                   meanIntensity(img))
@@ -393,6 +400,9 @@ object Multimodal {
 
   /** Batched GIF frame-sample + decode over the container column. */
   def extractGifFrames(media: DataFrame, stride: Int = 2): Dataset[FrameFeatures] = {
+    // Fail at plan time, not as an ArithmeticException (f % 0) inside an
+    // executor task; a negative stride would silently emit only frame 0.
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap(GifCodec.sampleFrames(_, stride)))
@@ -412,6 +422,7 @@ object Multimodal {
 
   /** Batched frame-sample + decode over the container column. */
   def extractSampledFrames(media: DataFrame, stride: Int = 2): Dataset[FrameFeatures] = {
+    require(stride > 0, s"stride must be positive, got $stride")
     val spark = media.sparkSession
     import spark.implicits._
     media.as[MediaRecord].mapPartitions(_.flatMap(VideoCodec.sampleFrames(_, stride)))
@@ -475,14 +486,51 @@ object Multimodal {
     }
   }
 
+  // ---- materialized media tables (fixture support) ----
+
+  /** Per-JVM pack-once-read-thereafter media tables. Packing synthetic
+    * containers is fixture GENERATION — a production lake already stores media
+    * as binary columns — so a query that times decode must not re-encode the
+    * fixture on every execution (the r7 bench's m05/m06 numbers were dominated
+    * by GIF/PNG *writing*, not the frame sampler under test). First call per
+    * `cacheKey` runs the packer and writes one parquet table to a
+    * Scratch-registered dir (removed on JVM exit); every later call — warmups,
+    * timed runs, repeated verify queries — is a plain parquet scan, so the
+    * measured plan is scan → narrow decode map, exactly the production shape.
+    *
+    * A lake table at a fixed path is immutable within a JVM (same contract as
+    * the streaming schema cache), so keying by (lake dir, kind) is sound;
+    * [[clearMediaCache]] restores fresh-JVM semantics for tests. */
+  private val mediaCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] val packCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test hook: forget all materialized paths (fresh-JVM semantics). */
+  private[graft] def clearMediaCache(): Unit = mediaCache.clear()
+
+  /** Read the materialized media table for `cacheKey`, packing it first iff
+    * this JVM hasn't already. `packed` is only evaluated on a cache miss. */
+  def materialize(spark: SparkSession, cacheKey: String)
+                 (packed: => DataFrame): DataFrame = {
+    val path = mediaCache.computeIfAbsent(cacheKey, { _ =>
+      packCount.incrementAndGet()
+      val out = graft.util.Scratch.dir("graft-media").resolve("media.parquet").toString
+      packed.write.mode("overwrite").parquet(out)
+      out
+    })
+    spark.read.parquet(path)
+  }
+
   /** Video-style frame sampling plumbing: split each payload into fixed-size
     * pseudo-frames and keep every `stride`-th — demonstrates the explode shape
     * (one row in, many out) without a codec. */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 1024, stride: Int = 2): DataFrame =
+  def sampleFrames(media: DataFrame, frameBytes: Int = 1024, stride: Int = 2): DataFrame = {
+    require(frameBytes > 0, s"frameBytes must be positive, got $frameBytes")
+    require(stride > 0, s"stride must be positive, got $stride")
     media
       .withColumn("n_frames",
         greatest(ceil(length(col("payload")).cast("double") / frameBytes), lit(1)).cast("int"))
       .select(col("media_id"), col("media_type"), col("n_frames"),
         explode(filter(sequence(lit(0), col("n_frames") - 1),
           i => i % stride === 0)).as("frame_idx"))
+  }
 }

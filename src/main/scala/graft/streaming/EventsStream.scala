@@ -40,6 +40,14 @@ object EventsStream {
   private val schemaCache = new java.util.concurrent.ConcurrentHashMap[String, StructType]()
   private[graft] val sniffCount = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Drop cached schemas (all paths, or one). The cache is sound under the
+    * lake's immutable-path contract (schema evolution arrives as new paths);
+    * a test — or an operator that KNOWS it rewrote a path in-place — calls
+    * this so the next [[readEvents]] re-sniffs instead of silently streaming
+    * with a stale schema. */
+  def invalidateSchemaCache(): Unit = schemaCache.clear()
+  def invalidateSchemaCache(dir: String): Unit = schemaCache.remove(dir)
+
   private def sniffSchema(spark: SparkSession, dir: String): StructType =
     schemaCache.computeIfAbsent(dir, { d =>
       sniffCount.incrementAndGet()

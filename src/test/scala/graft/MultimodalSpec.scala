@@ -185,6 +185,61 @@ class MultimodalSpec extends SparkSpec {
     assert(png.size <= 1)
   }
 
+  test("GIF codec: malformed LZW/truncated GIF bytes drop, never crash the task") {
+    import graft.operators.Multimodal.{GifCodec, SynthGif}
+    val good = SynthGif.container(7L)
+    // Corruptions past the header keep the gif ImageReader selected, so the
+    // failure surfaces inside getNumImages/read — historically as
+    // RuntimeExceptions (AIOOBE from the LZW decoder), which the
+    // drop-not-crash contract must swallow, not just IOException.
+    val corruptions = Seq(
+      good.take(good.length / 2),                      // truncated mid-stream
+      good.take(20),                                   // header + screen desc only
+      good.updated(good.length / 2, 0xFF.toByte)       // flipped byte in frame data
+        .updated(good.length / 2 + 1, 0x00.toByte))
+    corruptions.zipWithIndex.foreach { case (bytes, i) =>
+      // must not throw; partial decode (frames before the corruption) is fine
+      val out = GifCodec.sampleFrames(
+        MediaRecord(100L + i, "video", bytes, "corrupt"), 1).toSeq
+      out.foreach { f =>
+        assert(f.width == SynthGif.width(f.media_id) || f.width > 0)
+      }
+    }
+  }
+
+  test("frame extractors reject a non-positive stride at plan time") {
+    val gifs = Multimodal.packSyntheticGif(
+      Lake.table(spark, sf0001, "documents").limit(2), "doc_id", "source")
+    intercept[IllegalArgumentException](Multimodal.extractGifFrames(gifs, stride = 0))
+    intercept[IllegalArgumentException](Multimodal.extractGifFrames(gifs, stride = -1))
+    intercept[IllegalArgumentException](Multimodal.extractSampledFrames(gifs, stride = 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, stride = 0))
+    intercept[IllegalArgumentException](Multimodal.sampleFrames(media, frameBytes = 0))
+  }
+
+  test("materialize packs once per key per JVM and round-trips the media table") {
+    Multimodal.clearMediaCache()
+    val docs = Lake.table(spark, sf0001, "documents").limit(10)
+    def packed = Multimodal.packSyntheticGif(docs, "doc_id", "source")
+    val before = Multimodal.packCount.get()
+    val first = Multimodal.materialize(spark, "spec#gif")(packed)
+    assert(Multimodal.packCount.get() - before == 1)
+    // second call with the same key: cache hit — the by-name fixture is not
+    // re-packed, the table is read back from parquet
+    val second = Multimodal.materialize(spark, "spec#gif")(
+      sys.error("cache miss: packer re-evaluated"))
+    assert(Multimodal.packCount.get() - before == 1)
+    assert(second.count() == 10 && first.count() == 10)
+    // the parquet round trip preserves payload bytes exactly: decoded frame
+    // features from the materialized table equal the direct-pack features
+    val direct = Multimodal.extractGifFrames(packed, stride = 2)
+      .collect().map(f => (f.media_id, f.frame_idx, f.mean_intensity)).sorted.toSeq
+    val viaCache = Multimodal.extractGifFrames(second, stride = 2)
+      .collect().map(f => (f.media_id, f.frame_idx, f.mean_intensity)).sorted.toSeq
+    assert(viaCache == direct)
+    Multimodal.clearMediaCache()
+  }
+
   test("sampleFrames keeps every stride-th pseudo-frame") {
     val out = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
     val rows = out.filter(col("media_id") === out.select(min("media_id")).first().getLong(0))

@@ -138,6 +138,15 @@ class StreamingSpec extends SparkSpec {
       "six stream constructions on one path must sniff the footer exactly once")
     // and the cached schema still yields a working stream
     assert(EventsStream.readEvents(spark, dir.toString).isStreaming)
+
+    // invalidation hook: a caller that KNOWS it rewrote the path in place
+    // drops the entry and the next construction re-sniffs (per-path form
+    // leaves other paths cached)
+    EventsStream.invalidateSchemaCache(dir.toString)
+    val afterInvalidate = EventsStream.sniffCount.get()
+    EventsStream.readEvents(spark, dir.toString)
+    assert(EventsStream.sniffCount.get() - afterInvalidate == 1,
+      "invalidated path must be re-sniffed on next stream construction")
   }
 
   test("left-outer stream join emits watermark-finalized unmatched purchases") {

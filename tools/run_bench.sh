@@ -13,14 +13,13 @@ cd "$(dirname "$0")/.."
 SF="${2:-/root/testdata/sf0.1}"
 CLASSES="${SPARK_GRAFT_CLASSES:-target/scala-2.13/classes}"
 [ -d "$CLASSES" ] || { echo "run 'sbt compile' first" >&2; exit 2; }
-# Keep this package list in sync with jdk17AddOpens in build.sbt (the sbt-side
-# copy is what `sbt test` forks with; this is the plain-java equivalent).
+# --add-opens list: single source of truth in tools/add_opens.txt (shared
+# with build.sbt's jdk17AddOpens — the sbt-side forked-JVM equivalent).
 ADD_OPENS=""
-for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
-         java.util java.util.concurrent java.util.concurrent.atomic \
-         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
-  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
-done
+while IFS= read -r p; do
+  case "$p" in ''|'#'*) continue;; esac
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done < tools/add_opens.txt
 SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_BENCH_OUT="$OUT" \
 exec java $ADD_OPENS \
   -Xmx"${SPARK_DRIVER_MEM:-32g}" \
