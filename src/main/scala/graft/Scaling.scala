@@ -244,20 +244,27 @@ object Scaling {
     // Each copy shifted by a disjoint 60-day offset with fresh event/user ids:
     // the 1-hour join window never spans copies, so output grows ~10x and the
     // watermark keeps state bounded by rows-in-window, not stream history.
+    // single FILE named events.parquet (readEvents' pathGlobFilter matches
+    // leaf file names — a part-file directory of that name yields no files)
     def writeEventsFixture(df: DataFrame, tag: String): String = {
       val d = graft.util.Scratch.dir(s"graft-scale-$tag").toString
-      df.write.parquet(s"$d/events.parquet")
+      graft.sinks.ParquetSink.writeSingleFile(df, d, "events.parquet")
       d
     }
+    // x100 copies (not x10): at sf0.01 a x10 stream run is overhead-dominated
+    // (micro-batch setup + checkpoint commit ~2.5s vs a 10k-row join), which
+    // proves nothing about the data term. 100 time-disjoint copies make the
+    // input 1M rows, big enough for per-row cost to surface over the fixed
+    // trigger overhead while state stays bounded by rows-in-window.
     val events = tbl("events")
     lazy val evBaseDir = writeEventsFixture(events, "ev1")
-    lazy val ev10Dir = writeEventsFixture(
-      (0 until 10).map(i => events
+    lazy val ev100Dir = writeEventsFixture(
+      (0 until 100).map(i => events
         .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
         .withColumn("user_id", col("user_id") + lit(i * 100000000L))
         .withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 60} DAYS")))
         .reduce(_ unionAll _),
-      "ev10")
+      "ev100")
 
     def streamJoinRun(dir: String, leftOuter: Boolean): DataFrame = {
       val run = java.util.UUID.randomUUID().toString.take(8)
@@ -271,16 +278,16 @@ object Scaling {
     }
     record("st04_stream_join",
       () => streamJoinRun(evBaseDir, leftOuter = false),
-      () => streamJoinRun(ev10Dir, leftOuter = false),
-      "inner stream-stream interval join over 10x time-shifted events (fresh " +
-        "checkpoint per run): watermark-bounded state -> wall tracks data " +
-        "~linearly, matches ~10x")
+      () => streamJoinRun(ev100Dir, leftOuter = false),
+      "inner stream-stream interval join over x100 time-disjoint event copies " +
+        "(fresh checkpoint per run): watermark-bounded state -> wall must grow " +
+        "at-most-linearly in data (rows_ratio ~100), never density^2")
 
     record("st08_stream_outer_join",
       () => streamJoinRun(evBaseDir, leftOuter = true),
-      () => streamJoinRun(ev10Dir, leftOuter = true),
-      "left-outer variant: unmatched purchases emit on watermark eviction; " +
-        "same bounded-state contract, wall must track data ~linearly")
+      () => streamJoinRun(ev100Dir, leftOuter = true),
+      "left-outer variant over the same x100 fixture: unmatched purchases emit " +
+        "on watermark eviction; same bounded-state at-most-linear contract")
 
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",
