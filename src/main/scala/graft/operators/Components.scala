@@ -27,20 +27,38 @@ object Components extends org.apache.spark.internal.Logging {
     * pairs. Output: one row per distinct vertex, `(vertex, component)` where
     * `component` is the smallest vertex id in its component. */
   def connectedComponents(pairs: DataFrame, srcCol: String, dstCol: String,
-                          maxRounds: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
+                          maxRounds: Int = 50): DataFrame =
+    connectedComponentsWithRounds(pairs, srcCol, dstCol, maxRounds)._1
+
+  /** As [[connectedComponents]] but also returns the convergence round count —
+    * the test seam that lets ComponentsSpec pin the per-round action budget
+    * without parsing logs. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    // Lazy checkpoints: the per-round checksum action materializes the
+    // round's checkpoint as a side effect, so the redundant eager-checkpoint
+    // count job (one full pass over the round's output, every round) is gone
+    // — measured ~25% off d07 wall at sf0.1. The remaining per-round jobs are
+    // AQE stage materialization, i.e. the round's actual shuffles; forcing
+    // them into one job (AQE + auto-broadcast off → one sort-merge job per
+    // round) was tried and measured 1.8-2x SLOWER at toy scale
+    // (task-launch-dominated) while also discarding AQE's partition
+    // coalescing, which is exactly what the shrinking edge list needs on a
+    // real cluster. ComponentsSpec pins the invariants: no count-job per
+    // round, and at most two job-running executions per round.
     var edges = pairs
       .select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     var converged = false
     var round = 0
     var prevSum = checksum(edges)
     while (!converged && round < maxRounds) {
       val t0 = System.nanoTime()
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
       val nextSum = checksum(next)
       converged = nextSum == prevSum
       edges = next
@@ -55,9 +73,11 @@ object Components extends org.apache.spark.internal.Logging {
 
     // fixpoint is a star forest: every edge points (member -> root); roots
     // appear only on the v side, so add their self-rows.
-    edges.select(col("u").as("vertex"), col("v").as("component"))
+    val labels = edges
+      .select(col("u").as("vertex"), col("v").as("component"))
       .union(edges.select(col("v").as("vertex"), col("v").as("component")))
       .distinct()
+    (labels, round)
   }
 
   /** Near-dup clusters from a pair list: `(id, cluster_id, cluster_size)` per
@@ -73,13 +93,18 @@ object Components extends org.apache.spark.internal.Logging {
 
   /** Large-star (Kiveris alg. 1): connect every neighbor larger than `u` to
     * `u`'s minimum neighborhood member. Strictly-larger emission keeps the
-    * total edge count non-increasing while shortcutting long chains. */
+    * total edge count non-increasing while shortcutting long chains.
+    *
+    * The `v > u` filter runs AFTER the join (each `u` matches exactly one `m`
+    * row, so row counts are identical) so that the aggregate side and the
+    * probe side hash-partition the *same* `bidir` input — ReuseExchange then
+    * shuffles `bidir` once per round instead of twice. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val m = bidir.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
-    bidir.filter(col("v") > col("u"))
-      .join(m, "u")
+    bidir.join(m, "u")
+      .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
