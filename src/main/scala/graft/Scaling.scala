@@ -86,19 +86,29 @@ object Scaling {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // `extra` is sampled right after each side's row-count execution; non-empty
+    // maps land in the JSON as base_<k>/x10_<k> (used for streaming state rows).
     def record(op: String, base: () => DataFrame, x10: () => DataFrame,
-               note: String): Unit = {
+               note: String,
+               extra: () => Map[String, Long] = () => Map.empty): Unit = {
       if (only.nonEmpty && !only.exists(op.startsWith)) return
       val baseRows = base().count()
+      val baseExtra = extra()
       val x10Rows = x10().count()
+      val x10Extra = extra()
       val bSec = timeMin(base)
       val xSec = timeMin(x10)
       val wallRatio = xSec / bSec
       val rowsRatio = if (baseRows > 0) x10Rows.toDouble / baseRows else 0.0
+      val extraJson =
+        (baseExtra.map { case (k, v) => s""""base_$k":$v""" } ++
+          x10Extra.map { case (k, v) => s""""x10_$k":$v""" })
+          .mkString(",") match { case "" => ""; case s => s + "," }
       results(op) =
         s"""{"base_sec":${num(bSec)},"x10_sec":${num(xSec)},""" +
           s""""wall_ratio":${num(wallRatio, 2)},"base_rows":$baseRows,""" +
           s""""x10_rows":$x10Rows,"rows_ratio":${num(rowsRatio, 2)},""" +
+          extraJson +
           s""""note":${jstr(note)}}"""
       System.err.println(s"[scaling] $op base=${num(bSec)}s x10=${num(xSec)}s " +
         s"wall_ratio=${num(wallRatio, 2)} rows_ratio=${num(rowsRatio, 2)}")
@@ -276,18 +286,24 @@ object Scaling {
             .select(col("purchase_id"), col("click_id")),
         s"$out/data", s"$out/ckpt")
     }
+    val stateRows = () => graft.streaming.EventsStream.lastMaxStateRows
+      .map(n => Map("state_rows" -> n)).getOrElse(Map.empty[String, Long])
     record("st04_stream_join",
       () => streamJoinRun(evBaseDir, leftOuter = false),
       () => streamJoinRun(ev100Dir, leftOuter = false),
       "inner stream-stream interval join over x100 time-disjoint event copies " +
         "(fresh checkpoint per run): watermark-bounded state -> wall must grow " +
-        "at-most-linearly in data (rows_ratio ~100), never density^2")
+        "at-most-linearly in data (rows_ratio ~100), never density^2; " +
+        "state_rows = peak buffered join rows from query progress",
+      stateRows)
 
     record("st08_stream_outer_join",
       () => streamJoinRun(evBaseDir, leftOuter = true),
       () => streamJoinRun(ev100Dir, leftOuter = true),
       "left-outer variant over the same x100 fixture: unmatched purchases emit " +
-        "on watermark eviction; same bounded-state at-most-linear contract")
+        "on watermark eviction; same bounded-state at-most-linear contract; " +
+        "state_rows = peak buffered join rows from query progress",
+      stateRows)
 
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",

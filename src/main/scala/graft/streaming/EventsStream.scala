@@ -146,8 +146,18 @@ object EventsStream {
           .start()
       } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
+    lastMaxStateRows = q.recentProgress.iterator
+      .flatMap(p => Option(p.stateOperators).iterator.flatten)
+      .map(_.numRowsTotal).maxOption
     spark.read.parquet(outDir)
   }
+
+  /** Peak state-store rows of the most recent [[runAvailableNowToFiles]]
+    * query (max over its micro-batch progress reports), or None if the run
+    * had no stateful operator. Metrics seam for the scaling harness: the
+    * watermark-bounded-state claim for stream-stream joins is pinned by
+    * showing this number tracks rows-in-window, not stream history. */
+  @volatile private[graft] var lastMaxStateRows: Option[Long] = None
 
   /** Continuous ingestion with the reference's output contract: each
     * micro-batch lands as ONE committed parquet file plus its CTL manifest

@@ -166,5 +166,10 @@ class StreamingSpec extends SparkSpec {
     val matchedOuter = res.where(col("click_id").isNotNull)
       .select("purchase_id", "click_id").collect().toSet
     assert(inner.select("purchase_id", "click_id").collect().toSet == matchedOuter)
+    // the scaling harness's bounded-state evidence comes from this seam: a
+    // stateful run must report its peak state rows from query progress
+    val stateRows = graft.streaming.EventsStream.lastMaxStateRows
+    assert(stateRows.exists(_ > 0),
+      s"stream-stream join must report peak state rows, got $stateRows")
   }
 }
