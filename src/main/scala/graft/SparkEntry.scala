@@ -1820,17 +1820,28 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type, c_mktsegment,
         |  CAST(c_nationkey AS BIGINT) AS c_nationkey
         |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // The event_id tiebreak makes the two window clauses share ONE total
+    // order. Without it the oracle itself is nondeterministic under
+    // (user_id, ts) ties: DuckDB may sort the lag window and the running-sum
+    // window with different tie orders, so a session-opening flag computed on
+    // the first row of a tie run can land mid-run in the other window's
+    // order, splitting the run across two sessions (run-to-run row counts
+    // even differ). Ties never occur at sf0.01/sf0.1 but dominate the sf1
+    // fixture (10 same-ts copies per event). The engine needs no tiebreak:
+    // Spark evaluates both functions over the same sorted partition stream,
+    // so tie runs stay whole whatever order the sort picks.
     "st02_sessionize" ->
       """WITH e AS (
-        |  SELECT user_id, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |  SELECT user_id, value, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
         |flagged AS (
-        |  SELECT user_id, value, ts_s,
+        |  SELECT user_id, value, event_id, ts_s,
         |    CASE WHEN lag(ts_s) OVER w IS NULL OR ts_s - lag(ts_s) OVER w > 1800
         |         THEN 1 ELSE 0 END AS new_session
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
         |sessions AS (
         |  SELECT user_id, value, ts_s,
-        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
         |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |      AS session_id
         |  FROM flagged)

@@ -18,6 +18,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
 all_q = sorted(d for d in os.listdir(out_dir)
                if os.path.isdir(os.path.join(out_dir, d)))
+# Dev knob (driver CLI stays two/three positional args): COMPARE_ONLY=q1,q2
+# restricts the run — used by compare_with_timeouts.py to give each oracle its
+# own subprocess + wall cap at big scale factors.
+only = {q for q in os.environ.get("COMPARE_ONLY", "").split(",") if q}
+if only:
+    all_q = [q for q in all_q if q in only]
 fails = 0
 def record(name, ok, **kw):
     report[name] = {"pass": ok, **kw}
