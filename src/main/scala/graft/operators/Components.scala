@@ -95,16 +95,18 @@ object Components extends org.apache.spark.internal.Logging {
     * `u`'s minimum neighborhood member. Strictly-larger emission keeps the
     * total edge count non-increasing while shortcutting long chains.
     *
-    * The `v > u` filter runs AFTER the join (each `u` matches exactly one `m`
-    * row, so row counts are identical) so that the aggregate side and the
-    * probe side hash-partition the *same* `bidir` input — ReuseExchange then
-    * shuffles `bidir` once per round instead of twice. */
+    * The two `bidir` reads cannot share one exchange: the aggregate side
+    * shuffles partial-aggregated rows (map-side combine) while the probe side
+    * shuffles the `v > u` half of the raw pairs — different exchange inputs by
+    * construction, so the probe-side filter placement is plan-neutral
+    * (Catalyst pushes it below the join either way; verified on the physical
+    * plan). The filter halves the probe side's shuffle volume instead. */
   private[operators] def largeStar(edges: DataFrame): DataFrame = {
     val bidir = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
     val m = bidir.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("mv"), col("u")).as("m"))
-    bidir.join(m, "u")
-      .filter(col("v") > col("u"))
+    bidir.filter(col("v") > col("u"))
+      .join(m, "u")
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
