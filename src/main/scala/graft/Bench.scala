@@ -65,12 +65,7 @@ object Bench {
       System.gc()
       name -> best
     }
-    // 4-decimal (0.1 ms) fixed-point under Locale.ROOT: Double.toString's
-    // 17 significant digits halve how many queries fit in a log-tail capture
-    // (the r7 round artifact lost q01-q19 to exactly that truncation), and
-    // the f"" interpolator would write decimal commas under a comma locale.
-    def num(d: Double): String =
-      String.format(java.util.Locale.ROOT, "%.4f", Double.box(d))
+    def num(d: Double): String = graft.util.Json.num(d)
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(num).getOrElse("null")
     }.mkString("{", ",", "}")

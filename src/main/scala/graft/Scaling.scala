@@ -47,13 +47,10 @@ import graft.operators.{Components, Dedup, Multimodal, RangeJoin}
   */
 object Scaling {
 
-  /** Locale-proof fixed-point formatting (the f"" interpolator uses the JVM
-    * default locale, which may write decimal commas → invalid JSON). */
   private def num(d: Double, decimals: Int = 3): String =
-    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
+    graft.util.Json.num(d, decimals)
 
-  private def jstr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+  private def jstr(s: String): String = graft.util.Json.str(s)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -75,13 +72,16 @@ object Scaling {
 
     def tbl(name: String): DataFrame = graft.sources.Lake.table(spark, sfDir, name)
 
-    def timeMin(mk: () => DataFrame): Double = {
+    // No separate warmup: record() counts each side's rows immediately before
+    // timing, and that count IS the warmup (codegen/JIT/broadcast build) — a
+    // dedicated discard run would re-execute the heaviest cases (full
+    // stream-stream joins, iterative CC) a fourth time for nothing.
+    def timeMinPrewarmed(mk: () => DataFrame): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
         mk().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      once() // warmup: codegen/JIT/broadcast build
       (1 to runs).map(_ => once()).min
     }
 
@@ -92,12 +92,13 @@ object Scaling {
                note: String,
                extra: () => Map[String, Long] = () => Map.empty): Unit = {
       if (only.nonEmpty && !only.exists(op.startsWith)) return
+      // count → time per side, adjacently: the count doubles as the warmup
       val baseRows = base().count()
       val baseExtra = extra()
+      val bSec = timeMinPrewarmed(base)
       val x10Rows = x10().count()
       val x10Extra = extra()
-      val bSec = timeMin(base)
-      val xSec = timeMin(x10)
+      val xSec = timeMinPrewarmed(x10)
       val wallRatio = xSec / bSec
       val rowsRatio = if (baseRows > 0) x10Rows.toDouble / baseRows else 0.0
       val extraJson =
@@ -276,17 +277,24 @@ object Scaling {
         .reduce(_ unionAll _),
       "ev100")
 
+    // the peak-state metric is returned WITH the run; stash the latest here so
+    // record()'s extra() hook (sampled right after each side's row count) reads
+    // the metric of exactly the run it just executed
+    var lastStreamState: Option[Long] = None
     def streamJoinRun(dir: String, leftOuter: Boolean): DataFrame = {
       val run = java.util.UUID.randomUUID().toString.take(8)
       val out = graft.util.Scratch.dir(s"graft-scale-stj-$run")
-      graft.streaming.EventsStream.runAvailableNowToFiles(spark, dir,
-        ev =>
-          (if (leftOuter) graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
-           else graft.streaming.EventsStream.purchaseClickJoin(ev))
-            .select(col("purchase_id"), col("click_id")),
-        s"$out/data", s"$out/ckpt")
+      val (df, state) = graft.streaming.EventsStream
+        .runAvailableNowToFilesWithState(spark, dir,
+          ev =>
+            (if (leftOuter) graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
+             else graft.streaming.EventsStream.purchaseClickJoin(ev))
+              .select(col("purchase_id"), col("click_id")),
+          s"$out/data", s"$out/ckpt")
+      lastStreamState = state
+      df
     }
-    val stateRows = () => graft.streaming.EventsStream.lastMaxStateRows
+    val stateRows = () => lastStreamState
       .map(n => Map("state_rows" -> n)).getOrElse(Map.empty[String, Long])
     record("st04_stream_join",
       () => streamJoinRun(evBaseDir, leftOuter = false),

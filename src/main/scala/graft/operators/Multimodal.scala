@@ -501,7 +501,13 @@ object Multimodal {
     * A lake table at a fixed path is immutable within a JVM (same contract as
     * the streaming schema cache), so keying by (lake dir, kind) is sound;
     * [[clearMediaCache]] restores fresh-JVM semantics for tests. */
-  private val mediaCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // Memo holder: computeIfAbsent only ALLOCATES (cheap, non-blocking, as its
+  // contract requires — a multi-second Spark write job inside the mapping
+  // function would hold the map bin lock, serializing unrelated keys that
+  // share it and deadlocking on any re-entrant pack). The pack itself runs
+  // under the memo's own per-key lazy-val lock, outside the map.
+  private final class PackOnce(pack: () => String) { lazy val path: String = pack() }
+  private val mediaCache = new java.util.concurrent.ConcurrentHashMap[String, PackOnce]()
   private[graft] val packCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Test hook: forget all materialized paths (fresh-JVM semantics). */
@@ -511,13 +517,13 @@ object Multimodal {
     * this JVM hasn't already. `packed` is only evaluated on a cache miss. */
   def materialize(spark: SparkSession, cacheKey: String)
                  (packed: => DataFrame): DataFrame = {
-    val path = mediaCache.computeIfAbsent(cacheKey, { _ =>
+    val memo = mediaCache.computeIfAbsent(cacheKey, _ => new PackOnce(() => {
       packCount.incrementAndGet()
       val out = graft.util.Scratch.dir("graft-media").resolve("media.parquet").toString
       packed.write.mode("overwrite").parquet(out)
       out
-    })
-    spark.read.parquet(path)
+    }))
+    spark.read.parquet(memo.path)
   }
 
   /** Video-style frame sampling plumbing: split each payload into fixed-size

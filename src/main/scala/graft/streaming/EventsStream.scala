@@ -126,38 +126,71 @@ object EventsStream {
   def runAvailableNowToFiles(spark: SparkSession, dir: String,
                              agg: DataFrame => DataFrame,
                              outDir: String, checkpointDir: String,
-                             statePartitions: Int = 8): DataFrame = {
+                             statePartitions: Int = 8): DataFrame =
+    runAvailableNowToFilesWithState(spark, dir, agg, outDir, checkpointDir,
+      statePartitions)._1
+
+  /** As [[runAvailableNowToFiles]], also returning the run's peak state-store
+    * rows (None if the query had no stateful operator). The metric travels
+    * with the run it describes — a shared "last run" variable would silently
+    * misattribute under any interleaving. The peak is accumulated by a
+    * [[org.apache.spark.sql.streaming.StreamingQueryListener]] during the run,
+    * not read from `recentProgress` afterwards: recentProgress retains only
+    * the last `spark.sql.streaming.numRecentProgressUpdates` (default 100)
+    * batches, so a long run whose peak lands early would under-report.
+    * Scaling's watermark-bounded-state evidence for the stream-stream joins
+    * is this number: it must track rows-in-window, not stream history. */
+  private[graft] def runAvailableNowToFilesWithState(
+      spark: SparkSession, dir: String,
+      agg: DataFrame => DataFrame,
+      outDir: String, checkpointDir: String,
+      statePartitions: Int = 8): (DataFrame, Option[Long]) = {
     // State-store partition count binds at checkpoint creation from
     // spark.sql.shuffle.partitions and dominates micro-batch cost: every batch
     // commits one delta file per partition, so it must be sized to per-trigger
     // state volume (# open windows), NOT cluster width. 32 partitions over a
     // few hundred open windows measured ~3x slower than 8 for identical
     // results; a real deployment with millions of open windows raises this.
+    // Per-query-id peaks, filtered after termination: matching against the
+    // started query's id inside the listener would race (a first batch can
+    // complete before start() returns the handle), and a single shared max
+    // would misattribute under concurrent queries.
+    val peaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: QueryProgressEvent): Unit =
+        Option(e.progress.stateOperators).iterator.flatten
+          .map(_.numRowsTotal).maxOption
+          .foreach(n => peaks.merge(e.progress.id, Long.box(n),
+            (a: java.lang.Long, b: java.lang.Long) => Long.box(Math.max(a, b))))
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
+    val peak =
       try {
-        spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
-        agg(readEvents(spark, dir)).writeStream
-          .format("parquet")
-          .option("path", outDir)
-          .option("checkpointLocation", checkpointDir)
-          .outputMode(OutputMode.Append())
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    q.awaitTermination()
-    lastMaxStateRows = q.recentProgress.iterator
-      .flatMap(p => Option(p.stateOperators).iterator.flatten)
-      .map(_.numRowsTotal).maxOption
-    spark.read.parquet(outDir)
+        val q =
+          try {
+            spark.conf.set("spark.sql.shuffle.partitions", statePartitions)
+            agg(readEvents(spark, dir)).writeStream
+              .format("parquet")
+              .option("path", outDir)
+              .option("checkpointLocation", checkpointDir)
+              .outputMode(OutputMode.Append())
+              .trigger(Trigger.AvailableNow())
+              .start()
+          } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        q.awaitTermination()
+        // listener events are async: fold in the (bounded) recentProgress too
+        // so a not-yet-delivered final batch can't be missed
+        (Option(peaks.get(q.id)).map(_.longValue) ++
+          q.recentProgress.iterator
+            .flatMap(p => Option(p.stateOperators).iterator.flatten)
+            .map(_.numRowsTotal)).maxOption
+      } finally spark.streams.removeListener(listener)
+    (spark.read.parquet(outDir), peak)
   }
-
-  /** Peak state-store rows of the most recent [[runAvailableNowToFiles]]
-    * query (max over its micro-batch progress reports), or None if the run
-    * had no stateful operator. Metrics seam for the scaling harness: the
-    * watermark-bounded-state claim for stream-stream joins is pinned by
-    * showing this number tracks rows-in-window, not stream history. */
-  @volatile private[graft] var lastMaxStateRows: Option[Long] = None
 
   /** Continuous ingestion with the reference's output contract: each
     * micro-batch lands as ONE committed parquet file plus its CTL manifest

@@ -199,10 +199,13 @@ class MultimodalSpec extends SparkSpec {
         .updated(good.length / 2 + 1, 0x00.toByte))
     corruptions.zipWithIndex.foreach { case (bytes, i) =>
       // must not throw; partial decode (frames before the corruption) is fine
+      // — but anything that DOES decode must carry the source container's
+      // true dimensions (the payload is id 7's GIF, whatever media_id says)
       val out = GifCodec.sampleFrames(
         MediaRecord(100L + i, "video", bytes, "corrupt"), 1).toSeq
       out.foreach { f =>
-        assert(f.width == SynthGif.width(f.media_id) || f.width > 0)
+        assert(f.width == SynthGif.width(7L) && f.height == SynthGif.height(7L),
+          s"frame from corrupt container has wrong dims ${f.width}x${f.height}")
       }
     }
   }

@@ -158,17 +158,17 @@ class StreamingSpec extends SparkSpec {
     assert(res.count() > 0)
     assert(res.where(col("click_id").isNull).count() > 0,
       "some purchases have no qualifying click and must still emit")
-    // matched rows agree with the inner-join formulation on the same data
-    val inner = graft.streaming.EventsStream.runAvailableNowToFiles(spark, sf0001,
-      ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
-        .select(col("purchase_id"), col("p_ts"), col("click_id")),
-      s"$out/data2", s"$out/ckpt2")
+    // matched rows agree with the inner-join formulation on the same data;
+    // the WithState variant must also report the run's peak state rows — the
+    // scaling harness's bounded-state evidence comes from this seam
+    val (inner, stateRows) = graft.streaming.EventsStream
+      .runAvailableNowToFilesWithState(spark, sf0001,
+        ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
+          .select(col("purchase_id"), col("p_ts"), col("click_id")),
+        s"$out/data2", s"$out/ckpt2")
     val matchedOuter = res.where(col("click_id").isNotNull)
       .select("purchase_id", "click_id").collect().toSet
     assert(inner.select("purchase_id", "click_id").collect().toSet == matchedOuter)
-    // the scaling harness's bounded-state evidence comes from this seam: a
-    // stateful run must report its peak state rows from query progress
-    val stateRows = graft.streaming.EventsStream.lastMaxStateRows
     assert(stateRows.exists(_ > 0),
       s"stream-stream join must report peak state rows, got $stateRows")
   }

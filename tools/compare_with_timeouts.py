@@ -58,7 +58,9 @@ with ThreadPoolExecutor(max_workers=workers) as ex:
 fails = sum(1 for r in results.values() if r.get("pass") is False)
 skips = sum(1 for r in results.values() if r.get("pass") is None)
 ok = len(results) - fails - skips
-json.dump({"sf_dir": sf_dir, "clean": fails == 0,
+# clean requires at least one actually-verified query: a run whose every
+# oracle hit the wall cap verified NOTHING and must not read as a pass
+json.dump({"sf_dir": sf_dir, "clean": fails == 0 and ok > 0,
            "passed": ok, "failed": fails, "skipped": skips,
            "timeout_sec": timeout, "queries": results},
           open(report_path, "w"), indent=1)

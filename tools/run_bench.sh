@@ -16,7 +16,7 @@ CLASSES="${SPARK_GRAFT_CLASSES:-target/scala-2.13/classes}"
 # --add-opens list: single source of truth in tools/add_opens.txt (shared
 # with build.sbt's jdk17AddOpens — the sbt-side forked-JVM equivalent).
 ADD_OPENS=""
-while IFS= read -r p; do
+while IFS= read -r p || [ -n "$p" ]; do
   case "$p" in ''|'#'*) continue;; esac
   ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
 done < tools/add_opens.txt
