@@ -24,6 +24,23 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size === 41 && got.values.forall(_ == 0L))
   }
 
+  test("high-degree hubs (the skew case the alternating stars dismantle)") {
+    // two 500-spoke stars bridged by one edge: one component labeled by the
+    // global min id; converges without AQE skew handling by construction
+    val hubA = (1L to 500L).map(i => (0L, i * 2))
+    val hubB = (1L to 500L).map(i => (1001L, 1001L + i * 2))
+    val got = resolve(hubA ++ hubB :+ (0L, 1001L))
+    assert(got.size === 1002 && got.values.forall(_ == 0L))
+  }
+
+  test("maxRounds exhaustion fails loudly, not with a wrong answer") {
+    import spark.implicits._
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Components.connectedComponents(path, "a", "b", maxRounds = 1)
+    }
+  }
+
   test("self-loops and duplicate/reversed edges are harmless") {
     val got = resolve(Seq((5L, 5L), (1L, 2L), (2L, 1L), (1L, 2L), (3L, 2L)))
     // pure self-loop vertices carry no edge information and drop out
