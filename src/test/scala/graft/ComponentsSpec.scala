@@ -101,6 +101,25 @@ class ComponentsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("random graphs resolve identically to a driver union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    // sparse regime (n >> m) keeps many small components + isolated chains
+    val pairs = Seq.fill(1500)((rnd.nextLong(2000).abs, rnd.nextLong(2000).abs))
+      .filter { case (a, b) => a != b }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    val got = resolve(pairs)
+    assert(got === want)
+  }
+
   test("clusters match a local union-find over the real near-dup pairs") {
     val docs = sources.Lake.table(spark, sf001, "documents")
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
