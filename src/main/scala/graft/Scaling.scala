@@ -38,9 +38,12 @@ import graft.operators.{Components, Dedup, Multimodal, RangeJoin}
   *    stays proportional to rows-in-window — wall must track data, not
   *    stream-history².
   *
-  * Estimator: per case one discarded warmup then MIN of `runs` timed
-  * executions through the noop sink — [[Bench]]'s rationale (min-of-warm is
-  * the robust statistic on a shared host; noop defeats column pruning).
+  * Estimator: per case and side, one counting warmup (the same noop-sink
+  * materialization as the timed runs, with the row count piggy-backed via
+  * `observe` — a plain `count()` would let Catalyst prune the very
+  * expressions under test and leave them cold), then MIN of `runs` timed
+  * executions — [[Bench]]'s rationale (min-of-warm is the robust statistic
+  * on a shared host; noop defeats column pruning).
   * Output: ONE JSON line, also written to SPARK_GRAFT_SCALING_OUT. All
   * numbers are formatted under Locale.ROOT (a comma-decimal default locale
   * must not produce invalid JSON) and note strings are JSON-escaped.
@@ -72,10 +75,18 @@ object Scaling {
 
     def tbl(name: String): DataFrame = graft.sources.Lake.table(spark, sfDir, name)
 
-    // No separate warmup: record() counts each side's rows immediately before
-    // timing, and that count IS the warmup (codegen/JIT/broadcast build) — a
-    // dedicated discard run would re-execute the heaviest cases (full
-    // stream-stream joins, iterative CC) a fourth time for nothing.
+    // The warmup run IS the row-count run: one noop-sink materialization with
+    // the count piggy-backed via observe(). A plain count() would let Catalyst
+    // prune the projections under test (leaving their codegen cold — fatal for
+    // narrow-map cases at runs=1), and a dedicated discard run on top would
+    // re-execute the heaviest cases (full stream-stream joins, iterative CC)
+    // a fourth time for nothing.
+    def countingWarmup(mk: () => DataFrame): Long = {
+      val obs = org.apache.spark.sql.Observation()
+      mk().observe(obs, count(lit(1)).as("n"))
+        .write.format("noop").mode("overwrite").save()
+      obs.get("n").asInstanceOf[Long]
+    }
     def timeMinPrewarmed(mk: () => DataFrame): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -86,17 +97,17 @@ object Scaling {
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // `extra` is sampled right after each side's row-count execution; non-empty
+    // `extra` is sampled right after each side's warmup execution; non-empty
     // maps land in the JSON as base_<k>/x10_<k> (used for streaming state rows).
     def record(op: String, base: () => DataFrame, x10: () => DataFrame,
                note: String,
                extra: () => Map[String, Long] = () => Map.empty): Unit = {
       if (only.nonEmpty && !only.exists(op.startsWith)) return
-      // count → time per side, adjacently: the count doubles as the warmup
-      val baseRows = base().count()
+      // warmup (with counting) → timed runs, per side, adjacently
+      val baseRows = countingWarmup(base)
       val baseExtra = extra()
       val bSec = timeMinPrewarmed(base)
-      val x10Rows = x10().count()
+      val x10Rows = countingWarmup(x10)
       val x10Extra = extra()
       val xSec = timeMinPrewarmed(x10)
       val wallRatio = xSec / bSec

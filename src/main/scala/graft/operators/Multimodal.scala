@@ -506,7 +506,12 @@ object Multimodal {
   // function would hold the map bin lock, serializing unrelated keys that
   // share it and deadlocking on any re-entrant pack). The pack itself runs
   // under the memo's own per-key lazy-val lock, outside the map.
-  private final class PackOnce(pack: () => String) { lazy val path: String = pack() }
+  private final class PackOnce(@volatile private var pack: () => String) {
+    // clear the thunk after the pack: it captures the caller's logical plan
+    // (e.g. a wide union of synthetic frames), which must not stay pinned for
+    // the JVM's lifetime once only the path String is needed
+    lazy val path: String = { val p = pack(); pack = null; p }
+  }
   private val mediaCache = new java.util.concurrent.ConcurrentHashMap[String, PackOnce]()
   private[graft] val packCount = new java.util.concurrent.atomic.AtomicLong(0)
 

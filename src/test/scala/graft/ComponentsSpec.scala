@@ -101,11 +101,10 @@ class ComponentsSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
-  test("random graphs resolve identically to a driver union-find (seeded)") {
-    val rnd = new scala.util.Random(42)
-    // sparse regime (n >> m) keeps many small components + isolated chains
-    val pairs = Seq.fill(1500)((rnd.nextLong(2000).abs, rnd.nextLong(2000).abs))
-      .filter { case (a, b) => a != b }
+  /** Reference labels: driver-side union-find linking larger roots under
+    * smaller, so each component's final label is its minimum vertex id —
+    * the same contract as connectedComponents. */
+  private def unionFindLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
       val p = parent.getOrElseUpdate(x, x)
@@ -115,9 +114,15 @@ class ComponentsSpec extends SparkSpec {
       val (ra, rb) = (find(a), find(b))
       if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
     }
-    val want = parent.keys.map(v => v -> find(v)).toMap
-    val got = resolve(pairs)
-    assert(got === want)
+    parent.keys.map(v => v -> find(v)).toMap
+  }
+
+  test("random graphs resolve identically to a driver union-find (seeded)") {
+    val rnd = new scala.util.Random(42)
+    // sparse regime (n >> m) keeps many small components + isolated chains
+    val pairs = Seq.fill(1500)((rnd.nextLong(2000), rnd.nextLong(2000)))
+      .filter { case (a, b) => a != b }
+    assert(resolve(pairs) === unionFindLabels(pairs))
   }
 
   test("clusters match a local union-find over the real near-dup pairs") {
@@ -128,17 +133,7 @@ class ComponentsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(edge.nonEmpty)
 
-    // reference labels: driver-side union-find on the collected pairs
-    val parent = scala.collection.mutable.Map[Long, Long]()
-    def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
-    }
-    edge.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val want = parent.keys.map(v => v -> find(v)).toMap
+    val want = unionFindLabels(edge.toSeq)
 
     val got = Components.clusters(pairs, "id_a", "id_b")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))

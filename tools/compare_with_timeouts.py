@@ -64,7 +64,8 @@ json.dump({"sf_dir": sf_dir, "clean": fails == 0 and ok > 0,
            "passed": ok, "failed": fails, "skipped": skips,
            "timeout_sec": timeout, "queries": results},
           open(report_path, "w"), indent=1)
-print(f"\n{'PASS' if fails == 0 else 'FAIL'}: {ok} ok, {fails} failed, "
+clean = fails == 0 and ok > 0
+print(f"\n{'PASS' if clean else 'FAIL'}: {ok} ok, {fails} failed, "
       f"{skips} skipped-by-timeout of {len(results)}")
 print("wrote", report_path)
-sys.exit(1 if fails else 0)
+sys.exit(0 if clean else 1)
