@@ -1400,6 +1400,42 @@ object SparkEntry {
     })
   )
 
+  /** Shared exact 3-gram-Jaccard pair CTE chain for the d03/d05/d07/d08
+    * oracles, in inverted-index form. Exactness-preserving rewrite of the
+    * original quadratic `a JOIN b ON a.doc_id < b.doc_id` + `list_intersect`
+    * shape: any pair with jaccard > 0 shares at least one shingle, so joining
+    * postings on the shingle enumerates a superset of every qualifying pair,
+    * and the per-pair count of matched distinct shingles IS
+    * `len(list_intersect(a.sh, b.sh))`. `hash(s)` is only a cheap equi-join
+    * key — string equality stays in the join condition, so 64-bit collisions
+    * cannot inflate the intersection. Near-linear in corpus size where the
+    * old form was quadratic (sf1, 50k docs: DuckDB >900s -> ~140s). */
+  private val jaccardPairCtes: String =
+    """docs AS (
+      |  SELECT doc_id, list_distinct(
+      |    CASE WHEN len(words) >= 3
+      |         THEN list_transform(range(1, len(words) - 1),
+      |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+      |         ELSE [] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
+      |        FROM documents)
+      |), nonempty AS (SELECT doc_id, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
+      |inv AS (
+      |  SELECT doc_id, hash(s) AS h, s
+      |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)),
+      |cand AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |  FROM inv a JOIN inv b ON a.h = b.h AND a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |jpairs AS (
+      |  SELECT id_a, id_b,
+      |    round(CAST(inter AS DOUBLE) / (la.n_sh + lb.n_sh - inter), 6) AS jaccard
+      |  FROM cand
+      |  JOIN nonempty la ON cand.id_a = la.doc_id
+      |  JOIN nonempty lb ON cand.id_b = lb.doc_id
+      |  WHERE CAST(inter AS DOUBLE) / (la.n_sh + lb.n_sh - inter) >= 0.4)""".stripMargin
+
   /** Generated DuckDB mirror of t14's nine Gopher repetition stats (see
     * [[graft.functions.TextRepetition]]): per n, grams by 1-based list slices,
     * the most frequent gram as a struct max over (count, charlen, gram), and
@@ -1859,74 +1895,28 @@ object SparkEntry {
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')""".stripMargin,
     // d03: every reported pair is exact-Jaccard-verified, so output ⊆ all-pairs
     // Jaccard >= 0.4; 16-band/4-row MinHash banding has empirically total recall
-    // on this corpus (25/25 qualifying pairs), making the all-pairs oracle
-    // exact here. (Banding recall at a pair's similarity s is
-    // 1-(1-s^4)^16 ≈ 0.99+ for s >= 0.4.)
+    // on this corpus at driver-gate scale (25/25 qualifying pairs at sf0.01),
+    // making the exact-pairs oracle exact here. Analytically recall at pair
+    // similarity s is 1-(1-s^4)^16 (~0.97 at s=0.67, ->1 above 0.85), so at
+    // larger SFs the engine's output is a measured-recall SUBSET of this
+    // oracle — see CORRECTNESS_sf1_full_r08.json notes.
     "d03_minhash_pairs" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |         THEN list_transform(range(1, len(words) - 1),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        |         ELSE [] END) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
-        |        FROM documents)
-        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
-        |SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS jaccard
-        |FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    len(a.sh) AS la, len(b.sh) AS lb
-        |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
-        |WHERE inter / (la + lb - inter) >= 0.4""".stripMargin,
+      ("WITH " + jaccardPairCtes + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
     // d05: at sf0.01 maxDocFreq (1000) exceeds the corpus (500 docs), so the
     // inverted-index prune is inactive and the output equals all-pairs exact
-    // 3-gram Jaccard >= 0.4 — which DuckDB computes directly with list ops.
+    // 3-gram Jaccard >= 0.4 (still true at sf1: max shingle docfreq 250).
     "d05_ngram_jaccard" ->
-      """WITH docs AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |         THEN list_transform(range(1, len(words) - 1),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        |         ELSE [] END) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
-        |        FROM documents)
-        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0)
-        |SELECT id_a, id_b, round(inter / (la + lb - inter), 6) AS jaccard
-        |FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |    len(a.sh) AS la, len(b.sh) AS lb
-        |  FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
-        |WHERE inter / (la + lb - inter) >= 0.4""".stripMargin,
+      ("WITH " + jaccardPairCtes + "\nSELECT id_a, id_b, jaccard FROM jpairs"),
     // d07: recompute d05's exact pair list, then resolve components with a
     // recursive reachability CTE (min reachable id = cluster id). Tractable
     // because near-dup components are tiny at verify scale.
     // d07's reachability CTE + t01's quality formula; survivor = row_number 1
     // by (quality DESC, doc_id).
     "d08_quality_survivors" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |         THEN list_transform(range(1, len(words) - 1),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        |         ELSE [] END) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
-        |        FROM documents)
-        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |      len(a.sh) AS la, len(b.sh) AS lb
-        |    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
-        |  WHERE inter / (la + lb - inter) >= 0.4
-        |), edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
+      ("WITH RECURSIVE " + jaccardPairCtes + ",\n" +
+      """edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM jpairs
+        |  UNION SELECT id_b, id_a FROM jpairs
         |), reach(u, v) AS (
         |  SELECT u, v FROM edges UNION SELECT u, u FROM edges
         |  UNION
@@ -1969,7 +1959,7 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY s.cluster_id
         |      ORDER BY q.quality DESC, s.doc_id) AS rn
         |  FROM sized s JOIN quality q ON s.doc_id = q.doc_id) t
-        |WHERE rn = 1""".stripMargin,
+        |WHERE rn = 1""".stripMargin),
     "t09_sequence_pack" ->
       """SELECT doc_id, source, n_tokens,
         |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
@@ -1984,26 +1974,10 @@ object SparkEntry {
         |        t -> t <> '')) AS BIGINT) AS n_tokens
         |    FROM documents))""".stripMargin,
     "d07_dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, list_distinct(
-        |    CASE WHEN len(words) >= 3
-        |         THEN list_transform(range(1, len(words) - 1),
-        |                i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-        |         ELSE [] END) AS sh
-        |  FROM (SELECT doc_id,
-        |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
-        |        FROM documents)
-        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM (
-        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS inter,
-        |      len(a.sh) AS la, len(b.sh) AS lb
-        |    FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id)
-        |  WHERE inter / (la + lb - inter) >= 0.4
-        |), edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs
+      ("WITH RECURSIVE " + jaccardPairCtes + ",\n" +
+      """edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM jpairs
+        |  UNION SELECT id_b, id_a FROM jpairs
         |), reach(u, v) AS (
         |  SELECT u, v FROM edges UNION SELECT u, u FROM edges
         |  UNION
@@ -2012,7 +1986,7 @@ object SparkEntry {
         |  SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
-        |FROM labels""".stripMargin,
+        |FROM labels""".stripMargin),
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 8),
@@ -2172,8 +2146,11 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
-    // same shingle construction as d03/d05; the oracle computes all corpus x
-    // eval pairs directly (exact because cross-decontam recall is total).
+    // same shingle construction as d03/d05, same inverted-index rewrite as
+    // jaccardPairCtes but corpus x eval instead of self-join. Exact: the old
+    // all-pairs form assigned j=0 to pairs sharing no shingle, which the
+    // 0.02 threshold discarded anyway, so enumerating only shared-shingle
+    // pairs loses nothing. The rounded-then-filtered j is kept verbatim.
     "d09_cross_decontam" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(
@@ -2184,13 +2161,21 @@ object SparkEntry {
         |  FROM (SELECT doc_id,
         |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
         |        FROM documents)
-        |), nonempty AS (SELECT * FROM docs WHERE len(sh) > 0),
-        |ev AS (SELECT doc_id AS eval_id, sh FROM nonempty WHERE doc_id % 97 = 0),
+        |), nonempty AS (SELECT doc_id, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
+        |inv AS (
+        |  SELECT doc_id, hash(s) AS h, s
+        |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)),
+        |evinv AS (SELECT doc_id AS eval_id, h, s FROM inv WHERE doc_id % 97 = 0),
+        |cand AS (
+        |  SELECT c.doc_id, e.eval_id, count(*) AS inter
+        |  FROM inv c JOIN evinv e ON c.h = e.h AND c.s = e.s AND c.doc_id <> e.eval_id
+        |  GROUP BY c.doc_id, e.eval_id),
         |pairs AS (
-        |  SELECT c.doc_id, e.eval_id,
-        |    round(CAST(len(list_intersect(c.sh, e.sh)) AS DOUBLE)
-        |      / (len(c.sh) + len(e.sh) - len(list_intersect(c.sh, e.sh))), 6) AS j
-        |  FROM nonempty c JOIN ev e ON c.doc_id <> e.eval_id)
+        |  SELECT cand.doc_id, eval_id,
+        |    round(CAST(inter AS DOUBLE) / (lc.n_sh + le.n_sh - inter), 6) AS j
+        |  FROM cand
+        |  JOIN nonempty lc ON cand.doc_id = lc.doc_id
+        |  JOIN nonempty le ON cand.eval_id = le.doc_id)
         |SELECT doc_id, count(*) AS n_eval_matches, max(j) AS max_jaccard
         |FROM pairs WHERE j >= 0.02 GROUP BY doc_id""".stripMargin,
     // same token def as t14; the oracle groups duplicated grams by STRING where
