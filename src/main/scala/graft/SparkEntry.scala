@@ -1409,9 +1409,12 @@ object SparkEntry {
     * `len(list_intersect(a.sh, b.sh))`. `hash(s)` is only a cheap equi-join
     * key — string equality stays in the join condition, so 64-bit collisions
     * cannot inflate the intersection. Near-linear in corpus size where the
-    * old form was quadratic (sf1, 50k docs: DuckDB >900s -> ~140s). */
+    * old form was quadratic (sf1, 50k docs: DuckDB >900s -> ~140s).
+    * AS MATERIALIZED is load-bearing under WITH RECURSIVE: without it DuckDB
+    * inlines the chain at every reference (d07/d08's edges CTE reads jpairs
+    * twice), re-running the expensive cand join per reference. */
   private val jaccardPairCtes: String =
-    """docs AS (
+    """docs AS MATERIALIZED (
       |  SELECT doc_id, list_distinct(
       |    CASE WHEN len(words) >= 3
       |         THEN list_transform(range(1, len(words) - 1),
@@ -1420,15 +1423,15 @@ object SparkEntry {
       |  FROM (SELECT doc_id,
       |          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS words
       |        FROM documents)
-      |), nonempty AS (SELECT doc_id, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
-      |inv AS (
+      |), nonempty AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh FROM docs WHERE len(sh) > 0),
+      |inv AS MATERIALIZED (
       |  SELECT doc_id, hash(s) AS h, s
       |  FROM (SELECT doc_id, unnest(sh) AS s FROM docs WHERE len(sh) > 0)),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       |  FROM inv a JOIN inv b ON a.h = b.h AND a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY a.doc_id, b.doc_id),
-      |jpairs AS (
+      |jpairs AS MATERIALIZED (
       |  SELECT id_a, id_b,
       |    round(CAST(inter AS DOUBLE) / (la.n_sh + lb.n_sh - inter), 6) AS jaccard
       |  FROM cand
@@ -1914,7 +1917,7 @@ object SparkEntry {
     // by (quality DESC, doc_id).
     "d08_quality_survivors" ->
       ("WITH RECURSIVE " + jaccardPairCtes + ",\n" +
-      """edges AS (
+      """edges AS MATERIALIZED (
         |  SELECT id_a AS u, id_b AS v FROM jpairs
         |  UNION SELECT id_b, id_a FROM jpairs
         |), reach(u, v) AS (
@@ -1975,7 +1978,7 @@ object SparkEntry {
         |    FROM documents))""".stripMargin,
     "d07_dedup_clusters" ->
       ("WITH RECURSIVE " + jaccardPairCtes + ",\n" +
-      """edges AS (
+      """edges AS MATERIALIZED (
         |  SELECT id_a AS u, id_b AS v FROM jpairs
         |  UNION SELECT id_b, id_a FROM jpairs
         |), reach(u, v) AS (
