@@ -57,13 +57,18 @@ object RecallProbe {
       .foreach { case (v, q) => println(f"[recall] d06 true-pair cosine $q=$v%.4f") }
     // planesPerTable = 0 exercises the PRODUCTION auto-sizing path (d06 query
     // config), so these recalls are what the shipped config delivers at this n
-    for (tables <- sys.env.get("RECALL_TABLES").map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(16, 24, 32, 48))) {
+    for (tables <- sys.env.get("RECALL_TABLES").map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(16, 24, 32, 48));
+         probes <- sys.env.get("RECALL_PROBES").map(_.split(",").toSeq.map(_.toInt)).getOrElse(Seq(0))) {
+      val t0 = System.nanoTime()
       val got = Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 0, tables = tables)
+        dim = 64, threshold = 0.45, planesPerTable = 0, tables = tables,
+        probes = probes)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(s"[recall] d06 auto-planes tables=$tables: " +
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[recall] d06 auto-planes tables=$tables probes=$probes: " +
         s"${(exactPairs intersect got).size}/${exactPairs.size}" +
+        f" (${secs}%.1fs)" +
         (if (got == exactPairs) "  EXACT" else ""))
     }
     spark.stop()

@@ -98,4 +98,44 @@ object VectorFunctions {
           when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
             shl(lit(1L), i)).otherwise(lit(0L)))))
   }
+
+  /** Multi-probe sign-LSH buckets (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    * per table, the base bucket PLUS the `probes` buckets at Hamming distance
+    * 1 reached by flipping the LEAST-CONFIDENT sign bits — the planes whose
+    * |dot| is smallest, i.e. exactly the bits most likely to differ between
+    * two near-duplicates (a sign flip between near-identical vectors requires
+    * both dots to sit near the plane). Returns
+    * `array<struct<table:int, bucket:long>>` of length `tables*(1+probes)`,
+    * ready to `explode` into probe rows.
+    *
+    * Scale shape: probing multiplies ONE side's bucket rows (and therefore
+    * candidate generation) by `1+probes` — still linear in n — while per-table
+    * recall grows from p^k toward p^k + Σ_probed k·p^(k-1)(1-p) without the
+    * extra full hash tables that buying the same recall via `tables` would
+    * cost. Ties in |dot| break on the plane index, so probe choice is
+    * deterministic. */
+  def probeBucketsFromDots(dots: Column, planesPerTable: Int, tables: Int,
+                           probes: Int): Column = {
+    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+    val p = math.min(probes, planesPerTable)
+    flatten(transform(sequence(lit(0), lit(tables - 1)), t =>
+      letBind(aggregate(
+          sequence(lit(0), lit(planesPerTable - 1)),
+          lit(0L),
+          (acc, i) => acc.bitwiseOR(
+            when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
+              shl(lit(1L), i)).otherwise(lit(0L))))) { base =>
+        // (|dot|, bit) structs sort lexicographically: least-confident first
+        val ranked = slice(
+          array_sort(transform(sequence(lit(0), lit(planesPerTable - 1)), i =>
+            struct(abs(element_at(dots, t * planesPerTable + i + 1)).as("conf"),
+                   i.as("bit")))),
+          1, p)
+        concat(
+          array(struct(t.as("table"), base.as("bucket"))),
+          transform(ranked, r =>
+            struct(t.as("table"),
+              base.bitwiseXOR(shl(lit(1L), r.getField("bit"))).as("bucket"))))
+      }))
+  }
 }

@@ -257,12 +257,24 @@ object Dedup {
     * same `tables` budget trades recall instead of cost; raise `tables` (cost
     * ~linear in it) or the threshold to buy recall back. The count() that
     * sizes the planes is a parquet-metadata action, same driver seam as the
-    * IVF centroid seed. */
+    * IVF centroid seed.
+    *
+    * `probes > 0` is the CHEAPER recall knob (multi-probe LSH, Lv et al. VLDB
+    * 2007): one join side additionally probes, per table, the `probes` buckets
+    * reached by flipping its least-confident sign bits (see
+    * [[graft.functions.VectorFunctions.probeBucketsFromDots]]). A true pair
+    * whose signatures differ in one bit collides iff the differing bit is
+    * among the probed ones — and near-dup sign flips concentrate exactly on
+    * the low-|dot| planes, so few probes recover most 1-bit misses. Cost is
+    * `x(1+probes)` on one side's candidate generation vs `x2` per doubling of
+    * `tables` for comparable recall; output exactness is UNAFFECTED either way
+    * (candidates only widen; the exact-cosine verify filters identically). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             planesPerTable: Int = 12, tables: Int = 4,
                             seed: Long = 42L,
-                            targetBucketSize: Int = 128): DataFrame = {
+                            targetBucketSize: Int = 128,
+                            probes: Int = 0): DataFrame = {
     val ppt =
       if (planesPerTable > 0) planesPerTable
       else autoPlanes(df.count(), targetBucketSize)
@@ -286,7 +298,20 @@ object Dedup {
     // shuffled vector bytes or the dot-product count (same shape as
     // minhashPairs' candidate verification).
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
-    val b = banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+    // Multi-probe expands ONE side only: a 1-bit-different pair matches when
+    // the b-row's probe flips the differing bit into the a-row's base bucket.
+    // Probing both sides would square the expansion for no extra coverage at
+    // Hamming distance 1.
+    val b =
+      if (probes <= 0)
+        banded.select(col("table"), col("bucket"), col("id").as("id_b"))
+      else vecs
+        .withColumn("_tb",
+          V.letBind(V.planeDots(col("v"), planes2d))(dots =>
+            V.probeBucketsFromDots(dots, ppt, tables, probes)))
+        .select(col("id").as("id_b"), explode(col("_tb")).as("tb"))
+        .select(col("tb.table").as("table"), col("tb.bucket").as("bucket"),
+          col("id_b"))
     val candidates = a.join(b, Seq("table", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()

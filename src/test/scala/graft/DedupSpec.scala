@@ -142,6 +142,45 @@ class DedupSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("multi-probe recovers missed pairs without ever widening past exact") {
+    // Same seeded cluster fixture as the tables=24 recall pin, smaller table
+    // budget so the base config has real misses for probing to recover.
+    val rnd = new scala.util.Random(4242)
+    val dim = 16
+    val vecs = (0 until 256).flatMap { c =>
+      val base = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 16).map { r =>
+        val v = base.map(_ + 0.12 * rnd.nextGaussian())
+        ((c * 16 + r).toLong, v.map(_.toFloat).toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding").repartition(8).cache()
+    val n = df.select(col("vec_id"),
+      graft.functions.VectorFunctions.l2normalize(col("embedding")).as("v"))
+    val exact = n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        graft.functions.VectorFunctions.dot(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= 0.45)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def run(probes: Int): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+        dim = dim, threshold = 0.45, planesPerTable = 0, tables = 6,
+        probes = probes)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = run(0)
+    val probed = run(2)
+    // candidates only widen: base pairs survive, and nothing below threshold
+    // can appear (the exact-cosine verify is unchanged)
+    assert(base.subsetOf(probed), "probe mode must keep every base pair")
+    assert(probed.subsetOf(exact), "probe mode must never emit a false positive")
+    // on this fixture the probes recover real misses (seed-deterministic)
+    assert(probed.size > base.size,
+      s"expected probes to recover pairs: base=${base.size} probed=${probed.size} exact=${exact.size}")
+    df.unpersist()
+  }
+
   test("passage dedup keeps only the first global occurrence of a repeated chunk") {
     import spark.implicits._
     // chunkWords=2: doc1 = [ab, cd], doc2 = [ab, xy], doc3 = [cd] — "ab"
