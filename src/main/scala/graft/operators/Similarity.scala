@@ -109,7 +109,7 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, dim: Int,
               planesPerTable: Int = 10, tables: Int = 8, seed: Long = 42L,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true, probes: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
     val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
     // one flat hyperplane matrix for every table; all dots in one pass per row
@@ -125,8 +125,22 @@ object Similarity {
         .select(df.columns.toIndexedSeq.map(col) :+
           posexplode(col("_buckets")).as(Seq("table", "bucket")): _*)
 
+    // Multi-probe on the QUERY side (Lv et al., VLDB 2007): each query also
+    // visits, per table, the `probes` buckets reached by flipping its
+    // least-confident sign bits. The expansion lands entirely on the
+    // BROADCAST side — x(1+probes) tiny query rows, the corpus side untouched
+    // — so recall rises without re-bucketing or growing the big join input.
+    val qSide =
+      if (probes <= 0) banded(q, "qv")
+      else q
+        .withColumn("_tb",
+          V.letBind(V.planeDots(col("qv"), planes2d))(dots =>
+            V.probeBucketsFromDots(dots, planesPerTable, tables, probes)))
+        .select(col("query_id"), col("qv"), explode(col("_tb")).as("tb"))
+        .select(col("query_id"), col("qv"),
+          col("tb.table").as("table"), col("tb.bucket").as("bucket"))
     val candidates = banded(c, "cv")
-      .join(broadcast(banded(q, "qv")), Seq("table", "bucket"))
+      .join(broadcast(qSide), Seq("table", "bucket"))
       .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
       .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
       .groupBy(col("query_id"), col("neighbor_id"))

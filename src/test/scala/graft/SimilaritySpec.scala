@@ -47,6 +47,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (exact.size * 0.6).toInt, s"recall too low: $hits/${exact.size}")
   }
 
+  test("query-side multi-probe lifts lshTopK rank-1 recall at the same table budget") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    // deliberately starved budget (vs the 4x12 recall test above) so the base
+    // config has real rank-1 misses for the probes to recover; everything is
+    // seed-deterministic (lake fixture + hyperplanes), so the counts are
+    // constants of the code
+    def hits(probes: Int): Int = {
+      val approx = Similarity.lshTopK(e, queries, "vec_id", "embedding",
+        k = 1, dim = 64, planesPerTable = 6, tables = 4, probes = probes)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      exact.count { case (q, n) => approx.get(q).contains(n) }
+    }
+    val base = hits(0)
+    val probed = hits(3)
+    assert(base < exact.size, s"fixture too easy: base already total ($base/${exact.size})")
+    assert(probed > base, s"probes must recover rank-1 misses: base=$base probed=$probed of ${exact.size}")
+  }
+
   test("ivfTopK with full probe equals brute force; partial probe trades recall for cost") {
     val e = Lake.table(spark, sf0001, "embeddings")
     val queries = e.filter(col("vec_id") < 20)
