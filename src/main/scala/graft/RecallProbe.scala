@@ -22,7 +22,12 @@ object RecallProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val e = graft.sources.Lake.table(spark, sfDir, "embeddings")
+    // RECALL_SECTIONS gates the embedding sections (the d06 exact all-pairs
+    // oracle is quadratic — ~15 min at sf1), so a d03-only run stays cheap.
+    val sections = sys.env.getOrElse("RECALL_SECTIONS", "s02,d06")
+      .split(",").map(_.trim).toSet
 
+    if (sections("s02")) {
     // s02 vs s01: rank-set agreement per table budget
     val exact = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 8),
       "vec_id", "embedding", k = 5)
@@ -36,7 +41,9 @@ object RecallProbe {
         s"${(exact intersect lsh).size}/${exact.size}" +
         (if (lsh == exact) "  EXACT" else ""))
     }
+    }
 
+    if (sections("d06")) {
     // d06 vs all-pairs cosine >= 0.45
     val n = e.select(col("vec_id").as("id"),
       graft.functions.VectorFunctions.l2normalize(col("embedding")).as("v"))
@@ -70,6 +77,32 @@ object RecallProbe {
         s"${(exactPairs intersect got).size}/${exactPairs.size}" +
         f" (${secs}%.1fs)" +
         (if (got == exactPairs) "  EXACT" else ""))
+    }
+    }
+    // d03 vs exact n-gram jaccard pairs (d05 is exact by construction, so it
+    // IS the oracle here). RECALL_D03="64x16;128x32" sweeps numHashes x bands;
+    // slices of a longer signature extend the shorter one (splitmix64 family
+    // indexed by position), so a doubled config's candidates are a strict
+    // superset — recall can only rise.
+    sys.env.get("RECALL_D03").foreach { spec =>
+      val docs = graft.sources.Lake.table(spark, sfDir, "documents")
+      val exactP = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.4)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      for (cfg <- spec.split(";").toSeq) {
+        val Array(nh, nb) = cfg.split("x").map(_.trim.toInt)
+        val t0 = System.nanoTime()
+        val got = Dedup.minhashPairs(docs, "doc_id", "text",
+          shingleN = 3, numHashes = nh, bands = nb, threshold = 0.4)
+          .select("id_a", "id_b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[recall] d03 numHashes=$nh bands=$nb: " +
+          s"${(exactP intersect got).size}/${exactP.size}" +
+          f" (${secs}%.1fs)" +
+          (if (got == exactP) "  EXACT" else ""))
+      }
     }
     spark.stop()
   }

@@ -747,9 +747,15 @@ object SparkEntry {
         .select(col("keep_id"), col("dup_count"))),
 
     // MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    // 128x32 (4 rows/band) over the former 64x16: the splitmix64 hash family
+    // is indexed by position, so the first 16 bands are the EXACT slices of
+    // the 64-hash config and candidates only widen — sf0.01/sf0.1 results are
+    // provably unchanged, while sf1 recall measured 250574/250600 at 64x16
+    // (misses at jaccard 0.73-0.77, ~0.5%/pair band-miss odds) and
+    // 250600/250600 EXACT at 128x32, for ~1.3x wall (RecallProbe RECALL_D03).
     "d03_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.4)),
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.4)),
 
     // SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures).
     // portable md5-derived token hashes make the full signature reproducible

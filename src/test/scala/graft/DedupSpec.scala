@@ -46,6 +46,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(5L) && Set(a, b).intersect(Set(1L, 2L, 3L)).nonEmpty })
   }
 
+  test("a longer minhash signature extends the shorter one (monotone upgrades)") {
+    // the splitmix64 hash family is indexed by POSITION, independent of k, so
+    // sig(2k).take(k) == sig(k). This is what makes a bands upgrade (e.g. the
+    // shipped d03 64x16 -> 128x32 at fixed rows/band) strictly candidate-
+    // widening: the first half of the bands are byte-identical slices, so
+    // recall can only rise and small-scale oracle results cannot shift.
+    import graft.functions.{TextFunctions => T}
+    val sigs = docs.select(
+      T.minhashSignature(T.wordShingles(col("text"), 2), 64).as("s64"),
+      T.minhashSignature(T.wordShingles(col("text"), 2), 128).as("s128"))
+      .collect()
+    assert(sigs.nonEmpty)
+    sigs.foreach { r =>
+      val s64 = Option(r.getSeq[Long](0)).getOrElse(Seq.empty)
+      val s128 = Option(r.getSeq[Long](1)).getOrElse(Seq.empty)
+      assert(s128.take(s64.size) == s64, "long signature must extend short one")
+    }
+  }
+
   test("minhash jaccard values are exact (verified against set arithmetic)") {
     val row = Dedup.minhashPairs(docs, "doc_id", "text",
       shingleN = 2, numHashes = 32, bands = 16, threshold = 0.9)
@@ -112,7 +131,10 @@ class DedupSpec extends SparkSpec {
     // borderline tail from random cross-pairs near the 0.45 threshold.
     // Everything is seed-deterministic (fixture + hyperplanes), so the
     // measured recall is a constant of the code, not a flaky sample.
-    // Measured at sf1 (20k vecs, 8 planes): 98400/104400 = 0.9425.
+    // Measured at sf1 (20k vecs, 8 planes): 98400/104400 = 0.9425; with the
+    // multi-probe knob, probes=1..4 measured 0.974/0.986/0.991/0.995 — the
+    // residual misses are true pairs at cosine 0.4508-0.46 vs the 0.45
+    // threshold, the hardest band for any LSH family.
     assert(Dedup.autoPlanes(4096, 128) == 5)
     val rnd = new scala.util.Random(4242)
     val dim = 16
