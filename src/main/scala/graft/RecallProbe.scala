@@ -79,15 +79,17 @@ object RecallProbe {
         (if (got == exactPairs) "  EXACT" else ""))
     }
     }
-    // d03 vs exact n-gram jaccard pairs (d05 is exact by construction, so it
-    // IS the oracle here). RECALL_D03="64x16;128x32" sweeps numHashes x bands;
-    // slices of a longer signature extend the shorter one (splitmix64 family
-    // indexed by position), so a doubled config's candidates are a strict
-    // superset — recall can only rise.
+    // d03 vs exact n-gram jaccard pairs. maxDocFreq is pushed past any corpus
+    // size: the operator's default stop-shingle prune (1000) could drop a pair
+    // sharing ONLY ultra-common shingles, and an oracle must not inherit that
+    // trade. RECALL_D03="64x16;128x32" sweeps numHashes x bands; slices of a
+    // longer signature extend the shorter one (splitmix64 family indexed by
+    // position), so a doubled config's candidates are a strict superset —
+    // recall can only rise.
     sys.env.get("RECALL_D03").foreach { spec =>
       val docs = graft.sources.Lake.table(spark, sfDir, "documents")
       val exactP = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-        shingleN = 3, threshold = 0.4)
+        shingleN = 3, threshold = 0.4, maxDocFreq = Long.MaxValue)
         .select("id_a", "id_b").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       for (cfg <- spec.split(";").toSeq) {

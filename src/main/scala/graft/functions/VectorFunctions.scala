@@ -85,19 +85,25 @@ object VectorFunctions {
   def planeDots(vec: Column, planes2d: Array[Array[Double]]): Column =
     HashExpressions.plane_dots(vec, planes2d)
 
-  /** Per-table sign-LSH bucket ids from a materialized dots column:
-    * bucket(t) = Σ_i [dots(t·P+i) ≥ 0] << i. Returns `array<long>` of length
-    * `tables` — posexplode for (table, bucket) rows. */
-  def bucketsFromDots(dots: Column, planesPerTable: Int, tables: Int): Column = {
-    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+  private def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
+
+  /** Table `t`'s sign-LSH bucket from a materialized dots column:
+    * bucket(t) = Σ_i [dots(t·P+i) ≥ 0] << i. The ONE definition of the bucket
+    * encoding — base buckets and probe flips must agree bit-for-bit, so both
+    * [[bucketsFromDots]] and [[probeBucketsFromDots]] build on this. */
+  private def baseBucket(dots: Column, planesPerTable: Int, t: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(planesPerTable - 1)),
+      lit(0L),
+      (acc, i) => acc.bitwiseOR(
+        when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
+          shl(lit(1L), i)).otherwise(lit(0L))))
+
+  /** Per-table sign-LSH bucket ids from a materialized dots column. Returns
+    * `array<long>` of length `tables` — posexplode for (table, bucket) rows. */
+  def bucketsFromDots(dots: Column, planesPerTable: Int, tables: Int): Column =
     transform(sequence(lit(0), lit(tables - 1)), t =>
-      aggregate(
-        sequence(lit(0), lit(planesPerTable - 1)),
-        lit(0L),
-        (acc, i) => acc.bitwiseOR(
-          when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
-            shl(lit(1L), i)).otherwise(lit(0L)))))
-  }
+      baseBucket(dots, planesPerTable, t))
 
   /** Multi-probe sign-LSH buckets (Lv et al., "Multi-Probe LSH", VLDB 2007):
     * per table, the base bucket PLUS the `probes` buckets at Hamming distance
@@ -105,8 +111,9 @@ object VectorFunctions {
     * |dot| is smallest, i.e. exactly the bits most likely to differ between
     * two near-duplicates (a sign flip between near-identical vectors requires
     * both dots to sit near the plane). Returns
-    * `array<struct<table:int, bucket:long>>` of length `tables*(1+probes)`,
-    * ready to `explode` into probe rows.
+    * `array<struct<table:int, bucket:long>>` of length
+    * `tables*(1+min(probes, planesPerTable))` — at most every bit of a table's
+    * signature can be probed — ready to `explode` into probe rows.
     *
     * Scale shape: probing multiplies ONE side's bucket rows (and therefore
     * candidate generation) by `1+probes` — still linear in n — while per-table
@@ -116,15 +123,9 @@ object VectorFunctions {
     * deterministic. */
   def probeBucketsFromDots(dots: Column, planesPerTable: Int, tables: Int,
                            probes: Int): Column = {
-    def shl(c: Column, n: Column) = call_function("shiftleft", c, n)
     val p = math.min(probes, planesPerTable)
     flatten(transform(sequence(lit(0), lit(tables - 1)), t =>
-      letBind(aggregate(
-          sequence(lit(0), lit(planesPerTable - 1)),
-          lit(0L),
-          (acc, i) => acc.bitwiseOR(
-            when(element_at(dots, t * planesPerTable + i + 1) >= 0.0,
-              shl(lit(1L), i)).otherwise(lit(0L))))) { base =>
+      letBind(baseBucket(dots, planesPerTable, t)) { base =>
         // (|dot|, bit) structs sort lexicographically: least-confident first
         val ranked = slice(
           array_sort(transform(sequence(lit(0), lit(planesPerTable - 1)), i =>

@@ -262,13 +262,17 @@ object Dedup {
     * `probes > 0` is the CHEAPER recall knob (multi-probe LSH, Lv et al. VLDB
     * 2007): one join side additionally probes, per table, the `probes` buckets
     * reached by flipping its least-confident sign bits (see
-    * [[graft.functions.VectorFunctions.probeBucketsFromDots]]). A true pair
-    * whose signatures differ in one bit collides iff the differing bit is
-    * among the probed ones — and near-dup sign flips concentrate exactly on
-    * the low-|dot| planes, so few probes recover most 1-bit misses. Cost is
-    * `x(1+probes)` on one side's candidate generation vs `x2` per doubling of
-    * `tables` for comparable recall; output exactness is UNAFFECTED either way
-    * (candidates only widen; the exact-cosine verify filters identically). */
+    * [[graft.functions.VectorFunctions.probeBucketsFromDots]]). With
+    * one-sided probing a 1-bit-different pair is recovered iff the differing
+    * bit ranks inside the PROBED side's `probes` least-confident bits — for a
+    * near-dup the differing plane's dot sits near zero on BOTH vectors, so it
+    * usually ranks low on either side, but coverage is not symmetric and
+    * probing both sides would buy the union at roughly double the expansion
+    * (we take the cheaper single-sided trade; the recall curve below is
+    * measured, not derived). Cost is `x(1+min(probes, planes))` on one side's
+    * candidate generation vs `x2` per doubling of `tables` for comparable
+    * recall; output exactness is UNAFFECTED either way (candidates only
+    * widen; the exact-cosine verify filters identically). */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             planesPerTable: Int = 12, tables: Int = 4,
@@ -299,9 +303,11 @@ object Dedup {
     // minhashPairs' candidate verification).
     val a = banded.select(col("table"), col("bucket"), col("id").as("id_a"))
     // Multi-probe expands ONE side only: a 1-bit-different pair matches when
-    // the b-row's probe flips the differing bit into the a-row's base bucket.
-    // Probing both sides would square the expansion for no extra coverage at
-    // Hamming distance 1.
+    // EITHER row's probe flips the differing bit into the other's base bucket,
+    // and with only b probing that means the bit must rank inside the b-row's
+    // probe set. Probing both sides would roughly double the expansion for
+    // the (larger) union coverage — the single-sided trade is the one whose
+    // recall curve is measured and documented.
     val b =
       if (probes <= 0)
         banded.select(col("table"), col("bucket"), col("id").as("id_b"))

@@ -128,8 +128,9 @@ object Similarity {
     // Multi-probe on the QUERY side (Lv et al., VLDB 2007): each query also
     // visits, per table, the `probes` buckets reached by flipping its
     // least-confident sign bits. The expansion lands entirely on the
-    // BROADCAST side — x(1+probes) tiny query rows, the corpus side untouched
-    // — so recall rises without re-bucketing or growing the big join input.
+    // BROADCAST side — x(1+min(probes, planesPerTable)) tiny query rows, the
+    // corpus side untouched — so recall rises without re-bucketing or growing
+    // the big join input.
     val qSide =
       if (probes <= 0) banded(q, "qv")
       else q
