@@ -164,6 +164,30 @@ class DedupSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("probe buckets: base kept first, least-confident bits flipped, clamped at width") {
+    import spark.implicits._
+    val V = graft.functions.VectorFunctions
+    // 2 tables x 3 planes of hand-computed dots:
+    //   table 0: [0.5, -0.01, 0.2] -> bits {0,2} -> base 5; |dot| ranks probes
+    //            bit1 (0.01) then bit2 (0.2) -> flips 5^2=7, 5^4=1
+    //   table 1: [-0.4, 0.03, -0.6] -> bit {1} -> base 2; ranks bit1 (0.03)
+    //            then bit0 (0.4) -> flips 2^2=0, 2^1=3
+    val df = Seq(Tuple1(Seq(0.5, -0.01, 0.2, -0.4, 0.03, -0.6))).toDF("dots")
+    val out = df.select(V.probeBucketsFromDots(col("dots"), 3, 2, 2).as("tb"))
+      .selectExpr("inline(tb)").as[(Int, Long)].collect().toSeq
+    assert(out.size == 2 * (1 + 2))
+    assert(out.filter(_._1 == 0).map(_._2) == Seq(5L, 7L, 1L))
+    assert(out.filter(_._1 == 1).map(_._2) == Seq(2L, 0L, 3L))
+    // base bucket must agree bit-for-bit with the non-probing encoder
+    val bases = df.select(V.bucketsFromDots(col("dots"), 3, 2).as("b"))
+      .selectExpr("explode(b)").as[Long].collect().toSeq
+    assert(bases == Seq(5L, 2L))
+    // probes clamp at the signature width: no duplicate or phantom flips
+    val clamped = df.select(V.probeBucketsFromDots(col("dots"), 3, 2, 99).as("tb"))
+      .selectExpr("inline(tb)").collect()
+    assert(clamped.length == 2 * (1 + 3))
+  }
+
   test("multi-probe recovers missed pairs without ever widening past exact") {
     // Same seeded cluster fixture as the tables=24 recall pin, smaller table
     // budget so the base config has real misses for probing to recover.
