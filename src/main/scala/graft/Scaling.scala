@@ -21,9 +21,10 @@ import graft.operators.{Components, Dedup, Multimodal, RangeJoin}
   *  - o07: same 10x-density fixture; the sweep ENUMERATES pairs, so its
   *    contract is output-linear — wall must track output pairs (~100x here),
   *    i.e. wall_ratio should stay in the neighborhood of rows_ratio.
-  *  - d10/t14/d08: documents replicated 10x under fresh doc ids, vowels
-  *    rotated per copy (identity on copy 0) so copies stay mostly disjoint in
-  *    gram space and the 1x dup structure is preserved → wall ~10x.
+  *  - d10/t14/d08 (and d03 at its shipped 128x32 banding): documents
+  *    replicated 10x under fresh doc ids, vowels rotated per copy (identity
+  *    on copy 0) so copies stay mostly disjoint in gram space and the 1x dup
+  *    structure is preserved → wall ~10x.
   *  - m05/m06: 10x documents → 10x containers → ~10x sampled frames; the
   *    containers are MATERIALIZED to parquet before timing
   *    ([[Multimodal.materialize]]), so the measured plan is scan → narrow
@@ -178,6 +179,17 @@ object Scaling {
         docs10.select(col("doc_id"), col("text")), "doc_id", "text", k = 8),
       "10x docs, per-copy vowel rotation keeps copies mostly gram-disjoint " +
         "(1x dup structure preserved); hash-led shuffle must scale ~linearly")
+
+    record("d03_minhash_pairs",
+      () => Dedup.minhashPairs(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32,
+        threshold = 0.4),
+      () => Dedup.minhashPairs(docs10.select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32,
+        threshold = 0.4),
+      "10x vowel-rotated docs at the shipped 128x32 banding: per-copy dup " +
+        "structure preserved, cross-copy grams mostly disjoint -> true pairs " +
+        "~10x; signature + band shuffle must scale ~linearly in docs")
 
     record("t14_ngram_repetition",
       () => docs.select(col("doc_id"),
