@@ -219,6 +219,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("multi-probe LSH invariants on random corpora: no false positives, " +
+       "base pairs kept, monotone in probes") {
+    // Not an equivalence (LSH is honestly approximate) but three invariants
+    // that must hold on ARBITRARY inputs: (1) every emitted pair clears the
+    // exact-cosine threshold (the verify step can't be bypassed by probe
+    // candidates), (2) probing never loses a base pair (candidates only
+    // widen), (3) recall is monotone in the probe count.
+    import graft.operators.Dedup
+    for (seed <- 1 to 4) {
+      val rnd = new Random(900 + seed)
+      val dim = 8
+      val n = 60 + rnd.nextInt(60)
+      val vecs = (0 until n).map { i =>
+        (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val vf = graft.functions.VectorFunctions
+      val nrm = df.select(col("vec_id"),
+        vf.l2normalize(col("embedding")).as("v"))
+      val exact = nrm.as("a").join(nrm.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          vf.dot(col("a.v"), col("b.v")).as("cos"))
+        .filter(col("cos") >= 0.3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      def run(probes: Int): Set[(Long, Long)] =
+        Dedup.embeddingNearDupPairs(df, "vec_id", "embedding",
+          dim = dim, threshold = 0.3, planesPerTable = 5, tables = 3,
+          seed = 7L * seed, probes = probes)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val bySteps = Seq(0, 1, 3).map(p => p -> run(p)).toMap
+      bySteps.foreach { case (p, got) =>
+        assert(got.subsetOf(exact), s"seed=$seed probes=$p emitted a below-threshold pair")
+      }
+      assert(bySteps(0).subsetOf(bySteps(1)), s"seed=$seed probes=1 lost a base pair")
+      assert(bySteps(1).subsetOf(bySteps(3)), s"seed=$seed probes=3 lost a probes=1 pair")
+    }
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)
