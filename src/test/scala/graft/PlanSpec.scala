@@ -93,6 +93,28 @@ class PlanSpec extends SparkSpec {
     assert("(BroadcastHash|ShuffledHash|SortMerge)Join".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("probed s02: the multi-probe expansion stays on the broadcast query side") {
+    // the scale contract of query-side probing — x(1+probes) lands on the
+    // tiny broadcast relation; if the planner ever flipped the broadcast to
+    // the corpus side (or fell back to sort-merge) the knob would silently
+    // turn into a corpus blow-up
+    val e = graft.sources.Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val p = graft.operators.Similarity.lshTopK(e, q, "vec_id", "embedding",
+      k = 5, dim = 64, probes = 3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("probed d06: probe expansion keeps the candidates-only plan shape") {
+    val e = graft.sources.Lake.table(spark, sf0001, "embeddings")
+    val p = graft.operators.Dedup.embeddingNearDupPairs(e, "vec_id", "embedding",
+      dim = 64, threshold = 0.45, planesPerTable = 0, tables = 24, probes = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("HashAggregate"), p) // the pair distinct survives
+  }
+
   test("o04: overlap counting has no a-x-b pair join and no global-order window") {
     val p = plan("o04_interval_overlap")
     // pair-free: the count comes from rank queries, not a join of a x b. The
