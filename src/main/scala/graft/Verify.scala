@@ -21,14 +21,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .foreach { case (name, fn) =>
+    val entries = SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }.toSeq
+    def dump(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+    // SPARK_GRAFT_VERIFY_PAR > 1 submits that many queries concurrently into
+    // the one SparkSession (each writes its own directory, so results are
+    // independent) — a dev knob that cuts the sf1 campaign's dump wall, where
+    // single heavy dedup queries otherwise serialize behind dozens of small
+    // ones. The driver's gate keeps the default sequential path.
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "1").toInt
+    if (par <= 1) entries.foreach { case (name, fn) => dump(name, fn) }
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+      try {
+        val futures = entries.map { case (name, fn) =>
+          pool.submit(new Runnable { def run(): Unit = dump(name, fn) })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
     }
     // Full JSON string escape (graft.util.Json.str) — a tab or CR in
     // builder-authored SQL would otherwise make the driver's json.load fail

@@ -1,0 +1,68 @@
+#!/usr/bin/env bash
+# Full sf1 oracle campaign — ONE command, one merged report:
+#   1. build the 10x lake with tools/make_sf1.py (skipped if already present)
+#   2. dump all queries with graft.Verify in a fresh plain-java JVM
+#   3. two-phase oracle compare (tools/compare_with_timeouts.py):
+#        phase 1  parallel, 900s/oracle wall cap — fast for the 100+ cheap oracles
+#        phase 2  SEQUENTIAL retry at 1800s for anything phase 1 capped — the heavy
+#                 inverted-index dedup oracles fit the cap without contention
+#   4. merge both phases into one report; an entry stays a documented skip only
+#      if the sequential retry also exceeded its cap
+# Usage: tools/verify_sf1.sh [report.json] [sf1_dir]
+# Env: SPARK_GRAFT_CLASSES (classes dir), SPARK_DRIVER_MEM (-Xmx, default 48g),
+#      SPARK_GRAFT_CPUS (default 24), SF1_DUMP (dump dir, default /tmp/verify_sf1_dump)
+set -euo pipefail
+OUT="$(realpath -m "${1:-CORRECTNESS_sf1.json}")"
+cd "$(dirname "$0")/.."
+SF1="${2:-/tmp/sf1}"
+DUMP="${SF1_DUMP:-/tmp/verify_sf1_dump}"
+CLASSES="${SPARK_GRAFT_CLASSES:-target/scala-2.13/classes}"
+[ -d "$CLASSES" ] || { echo "run 'sbt compile' first" >&2; exit 2; }
+
+[ -f "$SF1/documents.parquet" ] || python3 tools/make_sf1.py "$SF1" 10
+
+ADD_OPENS=""
+while IFS= read -r p || [ -n "$p" ]; do
+  case "$p" in ''|'#'*) continue;; esac
+  ADD_OPENS="$ADD_OPENS --add-opens $p=ALL-UNNAMED"
+done < tools/add_opens.txt
+
+echo "[verify_sf1] dumping all queries at $SF1"
+rm -rf "$DUMP"
+SPARK_GRAFT_VERIFY_PAR="${SPARK_GRAFT_VERIFY_PAR:-4}" \
+SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-24}" java $ADD_OPENS \
+  -Xmx"${SPARK_DRIVER_MEM:-48g}" \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF1" "$DUMP"
+
+echo "[verify_sf1] phase 1: parallel compare, 900s/oracle cap"
+python3 tools/compare_with_timeouts.py "$DUMP" "$SF1" "$OUT.phase1" 900 6 || true
+
+echo "[verify_sf1] phase 2: sequential retry of capped oracles at 1800s"
+python3 - "$OUT" "$DUMP" "$SF1" <<'EOF'
+import json, os, subprocess, sys, tempfile
+out, dump, sf1 = sys.argv[1], sys.argv[2], sys.argv[3]
+tool = os.path.join("tools", "compare_with_timeouts.py")
+rep = json.load(open(out + ".phase1"))
+capped = [k for k, v in rep["queries"].items() if v.get("pass") is None]
+if capped:
+    retry_dir = tempfile.mkdtemp(prefix="verify_sf1_retry")
+    for q in capped:
+        os.symlink(os.path.join(dump, q), os.path.join(retry_dir, q))
+    # compare_oracle needs the oracle map next to the dumps
+    os.symlink(os.path.join(dump, "oracle_sql.json"),
+               os.path.join(retry_dir, "oracle_sql.json"))
+    subprocess.run([sys.executable, tool, retry_dir, sf1,
+                    out + ".phase2", "1800", "1"])
+    rep["queries"].update(json.load(open(out + ".phase2"))["queries"])
+fails = sum(1 for v in rep["queries"].values() if v.get("pass") is False)
+skips = sum(1 for v in rep["queries"].values() if v.get("pass") is None)
+ok = len(rep["queries"]) - fails - skips
+rep.update(passed=ok, failed=fails, skipped=skips,
+           clean=(fails == 0 and ok > 0),
+           timeout_sec={"parallel_pass_6_workers": 900,
+                        "sequential_retry_heavy_oracles": 1800})
+json.dump(rep, open(out, "w"), indent=1)
+print(f"[verify_sf1] merged: {ok} ok, {fails} failed, {skips} skipped "
+      f"-> {out}")
+EOF
