@@ -34,7 +34,12 @@ object Verify {
     // independent) — a dev knob that cuts the sf1 campaign's dump wall, where
     // single heavy dedup queries otherwise serialize behind dozens of small
     // ones. The driver's gate keeps the default sequential path.
+    // Session-state safety under parallelism: the only session-global write
+    // any query performs is Lake.registerAll's temp views. Register them HERE,
+    // once, before the pool — the per-query registerAll calls are then no-ops
+    // via its (session, dir) memo, so pool threads never mutate shared state.
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "1").toInt
+    if (par > 1) graft.sources.Lake.registerAll(spark, sfDir)
     if (par <= 1) entries.foreach { case (name, fn) => dump(name, fn) }
     else {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(par)

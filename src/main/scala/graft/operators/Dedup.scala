@@ -307,7 +307,12 @@ object Dedup {
     // and with only b probing that means the bit must rank inside the b-row's
     // probe set. Probing both sides would roughly double the expansion for
     // the (larger) union coverage — the single-sided trade is the one whose
-    // recall curve is measured and documented.
+    // recall curve is measured and documented. Because the probing side is
+    // always the HIGHER id (id_a < id_b filter), which row gets to probe — and
+    // hence whether a given borderline pair is recovered — depends on id
+    // assignment, not just geometry: the measured recall pins
+    // (0.974/0.986/0.991/0.995 at probes=1..4, sf1) are specific to the
+    // fixture's id ordering as well as its vectors.
     val b =
       if (probes <= 0)
         banded.select(col("table"), col("bucket"), col("id").as("id_b"))

@@ -42,8 +42,25 @@ object Lake {
     else df
   }
 
+  // once-per-(session, dir) memo for registerAll: temp-view registration is
+  // session-global state, and concurrent registerAll calls from a thread pool
+  // (Verify's SPARK_GRAFT_VERIFY_PAR path) would race createOrReplaceTempView
+  // on the one session. The memo makes every call after the first (for the
+  // same dir) a no-op, so parallel queries never write session state at all;
+  // a dir CHANGE re-registers, keeping sequential multi-lake use correct.
+  // WeakHashMap so a stopped session's entry can be collected.
+  private val registered =
+    new java.util.WeakHashMap[SparkSession, String]()
+
   /** Register every lake table as a temp view named after the table, so raw-SQL
-    * extraction (reference `ExtractionType.Query`) is a straight `spark.sql(text)`. */
+    * extraction (reference `ExtractionType.Query`) is a straight `spark.sql(text)`.
+    * Idempotent and thread-safe per (session, dir): only the first call for a
+    * given dir registers; later calls (any thread) return after a memo check. */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    registered.synchronized {
+      if (registered.get(spark) != dir) {
+        tableNames.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+        registered.put(spark, dir)
+      }
+    }
 }

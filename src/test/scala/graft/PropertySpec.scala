@@ -257,6 +257,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("minhash banding monotonicity: longer signatures at equal band width " +
+       "never lose pairs (random corpora x two bandings)") {
+    // The positional splitmix64 minhash family makes a k2-hash signature's
+    // first k1 entries IDENTICAL to the k1-hash signature (k1 < k2). With the
+    // same rowsPerBand, the short config's bands are therefore a PREFIX of
+    // the long config's bands, so the long config's candidate set — and,
+    // since verification is exact Jaccard over the full shingle sets, its
+    // output — is a superset. This is the invariant that made the r8 banding
+    // upgrade (64x16 -> 128x32) safe to ship without re-running every scale:
+    // here it is pinned on arbitrary corpora, not the shipped fixtures.
+    import graft.operators.Dedup
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    var sawPairs = false
+    for (seed <- 1 to 5) {
+      val rnd = new Random(800 + seed)
+      val rpb = Seq(2, 4)(rnd.nextInt(2))          // equal rowsPerBand
+      val bShort = 4 + rnd.nextInt(8)              // short banding
+      val bLong = bShort + 4 + rnd.nextInt(16)     // strictly more bands
+      val base = (0 until 25 + rnd.nextInt(25)).map { i =>
+        (i.toLong, List.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // planted near-dups: copies with one word swapped, so true pairs exist
+      val dups = base.take(8).map { case (id, text) =>
+        val w = text.split(" "); w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (id + 10000L, w.mkString(" "))
+      }
+      val df = (base ++ dups).toDF("doc_id", "text")
+      def pairs(k: Int, b: Int): Set[(Long, Long)] =
+        Dedup.minhashPairs(df, "doc_id", "text", shingleN = 2,
+          numHashes = k, bands = b, threshold = 0.3)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val short = pairs(rpb * bShort, bShort)
+      val long = pairs(rpb * bLong, bLong)
+      assert(short.subsetOf(long),
+        s"seed=$seed rpb=$rpb ${rpb * bShort}x$bShort lost pairs vs " +
+          s"${rpb * bLong}x$bLong: ${short -- long}")
+      sawPairs ||= long.nonEmpty
+    }
+    assert(sawPairs, "fixture produced no pairs at any seed — property vacuous")
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)

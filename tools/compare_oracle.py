@@ -27,6 +27,40 @@ if only:
 fails = 0
 def record(name, ok, **kw):
     report[name] = {"pass": ok, **kw}
+
+# Approximate-by-design queries with a pinned recall FLOOR, active only when
+# GRAFT_APPROX_RECALL=1 (verify_sf1.sh sets it for the sf1 campaign; the
+# driver's sf0.01 gate and local sf0.1 runs stay strict-exact). Contract per
+# query: engine rows must be a SUBSET of the oracle rows (zero false
+# positives) and |engine| / |oracle| >= floor. d06's floor encodes the r8/r9
+# measured multi-probe curve (probes=2 -> 0.986 at sf1): a banding/plane
+# change that regresses recall below 0.98 fails the campaign instead of
+# slipping through as "approximate anyway".
+APPROX_RECALL = {"d06_embedding_neardup": 0.98}
+approx_on = os.environ.get("GRAFT_APPROX_RECALL") == "1"
+
+def approx_compare(name, g, w, gc):
+    floor = APPROX_RECALL[name]
+    got_rows = set(map(tuple, g[gc].astype(str).itertuples(index=False)))
+    want_rows = set(map(tuple, w[gc].astype(str).itertuples(index=False)))
+    false_pos = got_rows - want_rows
+    recall = len(got_rows & want_rows) / max(1, len(want_rows))
+    if false_pos:
+        print(f"FAIL {name}: {len(false_pos)} rows not in oracle "
+              f"(approximate contract allows misses, never extras)")
+        record(name, False, mode="recall-floor", recall=round(recall, 4),
+               err=f"{len(false_pos)} false positives")
+        return False
+    if recall < floor:
+        print(f"FAIL {name}: recall {recall:.4f} < pinned floor {floor}")
+        record(name, False, mode="recall-floor", recall=round(recall, 4),
+               recall_floor=floor, err=f"recall below floor {floor}")
+        return False
+    print(f"OK   {name}: recall {recall:.4f} >= floor {floor}, "
+          f"subset-of-oracle ({len(got_rows)}/{len(want_rows)} pairs)")
+    record(name, True, mode="recall-floor", recall=round(recall, 4),
+           recall_floor=floor, rows=len(got_rows), oracle_rows=len(want_rows))
+    return True
 for name in all_q:
     files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
     if not files:
@@ -50,6 +84,10 @@ for name in all_q:
         record(name, False, err=f"columns {gc} vs {wc}"); continue
     g = got[gc].sort_values(gc, kind="mergesort").reset_index(drop=True)
     w = want[wc].sort_values(wc, kind="mergesort").reset_index(drop=True)
+    if approx_on and name in APPROX_RECALL:
+        if not approx_compare(name, g, w, gc):
+            fails += 1
+        continue
     if len(g) != len(w):
         print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); fails += 1
         record(name, False, err=f"rows {len(g)} vs {len(w)}"); continue

@@ -7,8 +7,12 @@
 #   4. leakcheck.json        grep-based proprietary-token sweep over src/
 # Usage: tools/verify_all.sh [out_dir] [verify_sf_dir] [bench_sf_dir]
 # Stops at the first failing stage (set -e); partial artifacts stay on disk.
+# On success the artifact set is also archived to verify_out/$GRAFT_ROUND/
+# (default r9) so a later harness re-run over OUT_DIR can't clobber the
+# committed round record (the r8 working-tree BENCH overwrite).
 set -euo pipefail
 OUT_DIR="$(realpath -m "${1:-verify_out}")"
+ROUND="${GRAFT_ROUND:-r9}"
 cd "$(dirname "$0")/.."
 VSF="${2:-/root/testdata/sf0.01}"
 BSF="${3:-/root/testdata/sf0.1}"
@@ -61,4 +65,9 @@ print(f"[verify_all] leakcheck hits: {n}")
 sys.exit(1 if n else 0)
 EOF
 
-echo "[verify_all] OK — artifacts in $OUT_DIR"
+ARCHIVE="$(cd "$(dirname "$0")/.." && pwd)/verify_out/$ROUND"
+mkdir -p "$ARCHIVE"
+cp -f "$OUT_DIR/correctness.json" "$OUT_DIR/bench.json" \
+      "$OUT_DIR/leakcheck.json" "$ARCHIVE/" 2>/dev/null || true
+cp -f "$OUT_DIR/smoke_test.log" "$ARCHIVE/" 2>/dev/null || true
+echo "[verify_all] OK — artifacts in $OUT_DIR (archived to $ARCHIVE)"

@@ -10,9 +10,13 @@
 #      if the sequential retry also exceeded its cap
 # Usage: tools/verify_sf1.sh [report.json] [sf1_dir]
 # Env: SPARK_GRAFT_CLASSES (classes dir), SPARK_DRIVER_MEM (-Xmx, default 48g),
-#      SPARK_GRAFT_CPUS (default 24), SF1_DUMP (dump dir, default /tmp/verify_sf1_dump)
+#      SPARK_GRAFT_CPUS (default 24), SF1_DUMP (dump dir, default /tmp/verify_sf1_dump),
+#      GRAFT_ROUND (archive dir suffix, default r9 — the merged report is also
+#      copied to verify_out/$GRAFT_ROUND/ so a later harness re-run can't
+#      clobber the committed round record)
 set -euo pipefail
 OUT="$(realpath -m "${1:-CORRECTNESS_sf1.json}")"
+ROUND="${GRAFT_ROUND:-r9}"
 cd "$(dirname "$0")/.."
 SF1="${2:-/tmp/sf1}"
 DUMP="${SF1_DUMP:-/tmp/verify_sf1_dump}"
@@ -35,8 +39,21 @@ SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-24}" java $ADD_OPENS \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CLASSES:/opt/spark/jars/*" graft.Verify "$SF1" "$DUMP"
 
+# GRAFT_APPROX_RECALL=1: approximate-by-design queries (d06) are graded
+# against their pinned recall FLOOR + subset-of-oracle instead of exact match
+# (tools/compare_oracle.py APPROX_RECALL) — sf1 is the scale where the LSH
+# contract is honestly approximate, and the floor keeps it regression-pinned.
+export GRAFT_APPROX_RECALL=1
+
 echo "[verify_sf1] phase 1: parallel compare, 900s/oracle cap"
+# '|| true' tolerates per-ORACLE failures (phase 2 retries the capped ones),
+# but a crash that produced no report at all must stop here with a clear
+# message, not surface later as a JSONDecodeError in phase 2.
 python3 tools/compare_with_timeouts.py "$DUMP" "$SF1" "$OUT.phase1" 900 6 || true
+[ -s "$OUT.phase1" ] || {
+  echo "[verify_sf1] FATAL: phase 1 produced no report ($OUT.phase1 missing/empty)" >&2
+  exit 3
+}
 
 echo "[verify_sf1] phase 2: sequential retry of capped oracles at 1800s"
 python3 - "$OUT" "$DUMP" "$SF1" <<'EOF'
@@ -52,8 +69,13 @@ if capped:
     # compare_oracle needs the oracle map next to the dumps
     os.symlink(os.path.join(dump, "oracle_sql.json"),
                os.path.join(retry_dir, "oracle_sql.json"))
+    # the retry tool exits non-zero when queries stay capped/failed — that is
+    # phase-2 DATA, not a crash; only a missing report is fatal here
     subprocess.run([sys.executable, tool, retry_dir, sf1,
                     out + ".phase2", "1800", "1"])
+    if not os.path.exists(out + ".phase2"):
+        sys.exit("[verify_sf1] FATAL: phase 2 retry produced no report "
+                 f"({out}.phase2 missing)")
     rep["queries"].update(json.load(open(out + ".phase2"))["queries"])
 fails = sum(1 for v in rep["queries"].values() if v.get("pass") is False)
 skips = sum(1 for v in rep["queries"].values() if v.get("pass") is None)
@@ -66,3 +88,9 @@ json.dump(rep, open(out, "w"), indent=1)
 print(f"[verify_sf1] merged: {ok} ok, {fails} failed, {skips} skipped "
       f"-> {out}")
 EOF
+
+# Archive the round record out of any later harness run's write path.
+ARCHIVE="verify_out/$ROUND"
+mkdir -p "$ARCHIVE"
+cp -f "$OUT" "$ARCHIVE/$(basename "$OUT")"
+echo "[verify_sf1] archived -> $ARCHIVE/$(basename "$OUT")"
