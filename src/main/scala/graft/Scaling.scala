@@ -99,34 +99,51 @@ object Scaling {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // `extra` is sampled right after each side's warmup execution; non-empty
-    // maps land in the JSON as base_<k>/x10_<k> (used for streaming state rows).
-    def record(op: String, base: () => DataFrame, x10: () => DataFrame,
+    // maps land in the JSON as base_<k>/<label>_<k> (streaming state rows/mem,
+    // CC round counts). `scaleLabel` names the scaled side's keys — x10 for
+    // the decade rows, x100/x1000 for the second/third-decade rows.
+    def record(op: String, base: () => DataFrame, scaled: () => DataFrame,
                note: String,
-               extra: () => Map[String, Long] = () => Map.empty): Unit = {
+               extra: () => Map[String, Long] = () => Map.empty,
+               scaleLabel: String = "x10"): Unit = {
       if (only.nonEmpty && !only.exists(op.startsWith)) return
       // warmup (with counting) → timed runs, per side, adjacently
       val baseRows = countingWarmup(base)
       val baseExtra = extra()
       val bSec = timeMinPrewarmed(base)
-      val x10Rows = countingWarmup(x10)
-      val x10Extra = extra()
-      val xSec = timeMinPrewarmed(x10)
+      val sRows = countingWarmup(scaled)
+      val sExtra = extra()
+      val xSec = timeMinPrewarmed(scaled)
       val wallRatio = xSec / bSec
-      val rowsRatio = if (baseRows > 0) x10Rows.toDouble / baseRows else 0.0
+      val rowsRatio = if (baseRows > 0) sRows.toDouble / baseRows else 0.0
       val extraJson =
         (baseExtra.map { case (k, v) => s""""base_$k":$v""" } ++
-          x10Extra.map { case (k, v) => s""""x10_$k":$v""" })
+          sExtra.map { case (k, v) => s""""${scaleLabel}_$k":$v""" })
           .mkString(",") match { case "" => ""; case s => s + "," }
       results(op) =
-        s"""{"base_sec":${num(bSec)},"x10_sec":${num(xSec)},""" +
+        s"""{"base_sec":${num(bSec)},"${scaleLabel}_sec":${num(xSec)},""" +
           s""""wall_ratio":${num(wallRatio, 2)},"base_rows":$baseRows,""" +
-          s""""x10_rows":$x10Rows,"rows_ratio":${num(rowsRatio, 2)},""" +
+          s""""${scaleLabel}_rows":$sRows,"rows_ratio":${num(rowsRatio, 2)},""" +
           extraJson +
           s""""note":${jstr(note)}}"""
-      System.err.println(s"[scaling] $op base=${num(bSec)}s x10=${num(xSec)}s " +
+      System.err.println(s"[scaling] $op base=${num(bSec)}s $scaleLabel=${num(xSec)}s " +
         s"wall_ratio=${num(wallRatio, 2)} rows_ratio=${num(rowsRatio, 2)}")
       spark.catalog.clearCache()
       System.gc()
+    }
+
+    // Materialize an intermediate result to scratch parquet ONCE; timed
+    // closures then read it back, so a staged row measures ONLY its stage
+    // (same exclusion-by-construction as the m05/m06 media fixtures).
+    val matCache = scala.collection.mutable.HashMap.empty[String, String]
+    def mat(tag: String)(df: => DataFrame): DataFrame = {
+      val path = matCache.getOrElseUpdate(tag, {
+        val p = graft.util.Scratch.dir(s"graft-scale-mat-$tag")
+          .resolve("data.parquet").toString
+        df.write.mode("overwrite").parquet(p)
+        p
+      })
+      spark.read.parquet(path)
     }
 
     // ---- interval fixtures (o04/o07): orders as 4-day windows ----
@@ -274,6 +291,116 @@ object Scaling {
         "vowel-rotated docs: per-copy dup structure preserved, cross-copy " +
         "grams disjoint -> edges ~10x, wall must track data ~linearly")
 
+    // ---- d08 decomposed: one row per stage, inputs pre-materialized ----
+    // The r8 full-pipeline row read x5.14 wall at x10 data — sub-linear, but
+    // with no per-stage attribution a superlinear stage could hide inside the
+    // host's noise band. Each stage here times ONLY itself: its input is
+    // written to scratch parquet once (mat), so the measured plan is
+    // scan -> stage, exactly the m05/m06 exclusion-by-construction pattern.
+    def d08pairs(d: DataFrame): DataFrame =
+      Dedup.ngramJaccardPairs(d, "doc_id", "text", shingleN = 3, threshold = 0.4)
+    def d08rank(clusters: DataFrame, scored: DataFrame): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("quality").desc, col("doc_id"))
+      clusters.join(scored, clusters("id") === scored("doc_id"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("survivor_id"))
+    }
+    def d08scored(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      graft.functions.TextFunctions.qualityScore(col("text")).as("quality"))
+    record("d08a_pair_gen",
+      () => d08pairs(docs.select(col("doc_id"), col("text"))),
+      () => d08pairs(docs10.select(col("doc_id"), col("text"))),
+      "stage 1 of d08 in isolation: inverted-index shingle pair generation on " +
+        "the same 10x fixture; candidate cost is sum(posting^2), bounded by " +
+        "the stop-shingle prune -> wall must track docs ~linearly")
+    record("d08b_components",
+      () => Components.clusters(
+        mat("d08p1")(d08pairs(docs.select(col("doc_id"), col("text")))),
+        "id_a", "id_b"),
+      () => Components.clusters(
+        mat("d08p10")(d08pairs(docs10.select(col("doc_id"), col("text")))),
+        "id_a", "id_b"),
+      "stage 2 in isolation: connected components over PRE-MATERIALIZED pair " +
+        "parquet (pair gen excluded by construction); edges ~10x, round count " +
+        "structure-bound -> wall must track edges")
+    record("d08c_rank_survivors",
+      () => d08rank(
+        mat("d08c1")(Components.clusters(
+          mat("d08p1")(d08pairs(docs.select(col("doc_id"), col("text")))),
+          "id_a", "id_b")),
+        mat("d08s1")(d08scored(docs.select(col("doc_id"), col("text"))))),
+      () => d08rank(
+        mat("d08c10")(Components.clusters(
+          mat("d08p10")(d08pairs(docs10.select(col("doc_id"), col("text")))),
+          "id_a", "id_b")),
+        mat("d08s10")(d08scored(docs10.select(col("doc_id"), col("text"))))),
+      "stage 3 in isolation: quality-ranked survivor per cluster over " +
+        "pre-materialized cluster + score parquet; one hash join + one " +
+        "cluster-keyed window -> wall must track members ~linearly")
+
+    // ---- second decade: x100 rows for the heaviest dedup family + CC ----
+    // 100 distinct text transforms via two-level rotation (10 vowel x 10
+    // consonant permutations): copies stay mostly gram-disjoint, per-copy dup
+    // structure preserved — the x10 fixture's argument, one decade further.
+    val consAlpha = "bcdfghjklm"
+    def rotStr(s: String, k: Int): String = s.drop(k) + s.take(k)
+    def docs100: DataFrame =
+      (0 until 100).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit((i + 1) * 1000000L))
+        .withColumn("text", translate(
+          translate(col("text"), "aeiou", vowelRot(i % 10)),
+          consAlpha, rotStr(consAlpha, i / 10))))
+        .reduce(_ unionAll _)
+        .select(col("doc_id"), col("text"))
+
+    record("d03_minhash_pairs_x100",
+      () => Dedup.minhashPairs(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32,
+        threshold = 0.4),
+      () => Dedup.minhashPairs(docs100, "doc_id", "text",
+        shingleN = 3, numHashes = 128, bands = 32, threshold = 0.4),
+      "x100 docs (10 vowel x 10 consonant rotations) at the shipped 128x32 " +
+        "banding: pins the exponent one decade past the x10 row — wall must " +
+        "stay ~linear in docs (<= ~120x), true pairs ~100x",
+      scaleLabel = "x100")
+
+    // Hub-skewed CC at x100: one massive-degree hub PLUS fixed-length chains,
+    // both scaled x100 with structure constant. The hub vertex is the skew
+    // stress (one groupBy key holding the whole spoke set); chains keep the
+    // multi-round path alive so round count stays structure-bound. Rounds are
+    // recorded per side and must be EQUAL across the two scales.
+    var lastCcRounds = -1
+    def ccWithRounds(edges: DataFrame): DataFrame = {
+      val (labels, r) =
+        Components.connectedComponentsWithRounds(edges, "u", "v")
+      lastCcRounds = r
+      labels
+    }
+    // Pre-materialized to parquet: (a) fixture generation stays out of the
+    // timed plan, (b) unioning two range-derived projects here trips a Spark
+    // 4.1 constraint-rewrite bug (UnionBase.rewriteConstraints:
+    // "key not found: v#..." when an inferred alias constraint references a
+    // pruned child attribute) that a parquet scan sidesteps entirely.
+    def hubSkewEdges(nSpokes: Long, nChains: Long): DataFrame = mat(
+      s"hub-$nSpokes-$nChains") {
+      val spokes = spark.range(nSpokes)
+        .select(lit(0L).as("u"), (col("id") + 1L).as("v"))
+      val chains = chainEdges(nChains)
+        .select((col("u") + 1000000000L).as("u"), (col("v") + 1000000000L).as("v"))
+      spokes.unionAll(chains)
+    }
+    record("d07_cc_hubskew_x100",
+      () => ccWithRounds(hubSkewEdges(20000L, 2000L)),
+      () => ccWithRounds(hubSkewEdges(2000000L, 200000L)),
+      "x100 edges, structure constant: a degree-2M hub (the skew stress -- " +
+        "one aggregation key owns the whole spoke set) + fixed-length-8 " +
+        "chains; cc_rounds must be equal across scales, wall ~linear in edges",
+      () => if (lastCcRounds >= 0) Map("cc_rounds" -> lastCcRounds.toLong)
+            else Map.empty,
+      scaleLabel = "x100")
+
     // ---- st04/st08: stream-stream interval joins on 10x time-shifted events ----
     // Each copy shifted by a disjoint 60-day offset with fresh event/user ids:
     // the 1-hour join window never spans copies, so output grows ~10x and the
@@ -300,14 +427,15 @@ object Scaling {
         .reduce(_ unionAll _),
       "ev100")
 
-    // the peak-state metric is returned WITH the run; stash the latest here so
-    // record()'s extra() hook (sampled right after each side's row count) reads
-    // the metric of exactly the run it just executed
+    // the peak-state metrics are returned WITH the run; stash the latest here
+    // so record()'s extra() hook (sampled right after each side's row count)
+    // reads the metrics of exactly the run it just executed
     var lastStreamState: Option[Long] = None
+    var lastStreamStateMem: Option[Long] = None
     def streamJoinRun(dir: String, leftOuter: Boolean): DataFrame = {
       val run = java.util.UUID.randomUUID().toString.take(8)
       val out = graft.util.Scratch.dir(s"graft-scale-stj-$run")
-      val (df, state) = graft.streaming.EventsStream
+      val (df, state, stateMem) = graft.streaming.EventsStream
         .runAvailableNowToFilesWithState(spark, dir,
           ev =>
             (if (leftOuter) graft.streaming.EventsStream.purchaseClickLeftJoin(ev)
@@ -315,10 +443,13 @@ object Scaling {
               .select(col("purchase_id"), col("click_id")),
           s"$out/data", s"$out/ckpt")
       lastStreamState = state
+      lastStreamStateMem = stateMem
       df
     }
-    val stateRows = () => lastStreamState
-      .map(n => Map("state_rows" -> n)).getOrElse(Map.empty[String, Long])
+    val stateRows = () =>
+      (lastStreamState.map(n => Map("state_rows" -> n)).getOrElse(Map.empty) ++
+        lastStreamStateMem.map(n => Map("state_mem_bytes" -> n))
+          .getOrElse(Map.empty[String, Long]))
     record("st04_stream_join",
       () => streamJoinRun(evBaseDir, leftOuter = false),
       () => streamJoinRun(ev100Dir, leftOuter = false),
@@ -335,6 +466,43 @@ object Scaling {
         "on watermark eviction; same bounded-state at-most-linear contract; " +
         "state_rows = peak buffered join rows from query progress",
       stateRows)
+
+    // ---- st04 at x1000 events on the RocksDB state store ----
+    // The HDFS-backed in-memory store holds every state row on-heap — at 100
+    // TB stream history that is the component whose story was "Spark provides
+    // RocksDB" rather than a measurement. This row runs the same join at
+    // x1000 events (10M rows) with RocksDBStateStoreProvider and records peak
+    // state rows AND peak state memory from query progress: rows must stay
+    // linear in data (never density^2), memory must stay bounded per
+    // partition (RocksDB spills to local SSD past its block cache).
+    lazy val ev1000Dir = writeEventsFixture(
+      events.crossJoin(spark.range(1000).withColumnRenamed("id", "copy"))
+        .withColumn("event_id", col("event_id") + col("copy") * 1000000000L)
+        .withColumn("user_id", col("user_id") + col("copy") * 100000000L)
+        .withColumn("ts", expr("timestampadd(DAY, CAST(copy * 60 AS INT), ts)"))
+        .drop("copy"),
+      "ev1000")
+    def withRocksDB(f: => DataFrame): DataFrame = {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try f
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+    record("st04_stream_join_rocksdb_x1000",
+      () => withRocksDB(streamJoinRun(evBaseDir, leftOuter = false)),
+      () => withRocksDB(streamJoinRun(ev1000Dir, leftOuter = false)),
+      "inner stream-stream join at x1000 time-disjoint event copies (10M " +
+        "rows) on RocksDBStateStoreProvider: state_rows must stay exactly " +
+        "linear in data, state_mem_bytes = peak memoryUsedBytes from " +
+        "progress (RocksDB mem-table + cache, bounded per partition -- the " +
+        "backend named in the 100 TB state story, now measured)",
+      stateRows,
+      scaleLabel = "x1000")
 
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",

@@ -131,20 +131,25 @@ object EventsStream {
       statePartitions)._1
 
   /** As [[runAvailableNowToFiles]], also returning the run's peak state-store
-    * rows (None if the query had no stateful operator). The metric travels
-    * with the run it describes — a shared "last run" variable would silently
-    * misattribute under any interleaving. The peak is accumulated by a
+    * rows and peak state memory bytes (None if the query had no stateful
+    * operator). The metrics travel with the run they describe — a shared
+    * "last run" variable would silently misattribute under any interleaving.
+    * Peaks are accumulated by a
     * [[org.apache.spark.sql.streaming.StreamingQueryListener]] during the run,
     * not read from `recentProgress` afterwards: recentProgress retains only
     * the last `spark.sql.streaming.numRecentProgressUpdates` (default 100)
     * batches, so a long run whose peak lands early would under-report.
     * Scaling's watermark-bounded-state evidence for the stream-stream joins
-    * is this number: it must track rows-in-window, not stream history. */
+    * is these numbers: they must track rows-in-window, not stream history.
+    * `memoryUsedBytes` is backend-honest: the HDFS-backed store reports its
+    * in-memory map size, RocksDB its total (mem-table + block cache + pinned)
+    * usage — which is what makes the RocksDB scaling row's memory claim a
+    * measurement rather than an inference from row counts. */
   private[graft] def runAvailableNowToFilesWithState(
       spark: SparkSession, dir: String,
       agg: DataFrame => DataFrame,
       outDir: String, checkpointDir: String,
-      statePartitions: Int = 8): (DataFrame, Option[Long]) = {
+      statePartitions: Int = 8): (DataFrame, Option[Long], Option[Long]) = {
     // State-store partition count binds at checkpoint creation from
     // spark.sql.shuffle.partitions and dominates micro-batch cost: every batch
     // commits one delta file per partition, so it must be sized to per-trigger
@@ -156,19 +161,24 @@ object EventsStream {
     // complete before start() returns the handle), and a single shared max
     // would misattribute under concurrent queries.
     val peaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    val memPeaks = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long]()
+    def bump(m: java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Long],
+             id: java.util.UUID, n: Long): Unit =
+      m.merge(id, Long.box(n),
+        (a: java.lang.Long, b: java.lang.Long) => Long.box(Math.max(a, b)))
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
       override def onQueryStarted(e: QueryStartedEvent): Unit = ()
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        Option(e.progress.stateOperators).iterator.flatten
-          .map(_.numRowsTotal).maxOption
-          .foreach(n => peaks.merge(e.progress.id, Long.box(n),
-            (a: java.lang.Long, b: java.lang.Long) => Long.box(Math.max(a, b))))
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val ops = Option(e.progress.stateOperators).iterator.flatten.toSeq
+        ops.map(_.numRowsTotal).maxOption.foreach(bump(peaks, e.progress.id, _))
+        ops.map(_.memoryUsedBytes).maxOption.foreach(bump(memPeaks, e.progress.id, _))
+      }
       override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val peak =
+    val (peak, memPeak) =
       try {
         val q =
           try {
@@ -184,12 +194,14 @@ object EventsStream {
         q.awaitTermination()
         // listener events are async: fold in the (bounded) recentProgress too
         // so a not-yet-delivered final batch can't be missed
-        (Option(peaks.get(q.id)).map(_.longValue) ++
-          q.recentProgress.iterator
-            .flatMap(p => Option(p.stateOperators).iterator.flatten)
-            .map(_.numRowsTotal)).maxOption
+        val progOps = q.recentProgress.iterator
+          .flatMap(p => Option(p.stateOperators).iterator.flatten).toSeq
+        ((Option(peaks.get(q.id)).map(_.longValue) ++
+            progOps.map(_.numRowsTotal)).maxOption,
+          (Option(memPeaks.get(q.id)).map(_.longValue) ++
+            progOps.map(_.memoryUsedBytes)).maxOption)
       } finally spark.streams.removeListener(listener)
-    (spark.read.parquet(outDir), peak)
+    (spark.read.parquet(outDir), peak, memPeak)
   }
 
   /** Continuous ingestion with the reference's output contract: each

@@ -159,9 +159,10 @@ class StreamingSpec extends SparkSpec {
     assert(res.where(col("click_id").isNull).count() > 0,
       "some purchases have no qualifying click and must still emit")
     // matched rows agree with the inner-join formulation on the same data;
-    // the WithState variant must also report the run's peak state rows — the
-    // scaling harness's bounded-state evidence comes from this seam
-    val (inner, stateRows) = graft.streaming.EventsStream
+    // the WithState variant must also report the run's peak state rows and
+    // state memory — the scaling harness's bounded-state evidence comes from
+    // this seam
+    val (inner, stateRows, stateMem) = graft.streaming.EventsStream
       .runAvailableNowToFilesWithState(spark, sf0001,
         ev => graft.streaming.EventsStream.purchaseClickJoin(ev)
           .select(col("purchase_id"), col("p_ts"), col("click_id")),
@@ -171,5 +172,7 @@ class StreamingSpec extends SparkSpec {
     assert(inner.select("purchase_id", "click_id").collect().toSet == matchedOuter)
     assert(stateRows.exists(_ > 0),
       s"stream-stream join must report peak state rows, got $stateRows")
+    assert(stateMem.exists(_ > 0),
+      s"stream-stream join must report peak state memory, got $stateMem")
   }
 }
