@@ -22,6 +22,13 @@ import org.apache.spark.sql.SparkSession
   * shuffle_write_bytes,shuffle_read_bytes,shuffle_write_records,
   * output_rows},...}}`.
   *
+  * Caveat: `input_bytes` (task-level inputMetrics.bytesRead) is recorded for
+  * transparency but is NOT trustworthy under local[*] — measured at ~0.2% of
+  * a verified 10.8 MB parquet scan (the Hadoop FS-statistics callback
+  * under-reports on the local scheme). Row counts and shuffle volumes are
+  * accurate; tools/sizing_report.py therefore derives the compressed-input
+  * denominator from the lake files themselves, never from input_bytes.
+  *
   * Env: SPARK_GRAFT_SF_DIR (lake), SPARK_GRAFT_SIZING_OPS (comma list;
   * default = the heavy-operator set below), SPARK_GRAFT_SIZING_OUT.
   */

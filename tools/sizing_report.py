@@ -1,90 +1,171 @@
 #!/usr/bin/env python3
 """Turn graft.Sizing measurements into SIZING.md — the per-operator 100 TB
-capacity sheet. Input: one or two SIZING json lines (sf0.1 and, ideally, sf1);
-with two scales the report also shows whether the shuffle-per-input-byte ratio
-is STABLE across the decade, which is what justifies (or refutes) the linear
-extrapolation.
+capacity sheet.
 
-Usage: python3 tools/sizing_report.py SIZING_sf01.json [SIZING_sf1.json] [out.md]
+Measured inputs per op (task-metrics listener, deterministic per plan+data):
+scan row count, shuffle-write bytes/records. Task-level input BYTES are not
+used: Spark's per-task bytesRead is unreliable under local[*] (it reported
+~0.2% of a verified 10.8 MB scan), so the compressed-input denominator comes
+from the lake parquet files themselves (file size / rows of each op's dominant
+input table).
+
+Extrapolation model per op: grow the dominant input table to 100 TB compressed
+at its measured bytes/row, scale the measured shuffle volume by the same
+factor (linearity per family is measured separately — SCALING_r09), and size
+`spark.sql.shuffle.partitions` at a 200 MiB per-partition target. With two
+scales the stability column shows shuffle-bytes growth vs input-rows growth
+across the decade — near 1.0 means the per-row shuffle cost held and the
+linear extrapolation is evidence, not hope.
+
+Usage: sizing_report.py SMALL.json SMALL_LAKE [BIG.json BIG_LAKE] [out.md]
 """
-import json, sys
+import json, os, sys
 
-TARGET_TB = 100.0
-TARGET_BYTES = TARGET_TB * 1e12          # 100 TB of compressed input
+import pyarrow.parquet as pq
+
+TARGET_BYTES = 100e12                    # 100 TB compressed input
 PARTITION_TARGET = 200 * 1024 * 1024     # 200 MiB shuffle partition target
+
+# Dominant input table per op — the relation whose growth drives the op's
+# shuffle volume (joins' secondary sides are dims or same-table rescans).
+DOMINANT = {
+    "d01_dedup_exact": "documents", "d02_dedup_fingerprint": "documents",
+    "d03_minhash_pairs": "documents", "d04_simhash_pairs": "documents",
+    "d05_ngram_jaccard": "documents", "d06_embedding_neardup": "embeddings",
+    "d07_dedup_clusters": "documents", "d08_quality_survivors": "documents",
+    "d09_cross_decontam": "documents", "d10_dup_spans": "documents",
+    "t10_passage_dedup": "documents", "t13_weighted_sample": "documents",
+    "s02_ann_lsh": "embeddings", "s03_ann_ivf": "embeddings",
+    "c01_contamination": "documents",
+    "o04_interval_overlap": "orders", "o07_interval_pairs": "orders",
+    "x01_tfidf": "documents", "x02_kmeans_step": "embeddings",
+    "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
+}
+
+
+def table_stats(lake, table):
+    path = os.path.join(lake, f"{table}.parquet")
+    return os.path.getsize(path), pq.ParquetFile(path).metadata.num_rows
 
 
 def load(path):
     return json.load(open(path))
 
 
-small = load(sys.argv[1])
-big = load(sys.argv[2]) if len(sys.argv) > 2 and sys.argv[2].endswith(".json") \
-    else None
-out_path = sys.argv[3] if len(sys.argv) > 3 else (
-    sys.argv[2] if len(sys.argv) > 2 and sys.argv[2].endswith(".md") else
-    "SIZING.md")
+args = sys.argv[1:]
+small, small_lake = load(args[0]), args[1]
+big = big_lake = None
+rest = args[2:]
+if len(rest) >= 2 and rest[0].endswith(".json"):
+    big, big_lake = load(rest[0]), rest[1]
+    rest = rest[2:]
+out_path = rest[0] if rest else "SIZING.md"
 
-base = big if big else small
-lines = []
-lines.append("# SIZING — per-operator 100 TB capacity sheet")
-lines.append("")
-lines.append(
-    "Measured shuffle volume per operator (`graft.Sizing`: task-metrics "
-    "listener over one noop-sink run per query — volumes are deterministic "
-    "per plan + data, unlike wall times). `ratio` = shuffle-write bytes per "
-    "byte of compressed parquet scanned; the 100 TB columns extrapolate that "
-    "ratio to a 100 TB compressed input and size "
-    "`spark.sql.shuffle.partitions` at a 200 MiB per-partition target. "
-    f"Primary scale: `{base['sf']}`."
-    + (" Stability column: ratio at sf1 / ratio at sf0.1 — values near 1 "
-       "mean the shuffle fraction held across a decade of data and the "
-       "linear extrapolation is evidence, not hope." if big else ""))
-lines.append("")
-hdr = ("| op | input rows | input MB | shuffle MB | shuffle rows | ratio "
-       "| 100 TB shuffle | partitions @200MiB |")
-sep = "|---|---|---|---|---|---|---|---|"
-if big:
-    hdr += " ratio sf0.1 | stability |"
-    sep += "---|---|"
-lines.append(hdr)
-lines.append(sep)
+base, base_lake = (big, big_lake) if big else (small, small_lake)
+
+lines = [
+    "# SIZING — per-operator 100 TB capacity sheet",
+    "",
+    "Shuffle volume per heavy operator, measured (`graft.Sizing`: one "
+    "noop-sink run per query under a task-metrics listener — byte volumes "
+    "are deterministic per plan + data, unlike wall times), extrapolated to "
+    "a 100 TB compressed instance of each op's dominant input table at that "
+    "table's measured bytes/row. Linearity of the extrapolation is measured "
+    f"per family in SCALING_r09.json. Primary scale: `{base['sf']}`.",
+    "",
+    "| op | table | scan rows | shuffle MB | shuffle rows | B/row "
+    "| 100 TB shuffle | partitions @200MiB |"
+    + (" growth vs rows |" if big else ""),
+    "|---|---|---|---|---|---|---|---|" + ("---|" if big else ""),
+]
 
 for op, m in base["ops"].items():
-    ib, sb = m["input_bytes"], m["shuffle_write_bytes"]
-    ratio = sb / ib if ib else 0.0
-    shuffle_100tb = ratio * TARGET_BYTES
+    table = DOMINANT.get(op)
+    if table is None:
+        continue
+    tbytes, trows = table_stats(base_lake, table)
+    sb = m["shuffle_write_bytes"]
+    scale = TARGET_BYTES / tbytes
+    shuffle_100tb = sb * scale
     parts = max(1, int(shuffle_100tb / PARTITION_TARGET))
-    row = (f"| {op} | {m['input_rows']:,} | {ib/1e6:.1f} | {sb/1e6:.2f} "
-           f"| {m['shuffle_write_records']:,} | {ratio:.3f} "
-           f"| {shuffle_100tb/1e12:.1f} TB | {parts:,} |")
+    per_row = sb / max(1, m["input_rows"])
+    row = (f"| {op} | {table} | {m['input_rows']:,} | {sb/1e6:.2f} "
+           f"| {m['shuffle_write_records']:,} | {per_row:.1f} "
+           f"| {shuffle_100tb/1e12:.2f} TB | {parts:,} |")
     if big:
         sm = small["ops"].get(op)
-        if sm and sm["input_bytes"] and sm["shuffle_write_bytes"]:
-            r_small = sm["shuffle_write_bytes"] / sm["input_bytes"]
-            stab = ratio / r_small if r_small else float("inf")
-            row += f" {r_small:.3f} | {stab:.2f}x |"
+        if sm:
+            _, trows_s = table_stats(small_lake, table)
+            rows_growth = trows / max(1, trows_s)
+            sh_growth = sb / max(1, sm["shuffle_write_bytes"])
+            stab = sh_growth / rows_growth if rows_growth else float("inf")
+            row += f" {stab:.2f}x |"
         else:
-            row += " — | — |"
+            row += " — |"
     lines.append(row)
 
-lines.append("")
-lines.append("Reading the sheet:")
-lines.append(
-    "- `ratio` < 1: the operator moves less than it reads (hash-led dedup "
-    "keys, map-side combine, broadcast-pruned joins doing their job). "
-    "`ratio` > 1 flags amplification (exploded shingles/bands crossing an "
-    "exchange) — acceptable only when the amplified rows are narrow "
-    "(8-16 byte keys), which the `shuffle rows` column makes checkable.")
-lines.append(
-    "- Partition counts are per-STAGE totals at 100 TB input; a real cluster "
-    "sets `spark.sql.shuffle.partitions` near the max row and lets AQE "
-    "coalesce the smaller exchanges.")
-lines.append(
-    "- Ratios are measured on the engine's own plans at the stated scale; "
-    "operators whose small-scale plans broadcast (tiny dims) will shuffle "
-    "more at scales where the build side outgrows the broadcast threshold — "
-    "the stability column across sf0.1→sf1 is the guard for that.")
+# Per-op explanations for rows whose growth column is far from 1.0 — the
+# sheet must say WHY a ratio moved, or the number invites wrong conclusions.
+FLAG_NOTES = {
+    "d03_minhash_pairs":
+        "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
+        "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
+        "shuffles. The sf1 B/row is the scale-honest figure — band rows are "
+        "(band, hash, id) triples, ~15 B per input row.",
+    "d04_simhash_pairs":
+        "same broadcast-to-shuffle regime change as d03; sf1 B/row (~24) is "
+        "the honest basis.",
+    "d05_ngram_jaccard":
+        "candidate volume is sum(df^2) over shared shingles — it grows with "
+        "duplication DENSITY, not just corpus size. The sf1 lake plants ~10 "
+        "mutated copies per doc, so density rose with scale and shuffle "
+        "bytes grew ~79x at rows x10. At CONSTANT density (gram-disjoint "
+        "x10 fixture, SCALING_r09 d08a) pair-gen cost is ~linear. The "
+        "maxDocFreq stop-shingle prune is the cap on the worst case; budget "
+        "from the sf1 B/row only for corpora this duplicate-dense.",
+    "d07_dedup_clusters":
+        "inherits d05's density-driven candidate term (pair gen dominates "
+        "its volume); the CC rounds themselves shuffle 8-byte edges only "
+        "(SCALING_r09: x1.16 at x10 over pre-materialized pairs).",
+    "d08_quality_survivors":
+        "same decomposition as d07 — see SCALING_r09 d08a/d08b/d08c for the "
+        "per-stage growth.",
+    "c01_contamination":
+        "eval-side broadcast keeps corpus grams in place; growth ~7.8x "
+        "reflects hit-count rows (corpus-x-eval matches grow with density).",
+    "q02_agg_pricing":
+        "absolute volume is ~30 KB (partial-agg rows only) — the growth "
+        "figure is noise at the metric floor.",
+}
+
+flagged = [op for op in base["ops"] if op in FLAG_NOTES and op in DOMINANT]
+if flagged:
+    lines += ["", "Flagged rows:"]
+    lines += [f"- **{op}** — {FLAG_NOTES[op]}" for op in flagged]
+
+lines += [
+    "",
+    "Reading the sheet:",
+    "- `B/row` = shuffle-write bytes per scanned input row. Single-digit "
+    "values mean only hash-led keys cross the fabric (text/vector payloads "
+    "stay put); values near the table's own bytes/row mean one full "
+    "repartition of the payload — the honest floor for row-matched fetches; "
+    "larger values are explode amplification (shingle/band rows), acceptable "
+    "only because the amplified rows are narrow, which `shuffle rows` makes "
+    "checkable.",
+    "- `100 TB shuffle` scales the measured volume to a 100 TB compressed "
+    "dominant table. `partitions @200MiB` is what that volume needs at a "
+    "200 MiB per-reducer target; a real deployment sets "
+    "`spark.sql.shuffle.partitions` near the largest row it runs and lets "
+    "AQE coalesce the rest.",
+    "- `growth vs rows` (when two scales are measured): shuffle-bytes growth "
+    "divided by input-rows growth across the decade. ~1.0 = per-row shuffle "
+    "cost held, the linear extrapolation is evidence; >1 flags superlinear "
+    "candidate growth; <1 means dedup/combine collapses more at scale.",
+    "- Small-scale plans broadcast what a 100 TB plan must shuffle; ops whose "
+    "dims outgrow the broadcast threshold move toward the `ratio`-1-repartition "
+    "regime. The stability column across the measured decade is the guard.",
+]
 
 open(out_path, "w").write("\n".join(lines) + "\n")
-print(f"wrote {out_path} ({len(base['ops'])} ops)")
+print(f"wrote {out_path} ({sum(1 for op in base['ops'] if op in DOMINANT)} ops)")
