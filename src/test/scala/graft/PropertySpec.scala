@@ -300,6 +300,57 @@ class PropertySpec extends SparkSpec {
     assert(sawPairs, "fixture produced no pairs at any seed — property vacuous")
   }
 
+  test("prefix-filtered ngram jaccard == naive all-pairs (random corpora, " +
+       "boundary-prone thresholds)") {
+    // Prefix + length filtering must be LOSSLESS for the threshold: the
+    // operator's output on arbitrary corpora equals the naive all-pairs
+    // jaccard filter. Thresholds include 0.5 and 0.7 — values whose t·|s|
+    // products land exactly on integers (the float-ceil overshoot trap the
+    // 1e-9 slack exists for) — and duplicate-dense corpora so boundary
+    // overlaps actually occur.
+    import graft.operators.Dedup
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum",
+      "gold", "jade", "rust", "sage")
+    var sawPairs = false
+    for (seed <- 1 to 4; threshold <- Seq(0.4, 0.5, 0.7)) {
+      val rnd = new Random(1300 + seed)
+      val base = (0 until 20 + rnd.nextInt(20)).map { i =>
+        (i.toLong, List.fill(4 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      // mutated copies at several edit distances -> pairs across the whole
+      // jaccard range, including exactly-at-threshold overlaps
+      val dups = base.take(10).zipWithIndex.map { case ((id, text), j) =>
+        val w = text.split(" ").toBuffer
+        (0 to j % 3).foreach(_ => w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size)))
+        (id + 10000L, w.mkString(" "))
+      }
+      val df = (base ++ dups).toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 2,
+        threshold = threshold, maxDocFreq = 1000000)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // naive oracle: all-pairs exact jaccard over the same shingle sets
+      val tf = graft.functions.TextFunctions
+      val hf = graft.functions.HashExpressions
+      val sets = df.select(col("doc_id"),
+        hf.hashed_sorted_set(tf.wordShingles(col("text"), 2)).as("sh"))
+        .filter(size(col("sh")) > 0)
+      val want = sets.as("a").join(sets.as("b"),
+          col("a.doc_id") < col("b.doc_id"))
+        .withColumn("inter",
+          hf.sorted_intersect_count(col("a.sh"), col("b.sh")))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+        .filter(col("j") >= threshold)
+        .select(col("a.doc_id"), col("b.doc_id")).as[(Long, Long)]
+        .collect().toSet
+      assert(got == want,
+        s"seed=$seed t=$threshold missing=${want -- got} extra=${got -- want}")
+      sawPairs ||= want.nonEmpty
+    }
+    assert(sawPairs, "fixture produced no pairs at any seed — property vacuous")
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)

@@ -60,6 +60,41 @@ class ShuffleMetricsSpec extends SparkSpec {
       s"dedup shuffled $got B on a ${rawBytes} B corpus with 10 distinct docs")
   }
 
+  test("prefix filtering shrinks the ngram-jaccard candidate exchange vs " +
+       "full-posting candidates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{HashExpressions => H, TextFunctions => T}
+    // duplicate-dense corpus at a high threshold: prefix indexing keeps
+    // |s| - ceil(0.8|s|) + 1 ≈ 20% of postings, so the candidate self-join's
+    // exchange must shrink hard vs exploding the full sets
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rnd = new scala.util.Random(99)
+    val docs = (0 until 300).map { i =>
+      val base = List.fill(10)(words(rnd.nextInt(words.size)))
+      val w = base.toBuffer; w(rnd.nextInt(w.length)) = words(rnd.nextInt(words.size))
+      (i.toLong, w.mkString(" "))
+    }.toDF("doc_id", "text")
+    val threshold = 0.8
+    val shipped = shuffleWriteBytes(
+      graft.operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 2, threshold = threshold, maxDocFreq = 1000000))
+    // the pre-prefix formulation: every element of every set is a posting
+    val sets = docs.select(col("doc_id").as("id"),
+      H.hashed_sorted_set(T.wordShingles(col("text"), 2)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val full = sets.select(col("id"), explode(col("sh")).as("s"))
+    val naive = shuffleWriteBytes(
+      full.select(col("s"), col("id").as("id_a"))
+        .join(full.select(col("s"), col("id").as("id_b")), "s")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    assert(shipped > 0 && naive > 0)
+    assert(shipped * 2 < naive,
+      s"prefix-filtered pipeline shuffled $shipped B vs full-posting " +
+        s"candidates' $naive B — the lossless prefix isn't pruning")
+  }
+
   test("contamination sweep: corpus grams never cross an exchange to meet eval") {
     import org.apache.spark.sql.functions._
     val docs = graft.sources.Lake.table(spark, sf0001, "documents")
