@@ -116,13 +116,15 @@ FLAG_NOTES = {
         "same broadcast-to-shuffle regime change as d03; sf1 B/row (~24) is "
         "the honest basis.",
     "d05_ngram_jaccard":
-        "candidate volume is sum(df^2) over shared shingles — it grows with "
-        "duplication DENSITY, not just corpus size. The sf1 lake plants ~10 "
-        "mutated copies per doc, so density rose with scale and shuffle "
-        "bytes grew ~79x at rows x10. At CONSTANT density (gram-disjoint "
-        "x10 fixture, SCALING_r09 d08a) pair-gen cost is ~linear. The "
-        "maxDocFreq stop-shingle prune is the cap on the worst case; budget "
-        "from the sf1 B/row only for corpora this duplicate-dense.",
+        "candidate volume is sum(prefix-df^2) over shared shingles — it "
+        "grows with duplication DENSITY, not just corpus size (the sf1 lake "
+        "plants ~10 mutated copies per doc, so density rose WITH scale "
+        "here). At CONSTANT density (gram-disjoint x10 fixture, SCALING_r09 "
+        "d08a) pair-gen cost is ~linear. Two caps bound the worst case: "
+        "lossless prefix+length filtering (halved this exchange at t=0.4; "
+        "quadratically more at production thresholds) and the maxDocFreq "
+        "stop-shingle prune. Budget from the sf1 B/row only for corpora "
+        "this duplicate-dense.",
     "d07_dedup_clusters":
         "inherits d05's density-driven candidate term (pair gen dominates "
         "its volume); the CC rounds themselves shuffle 8-byte edges only "
