@@ -241,9 +241,14 @@ object Dedup {
     * list can grow corpus-proportional, past any broadcast budget). One
     * hash-partitioning pass of the corpus relation is the honest floor for a
     * row-matched fetch at unbounded candidate counts. Candidate generation
-    * requires one shared shingle, which any pair with jaccard > 0 has — so
-    * unlike [[ngramJaccardPairs]]'s stop-shingle prune, recall here is total
-    * by construction and an all-pairs oracle is exact at every scale.
+    * uses the same LOSSLESS prefix + length filtering as
+    * [[ngramJaccardPairs]] (see its scaladoc for the bound): unlike that
+    * operator's stop-shingle prune there is no recall-narrowing knob here, so
+    * recall at the threshold stays total by construction and an all-pairs
+    * oracle is exact at every scale — prefix filtering just keeps the
+    * candidate-pair `distinct` (the one exchange that grows with
+    * contamination density) and the broadcast posting map quadratically
+    * smaller than full-posting indexing would.
     * Output: `(id, n_eval_matches, max_jaccard)` per contaminated corpus doc;
     * anti-join it against the corpus to ship the clean remainder. */
   def crossJaccardFlags(corpus: DataFrame, evalDf: DataFrame, idCol: String,
@@ -255,9 +260,20 @@ object Dedup {
       .filter(size(col(shAs)) > 0)
     val c = shingled(corpus, "id", "sh_c")
     val e = shingled(evalDf, "eval_id", "sh_e")
-    val candidates = c.select(col("id"), explode(col("sh_c")).as("sh"))
-      .join(broadcast(e.select(col("eval_id"), explode(col("sh_e")).as("sh"))), "sh")
-      .where(col("id") =!= col("eval_id"))
+    // lossless prefix per side (epsilon slack per ngramJaccardPairs) + the
+    // jaccard-vs-size length filter on the joined pair
+    def prefixed(df: DataFrame, idAs: String, shCol: String, nAs: String) = {
+      val sz = size(col(shCol))
+      df.select(col(idAs), sz.as(nAs),
+        explode(slice(col(shCol), lit(1),
+          (sz - ceil(lit(threshold) * sz - lit(1e-9)) + lit(1)).cast("int")))
+          .as("sh"))
+    }
+    val candidates = prefixed(c, "id", "sh_c", "n_c")
+      .join(broadcast(prefixed(e, "eval_id", "sh_e", "n_e")), "sh")
+      .where(col("id") =!= col("eval_id") &&
+        lit(threshold) * col("n_c") - lit(1e-9) <= col("n_e") &&
+        lit(threshold) * col("n_e") - lit(1e-9) <= col("n_c"))
       .select("id", "eval_id").distinct()
     // Fetching shingle sets for candidates: candidate count scales with how
     // much of the corpus shares grams with the eval set — common trigrams can

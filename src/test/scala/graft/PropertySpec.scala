@@ -351,6 +351,47 @@ class PropertySpec extends SparkSpec {
     assert(sawPairs, "fixture produced no pairs at any seed — property vacuous")
   }
 
+  test("prefix-filtered cross-corpus decontam == naive cross join " +
+       "(random corpora, boundary-prone thresholds)") {
+    // crossJaccardFlags claims TOTAL recall at the threshold (its scaladoc's
+    // exact-oracle contract); the prefix + length filters must not dent that
+    // on arbitrary corpus/eval splits.
+    import graft.operators.Dedup
+    val vocab = Vector("one", "two", "three", "four", "five", "six", "seven")
+    var sawFlags = false
+    for (seed <- 1 to 3; threshold <- Seq(0.4, 0.5, 0.7)) {
+      val rnd = new Random(1700 + seed)
+      val mk = (n: Int, off: Long) => (0 until n).map { i =>
+        (off + i, List.fill(4 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }
+      val corpus = (mk(25, 0L) ++ mk(8, 5000L).map { case (id, t) =>
+        (id, t + " " + vocab(rnd.nextInt(vocab.size))) }).toDF("doc_id", "text")
+      val evalDf = mk(10, 9000L).toDF("doc_id", "text")
+        .union(corpus.limit(4))    // planted contamination incl. exact copies
+      val got = Dedup.crossJaccardFlags(corpus, evalDf, "doc_id", "text",
+        shingleN = 2, threshold = threshold)
+        .select("id", "n_eval_matches").as[(Long, Long)].collect().toMap
+      val tf = graft.functions.TextFunctions
+      val hf = graft.functions.HashExpressions
+      def sets(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("doc_id").as(as),
+          hf.hashed_sorted_set(tf.wordShingles(col("text"), 2)).as(s"sh_$as"))
+          .filter(size(col(s"sh_$as")) > 0)
+      val want = sets(corpus, "c").crossJoin(sets(evalDf, "e"))
+        .where(col("c") =!= col("e"))
+        .withColumn("inter", hf.sorted_intersect_count(col("sh_c"), col("sh_e")))
+        .withColumn("j", col("inter").cast("double") /
+          (size(col("sh_c")) + size(col("sh_e")) - col("inter")))
+        .filter(col("j") >= threshold)
+        .groupBy(col("c")).agg(count(lit(1)))
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"seed=$seed t=$threshold got=$got want=$want")
+      sawFlags ||= want.nonEmpty
+    }
+    assert(sawFlags, "fixture planted no contamination — property vacuous")
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)
