@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   *    shape). This is the correctness baseline.
   *  - [[lshTopK]] — sign-LSH (random hyperplane) bucketing, multi-table for
   *    recall: corpus and queries hash to buckets, candidates meet in a bucket
-  *    equi-join, exact cosine re-ranks. At 100 TB the bucket join shuffles only
-  *    (table, bucket, id, vec) and touches ~|corpus|/2^planes per bucket instead
-  *    of the whole corpus per query — the IVF-style scale path.
+  *    equi-join (queries broadcast, corpus in place), exact cosine scores in
+  *    the scan pipeline, and the only exchange is the multi-table dedup on
+  *    (query_id, neighbor_id, cosine) — 24 B/row, no vector ever shuffles. At
+  *    100 TB each query touches ~|corpus|/2^planes per bucket instead of the
+  *    whole corpus — the IVF-style scale path.
   */
 object Similarity {
 
@@ -140,17 +142,25 @@ object Similarity {
         .select(col("query_id"), col("qv"), explode(col("_tb")).as("tb"))
         .select(col("query_id"), col("qv"),
           col("tb.table").as("table"), col("tb.bucket").as("bucket"))
-    val candidates = banded(c, "cv")
-      .join(broadcast(qSide), Seq("table", "bucket"))
-      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
-      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
-      .groupBy(col("query_id"), col("neighbor_id"))
-      .agg(first(col("qv")).as("qv"), first(col("cv")).as("cv"))
-
+    // Score BEFORE the multi-table dedup: the cosine is computed per bucket
+    // hit inside the (map-side, broadcast-joined) pipeline, so the dedup
+    // exchange carries (query_id, neighbor_id, cosine) — 24 B/row — instead
+    // of both 256 B vectors per hit as a first(qv)/first(cv) aggregate would
+    // (measured 43 MB → the vectors were ~90% of this operator's total
+    // shuffle at sf1). Duplicate hits of one pair across tables compute
+    // byte-identical cosines (same inputs, same compiled dot), so max() is
+    // exact dedup; re-dotting a pair per extra table it collides in trades
+    // cheap codegen'd FLOPs for the only exchange that scales with
+    // tables × candidates. No vector ever crosses a shuffle in this operator.
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    candidates
-      .select(col("query_id"), col("neighbor_id"), V.dot(col("qv"), col("cv")).as("cosine"))
+    banded(c, "cv")
+      .join(broadcast(qSide), Seq("table", "bucket"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"),
+        V.dot(col("qv"), col("cv")).as("cosine"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
