@@ -366,6 +366,16 @@ object Scaling {
         "stay ~linear in docs (<= ~120x), true pairs ~100x",
       scaleLabel = "x100")
 
+    record("d10_dup_spans_x100",
+      () => Dedup.dupSpanCoverage(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text", k = 8),
+      () => Dedup.dupSpanCoverage(docs100, "doc_id", "text", k = 8),
+      "x100 docs on the same two-level-rotation fixture (copies mostly " +
+        "gram-disjoint, per-copy dup structure preserved): the hash-led " +
+        "(id, pos, gram-hash) shuffle must stay ~linear one decade past the " +
+        "x10 row",
+      scaleLabel = "x100")
+
     // Hub-skewed CC at x100: one massive-degree hub PLUS fixed-length chains,
     // both scaled x100 with structure constant. The hub vertex is the skew
     // stress (one groupBy key holding the whole spoke set); chains keep the
