@@ -946,6 +946,26 @@ object SparkEntry {
         .select(col("doc_id") +:
           graft.functions.TextRepetition.fieldNames.map(f => col(s"r.$f")): _*)),
 
+    // SemDeDup (Abbas et al. 2023): nearest-centroid clustering, near-dup
+    // pairs searched within clusters only, lowest-id survivor. Components are
+    // quantized to integers up front, so every comparison downstream —
+    // squared-L2 argmin, cosine ≥ eps, survivor rule — is bit-identical on
+    // any engine (see operators.SemDedup scaladoc); the oracle recomputes the
+    // whole pass exactly, no approx gate needed at any scale.
+    "d11_semdedup" -> ((s, dir) =>
+      graft.operators.SemDedup.semDedup(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, eps = 0.45)
+        .select(col("id").as("vec_id"), col("cluster"), col("kept"))),
+
+    // bigram-LM quality scoring (CCNet's KenLM-perplexity filtering step):
+    // the model is trained on the corpus in the same pass that scores it;
+    // per-distinct-bigram log-probs quantized at 1e-9, per-doc mean summed as
+    // exact decimals — see operators.Quality.lmScore.
+    "t15_lm_perplexity" -> ((s, dir) =>
+      graft.operators.Quality.lmScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
     // Gopher-style quality-rule battery: every stat is an exact integer ratio,
     // so flags AND the keep verdict reproduce bit-for-bit in the oracle.
     "t06_quality_filter" -> ((s, dir) =>
@@ -2093,6 +2113,67 @@ object SparkEntry {
     // char-once coverage union. O(m^2) list lambdas are fine at oracle scale;
     // the Spark side is the O(m) hash-map pass.
     "t14_ngram_repetition" -> t14OracleSql,
+    // Exact mirror of operators.SemDedup: same 1e6 quantization, same
+    // squared-L2 argmin (ties to lowest seed index), same cosine built from
+    // IEEE-basic ops on exact-integer inputs — bit-identical by construction,
+    // so this oracle holds EXACTLY at every scale (no approx gate).
+    "d11_semdedup" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> round(CAST(x AS DOUBLE) * 1000000.0)) AS qv
+        |  FROM embeddings),
+        |qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS n2 FROM q),
+        |seeds AS (
+        |  SELECT qv AS sv, n2 AS sn2,
+        |    row_number() OVER (ORDER BY vec_id) - 1 AS seed_idx
+        |  FROM (SELECT vec_id, qv, n2 FROM qn ORDER BY vec_id LIMIT 16)),
+        |assigned AS (
+        |  SELECT vec_id, qv, n2, cluster FROM (
+        |    SELECT e.vec_id, e.qv, e.n2, s.seed_idx AS cluster,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY e.n2 + s.sn2 - 2.0 * list_dot_product(e.qv, s.sv),
+        |                 s.seed_idx) AS rn
+        |    FROM qn e CROSS JOIN seeds s) WHERE rn = 1),
+        |removed AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  WHERE a.n2 > 0 AND b.n2 > 0
+        |    AND list_dot_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
+        |SELECT a.vec_id, a.cluster, r.vec_id IS NULL AS kept
+        |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin,
+    // same tokenization as t02/x01 (space-split, empties dropped); the model
+    // log-prob is quantized at 1e-9 per DISTINCT bigram and the per-doc mean
+    // sums exact decimals, so engine ln() disagreement is confined to
+    // vocabulary²-many rounding calls, independent of corpus size.
+    "t15_lm_perplexity" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |    FROM documents)
+        |  WHERE len(ws) >= 2),
+        |bigrams AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM docs2)),
+        |big AS (SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY 1, 2),
+        |uni AS (SELECT w1, count(*) AS c1 FROM bigrams GROUP BY 1),
+        |v AS (SELECT count(DISTINCT w) AS v
+        |      FROM (SELECT unnest(ws) AS w FROM docs2)),
+        |model AS (
+        |  SELECT w1, w2,
+        |    round(ln((c12 + 1.0) / CAST(c1 + v AS DOUBLE)), 9) AS lp
+        |  FROM big JOIN uni USING (w1) CROSS JOIN v),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(CAST(sum(CAST(lp AS DECIMAL(20,9))) AS DOUBLE) / count(*), 6)
+        |      AS avg_logprob
+        |  FROM bigrams JOIN model USING (w1, w2) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 3) AS ppl
+        |FROM scored""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
     "t06_quality_filter" ->

@@ -52,4 +52,57 @@ object Quality {
   /** The filter: documents passing every rule. */
   def filterDocs(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame =
     flags(df, textCol, rules).where(col("keep")).drop("keep")
+
+  /** Statistical-LM quality scoring — the CCNet filtering step (Wenzek et al.
+    * 2020, §4.3: a KenLM 5-gram model's perplexity buckets documents into
+    * head/middle/tail): here a bigram model with add-one smoothing, trained on
+    * the corpus itself in the same pass that scores it. Per document:
+    * `avg_logprob = mean over its bigrams of ln((C(w1,w2)+1) / (C(w1)+V))`
+    * and `ppl = exp(-avg_logprob)` — low perplexity = the doc looks like the
+    * corpus, high = outlier (the tail CCNet trims or down-samples).
+    *
+    * Scale shape: the model IS an aggregation — `C(w1,w2)` and `C(w1)` are
+    * partial-aggregated counts whose exchanges are vocabulary-bounded, not
+    * corpus-bounded, and `V` rides along as a 1-row broadcast. Scoring joins
+    * each doc's bigrams back to the model (vocabulary²-bounded relation —
+    * AQE broadcasts it while it fits, hash-partitions both sides when a real
+    * corpus's model outgrows that), and the per-doc reduce carries
+    * `(id, decimal)` only. No vector, no text payload crosses any exchange
+    * after the bigram explode.
+    *
+    * Determinism (the [[Clustering.kmeansStep]] exact-decimal pattern): each
+    * DISTINCT bigram's log-probability is rounded once at 9 decimals — a
+    * per-model-row quantization, so any last-ulp `ln` disagreement between
+    * engines is confined to vocabulary²-many values, independent of corpus
+    * size — then the per-doc mean sums those as exact decimals
+    * (order-independent) and rounds at 6. `ppl` re-exponentiates the already-
+    * rounded mean and rounds at 3, so it inherits the same stability.
+    *
+    * Output: `(id, n_bigrams, avg_logprob, ppl)`, docs with ≥ 2 tokens. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("ws"))
+      .where(size(col("ws")) >= 2)
+    val bigrams = toks.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigramCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val headCounts = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = toks.select(explode(col("ws")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = bigramCounts.join(headCounts, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + lit(1)).cast("double") /
+          (col("c1") + col("v")).cast("double")), 9).as("lp"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp").cast("decimal(20,9)")).as("_lpsum"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        round(col("_lpsum").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 3))
+  }
 }

@@ -234,4 +234,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("d11: pair join keys on cluster; at scale the vectors shuffle ONCE (reused)") {
+    // toy scale: AQE broadcasts the small pair side — fine, but no exchange
+    // to reuse; just pin the join key and no-cartesian
+    val p = plan("d11_semdedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [cluster"), s"pair join must key on cluster:\n$p")
+    // scale regime (broadcast off): both self-join sides must read the SAME
+    // cluster-keyed exchange — the quantized vectors cross the fabric once
+    // (AQE decides exchange reuse at runtime; disable it to see the static
+    // ReuseExchange rule — the property itself holds in both modes)
+    val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val ps = plan("d11_semdedup")
+      assert(ps.contains("ReusedExchange"), s"vector exchange must be reused:\n$ps")
+      val real = ps.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(cluster") && !l.contains("ReusedExchange"))
+      assert(real == 1, s"expected exactly one real cluster-keyed exchange:\n$ps")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
+
+  test("t15: LM model join stays off the text — only tokens/ids cross exchanges") {
+    val p = plan("t15_lm_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    // the vocab scalar arrives by broadcast (one row), never via a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    // no exchange is keyed by the raw document text
+    assert(!p.contains("hashpartitioning(text"), s"text must never key an exchange:\n$p")
+  }
 }

@@ -28,6 +28,39 @@ class TrainingOpsSpec extends SparkSpec {
       "symbol_ratio", "stopword_ratio", "dup_bigram_frac", "keep"))
   }
 
+  test("bigram-LM score matches a hand-computed add-one model; short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b"),       // (a,b)
+      (3L, "c"),         // single token → no bigram → excluded
+      (4L, "b  a")       // double space: empty token filtered → (b,a)
+    ).toDF("doc_id", "text")
+    val got = Quality.lmScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // model: C(a,b)=3 C(b,a)=2; heads C(a)=3 C(b)=2; V={a,b}=2
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val lpAB = r9(math.log(4.0 / 5.0))
+    val lpBA = r9(math.log(3.0 / 4.0))
+    def doc(lps: Seq[Double]) = {
+      val avg = r(lps.sum / lps.length, 6)
+      (lps.length.toLong, avg, r(math.exp(-avg), 3))
+    }
+    assert(got == Map(
+      1L -> doc(Seq(lpAB, lpBA, lpAB)),
+      2L -> doc(Seq(lpAB)),
+      4L -> doc(Seq(lpBA))), s"got $got")
+  }
+
+  test("LM score: in-corpus text scores lower perplexity than outlier text") {
+    val docs = (1L to 20L).map(i => (i, "the cat sat on the mat")) :+
+      (99L, "zq xv qpj wkd zzz yyy")
+    val scored = Quality.lmScore(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap
+    assert(scored(1L) < scored(99L),
+      s"corpus-like doc must score below the outlier: $scored")
+  }
+
   test("stratified sample takes exactly ceil(f*n) per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
     val s1 = Sampling.stratifiedExact(df, "g", "id", 0.3)
