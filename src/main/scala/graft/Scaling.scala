@@ -208,6 +208,61 @@ object Scaling {
         "structure preserved, cross-copy grams mostly disjoint -> true pairs " +
         "~10x; signature + band shuffle must scale ~linearly in docs")
 
+    // ---- d06: embedding near-dup on 10x sign-decorrelated vector copies ----
+    // Copy i multiplies every component by a fixed ±1 pattern: within a copy
+    // BOTH pair members flip identically, so their dot (and the near-dup
+    // verdict) is preserved exactly — dup structure x10 — while cross-copy
+    // dots cancel term-wise under the differing sign patterns (component
+    // ROTATION does not do this: the label-structured vectors stay correlated
+    // under rotation — measured rows_ratio 72 at x10 before switching).
+    val emb = tbl("embeddings").select(col("vec_id"), col("embedding"))
+    def signPattern(i: Int): Seq[Float] = {
+      val rnd = new scala.util.Random(i * 7919L + 13L)
+      Seq.fill(64)(if (i == 0 || rnd.nextBoolean()) 1f else -1f)
+    }
+    def emb10: DataFrame =
+      (0 until 10).map(i => emb
+        .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+        .withColumn("embedding",
+          zip_with(col("embedding"), typedLit(signPattern(i)), (x, s) => x * s)))
+        .reduce(_ unionAll _)
+
+    record("d06_embedding_neardup",
+      () => Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64,
+        threshold = 0.45, planesPerTable = 0, tables = 24, probes = 2),
+      () => Dedup.embeddingNearDupPairs(emb10, "vec_id", "embedding", dim = 64,
+        threshold = 0.45, planesPerTable = 0, tables = 24, probes = 2),
+      "10x sign-decorrelated vector copies: within-copy dots (and dup " +
+        "verdicts) preserved exactly; cross-copy residual correlation still " +
+        "lands ~1.3k genuinely-above-threshold pairs (0.45 is only ~2-3 sigma " +
+        "for decorrelated dim-64 directions — a data property; every output " +
+        "pair is exact-above-threshold by construction). The pinned claim: " +
+        "auto-sized planes (4 -> 6) hold bucket occupancy, so WALL must " +
+        "track the corpus (~10x), never the ~100x pair density")
+
+    // d11: K scales WITH the corpus (the operator's documented contract —
+    // hold per-cluster occupancy), so the dominant within-cluster pair stage
+    // stays ~linear; assignment cost n·K is the subdominant trade (until K
+    // itself needs an ANN assignment, outside this fixture's regime).
+    record("d11_semdedup",
+      () => graft.operators.SemDedup.semDedup(
+        emb, "vec_id", "embedding", k = 16, eps = 0.45),
+      () => graft.operators.SemDedup.semDedup(
+        emb10, "vec_id", "embedding", k = 160, eps = 0.45),
+      "10x sign-decorrelated vector copies at K scaled 16 -> 160 (the " +
+        "documented K-with-corpus contract holds per-cluster occupancy): the " +
+        "within-cluster pair stage — the dominant term — must stay ~linear, " +
+        "so wall tracks rows (~10x); output is one row per input by contract")
+
+    record("t15_lm_perplexity",
+      () => graft.operators.Quality.lmScore(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text"),
+      () => graft.operators.Quality.lmScore(
+        docs10.select(col("doc_id"), col("text")), "doc_id", "text"),
+      "10x vowel-rotated docs: the bigram model exchange is vocabulary^2-" +
+        "bounded (rotation grows vocab ~5x but the model stays tiny either " +
+        "way); scoring joins + the per-doc reduce must track docs ~linearly")
+
     record("t14_ngram_repetition",
       () => docs.select(col("doc_id"),
         graft.functions.TextRepetition.ngramRepetition(col("text")).as("r")),
