@@ -254,6 +254,62 @@ object Scaling {
         "within-cluster pair stage — the dominant term — must stay ~linear, " +
         "so wall tracks rows (~10x); output is one row per input by contract")
 
+    // ---- d11 hot-cluster skew decomposition (the r9 verdict's one scale
+    // risk): a fixture where ~ALL rows land in ONE cluster — the realistic
+    // dedup shape, since near-dup mass concentrates by construction. Ids
+    // 0..15 are orthogonal axis outliers (the fixed-K seeds); every other row
+    // is e0 + 0.01 deterministic noise, so at k = 16 the whole dense mass
+    // assigns to cluster 0. Three measured rows separate the three claims:
+    //  1. fixed K = 16 at x10 docs -> wall MUST track ~ sum(size^2) (~x100):
+    //     the semantic quadratic of SemDeDup at constant K, measured, not
+    //     asserted — this is the failure mode the K-contract exists to stop.
+    //  2. k = 0 (auto K = ceil sqrt n) on the SAME fixture -> seeds drawn
+    //     from the dense region subdivide the hot cluster (~sqrt(n) cells of
+    //     ~sqrt(n) rows), so wall must collapse to ~linear — the enforced
+    //     mitigation doing its job on the adversarial shape.
+    //  3. salted vs maxBlocks = 1 at the SAME data (rows_ratio 1.0) -> the
+    //     within-cluster pair work of one hot cluster spreads over
+    //     ceil(size/4096) tasks instead of one straggler partition; the
+    //     wall_ratio IS the straggler cost the salting removes.
+    def hotVecs(n: Long): DataFrame = mat(s"d11hot-$n") {
+      spark.range(n).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), j =>
+          when(col("id") < 16L,
+            when(j === (col("id") * 4).cast("int"), 1.0).otherwise(0.0))
+          .otherwise(
+            when(j === 0, 1.0).otherwise(0.0) +
+              sin(col("id") * 64 + j) * 0.01)).as("embedding"))
+    }
+    record("d11_hot_fixedK",
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(2000L), "vec_id", "embedding", k = 16, eps = 0.45),
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(20000L), "vec_id", "embedding", k = 16, eps = 0.45),
+      "one hot cluster holding ~all rows at FIXED K = 16, x10 docs: the " +
+        "within-cluster pair count grows x100, and wall must SHOW that — " +
+        "the measured semantic quadratic of constant-K SemDeDup on a skewed " +
+        "corpus (the salted blocks keep it parallel, not sub-quadratic)")
+    record("d11_hot_autoK",
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(2000L), "vec_id", "embedding", k = 0, eps = 0.45),
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(20000L), "vec_id", "embedding", k = 0, eps = 0.45),
+      "SAME hot fixture under the enforced k = 0 contract (K = ceil sqrt n, " +
+        "45 -> 142): seeds drawn from the dense region subdivide the hot " +
+        "cluster into ~sqrt(n) cells, so wall must collapse back to " +
+        "~linear in docs — the documented K-rule closing the quadratic")
+    record("d11_hot_salting",
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(20000L), "vec_id", "embedding", k = 16, eps = 0.45),
+      () => graft.operators.SemDedup.semDedup(
+        hotVecs(20000L), "vec_id", "embedding", k = 16, eps = 0.45,
+        targetBlockRows = 4096, maxBlocks = 1),
+      "IDENTICAL data (rows_ratio 1.0), salted blocks vs maxBlocks = 1 (the " +
+        "pre-r10 single-partition plan): the hot cluster's pair work runs " +
+        "in ceil(20000/4096) = 5 tasks vs one straggler — wall_ratio is the " +
+        "measured cost of NOT salting, output bit-identical by property test",
+      scaleLabel = "unsalted")
+
     record("t15_lm_perplexity",
       () => graft.operators.Quality.lmScore(
         docs.select(col("doc_id"), col("text")), "doc_id", "text"),
@@ -429,6 +485,17 @@ object Scaling {
         "gram-disjoint, per-copy dup structure preserved): the hash-led " +
         "(id, pos, gram-hash) shuffle must stay ~linear one decade past the " +
         "x10 row",
+      scaleLabel = "x100")
+
+    record("t15_lm_perplexity_x100",
+      () => graft.operators.Quality.lmScore(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text"),
+      () => graft.operators.Quality.lmScore(docs100, "doc_id", "text"),
+      "x100 docs (10 vowel x 10 consonant rotations): pins the model-join " +
+        "family one decade deeper — the bigram-model exchange grows with " +
+        "VOCABULARY (Heaps-law, ~sublinear; the 100 rotations multiply vocab " +
+        "far below x100), while scoring + per-doc reduce track docs, so wall " +
+        "must stay ~linear in docs and never vocab^2",
       scaleLabel = "x100")
 
     // Hub-skewed CC at x100: one massive-degree hub PLUS fixed-length chains,

@@ -43,7 +43,21 @@ object Sizing {
     "d10_dup_spans", "t10_passage_dedup", "t13_weighted_sample",
     "s02_ann_lsh", "s03_ann_ivf", "c01_contamination",
     "o04_interval_overlap", "o07_interval_pairs",
-    "x01_tfidf", "x02_kmeans_step", "q02_agg_pricing", "q03_join_agg")
+    "x01_tfidf", "x02_kmeans_step", "q02_agg_pricing", "q03_join_agg",
+    "d11_semdedup", "t15_lm_perplexity", "d05_ngram_jaccard_t08")
+
+  /** Measurement-only variants that are NOT part of the oracle-gated suite:
+    * d05 at a production threshold (t = 0.8) — the prefix filter's lossless
+    * prefix shrinks from |s|−ceil(0.4|s|)+1 to |s|−ceil(0.8|s|)+1, so its
+    * scaladoc claim ("quadratically more exchange saved at real-world
+    * thresholds") becomes a measured number next to the shipped t = 0.4 row. */
+  val extraOps: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "d05_ngram_jaccard_t08" -> ((s: SparkSession, dir: String) =>
+      graft.operators.Dedup.ngramJaccardPairs(
+        graft.sources.Lake.table(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")),
+        "doc_id", "text", shingleN = 3, threshold = 0.8)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -81,7 +95,7 @@ object Sizing {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (op <- ops) {
-      SparkEntry.queries.get(op) match {
+      SparkEntry.queries.get(op).orElse(extraOps.get(op)) match {
         case None => System.err.println(s"[sizing] SKIP unknown op $op")
         case Some(fn) =>
           inBytes = 0; inRecords = 0; swBytes = 0; swRecords = 0; srBytes = 0
@@ -91,10 +105,15 @@ object Sizing {
               org.apache.spark.sql.functions.lit(1)).as("n"))
             .write.format("noop").mode("overwrite").save()
           val outRows = obs.get("n").asInstanceOf[Long]
-          // poll the async listener bus to stability
+          // poll the async listener bus to stability — on the sum of ALL five
+          // accumulators: under local[*] bytesRead under-reports to ~0, so a
+          // trailing task-end that moves only records/read-bytes must still
+          // extend the stability window or its event is silently dropped
           var last = -1L; var spins = 0
-          while (swBytes + inBytes != last && spins < 50) {
-            last = swBytes + inBytes; Thread.sleep(100); spins += 1
+          while (inBytes + inRecords + swBytes + swRecords + srBytes != last
+                 && spins < 50) {
+            last = inBytes + inRecords + swBytes + swRecords + srBytes
+            Thread.sleep(100); spins += 1
           }
           results(op) =
             s"""{"input_rows":$inRecords,"input_bytes":$inBytes,""" +

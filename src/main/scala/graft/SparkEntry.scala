@@ -786,16 +786,18 @@ object SparkEntry {
     // while a 10x corpus gets 8 planes and keeps candidate generation ~linear
     // (fixed 16-bucket tables measured x178 at data x10; see Dedup scaladoc
     // for the recall-vs-cost trade that buys).
-    // probes = 2 ships the measured multi-probe recall trade (r8 sf1 curve:
+    // probes = -1 ships the SCALE-CONDITIONAL auto-probe (Dedup scaladoc): 0
+    // at the 4-plane floor — sf0.01/sf0.1, where candidates are measured
+    // total and the r9-shipped fixed probes=2 paid 2.6x bench wall for
+    // nothing — and 2 above it, the measured sf1 multi-probe trade (recall
     // 0.9425 at probes=0 → 0.986 at probes=2 for ~3x ONE side's candidate
-    // generation): at sf0.01/sf0.1 candidates are already total (probes only
-    // WIDEN the candidate set; the exact-cosine verify is unchanged, so those
-    // rows stay exact), while the sf1 campaign pins recall ≥ 0.98 as a floor
-    // (tools/compare_oracle.py APPROX_RECALL) so a future banding/plane change
-    // can't silently regress it.
+    // generation). Probes only WIDEN the candidate set (exact-cosine verify
+    // unchanged), so sf0.01/sf0.1 rows stay exact, while the sf1 campaign
+    // pins recall ≥ 0.98 as a floor (tools/compare_oracle.py APPROX_RECALL)
+    // so a future banding/plane/auto-rule change can't silently regress it.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        dim = 64, threshold = 0.45, planesPerTable = 0, tables = 24, probes = 2)
+        dim = 64, threshold = 0.45, planesPerTable = 0, tables = 24, probes = -1)
         .select(col("id_a"), col("id_b"))),
 
     // near-dup CLUSTERS: pair list → connected components → canonical min-id

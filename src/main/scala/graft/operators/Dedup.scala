@@ -172,9 +172,18 @@ object Dedup {
     *
     * Candidate cost is Σ prefix-posting-list²; stop-shingle pruning
     * (`maxDocFreq`) still caps the quadratic term. Only the `maxDocFreq`
-    * prune narrows recall (a pair sharing nothing but stop-shingles can be
-    * missed — documented approximation); prefix + length filtering are exact,
-    * and every reported jaccard is computed on the complete sets. */
+    * prune narrows recall, and — because document frequency is computed over
+    * PREFIX postings and only prefix elements are indexed — its miss
+    * condition is: a true pair is missed iff EVERY shingle the two PREFIXES
+    * share has prefix-df > maxDocFreq. That is strictly broader than the
+    * pre-prefix-filter rule ("shares nothing but stop-shingles overall"): a
+    * pair sharing a rare shingle that falls OUTSIDE both prefixes is missed
+    * when its in-prefix shared shingles are all pruned. (Prefix filtering
+    * alone guarantees a shared element inside both prefixes for any
+    * qualifying pair, so with the prune disabled recall is total.)
+    * PropertySpec pins this composed miss model against a naive oracle at
+    * small maxDocFreq. Prefix + length filtering are exact, and every
+    * reported jaccard is computed on the complete sets. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.5,
                         maxDocFreq: Long = 1000): DataFrame = {
@@ -321,7 +330,17 @@ object Dedup {
     * measured, not derived). Cost is `x(1+min(probes, planes))` on one side's
     * candidate generation vs `x2` per doubling of `tables` for comparable
     * recall; output exactness is UNAFFECTED either way (candidates only
-    * widen; the exact-cosine verify filters identically). */
+    * widen; the exact-cosine verify filters identically).
+    *
+    * `probes < 0` selects SCALE-CONDITIONAL auto-probing, tied to the plane
+    * count the corpus auto-sized to: 0 when `planesPerTable` resolves to the
+    * 4-plane floor (the configs where candidate generation is MEASURED total
+    * — sf0.01/sf0.1 recall 14/14 and 191/191 — so probe expansion buys
+    * nothing and costs ~3x one side's candidates), else 2 (the measured sf1
+    * trade at 8 auto-planes: recall 0.9425 at probes=0 → 0.986 at probes=2,
+    * above the campaign's pinned 0.98 floor). The rule keys on planes, not a
+    * row-count threshold, because per-table recall decays as p^planes — the
+    * plane count IS the quantity probing compensates. */
   def embeddingNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                             dim: Int, threshold: Double = 0.95,
                             planesPerTable: Int = 12, tables: Int = 4,
@@ -332,6 +351,9 @@ object Dedup {
       if (planesPerTable > 0) planesPerTable
       else autoPlanes(df.count(), targetBucketSize)
     require(ppt * tables <= 960, s"plane budget too large: $ppt x $tables")
+    // auto-probe (probes < 0): see scaladoc — 0 at the 4-plane floor where
+    // candidates are measured total, 2 above it (the pinned sf1 recall trade)
+    val effProbes = if (probes >= 0) probes else autoProbes(ppt)
     val vecs = df.select(col(idCol).as("id"), V.l2normalize(col(vecCol)).as("v"))
     // all tables' hyperplanes in one literal matrix → all buckets in one pass
     val planes2d = (0 until tables).toArray
@@ -363,12 +385,12 @@ object Dedup {
     // (0.974/0.986/0.991/0.995 at probes=1..4, sf1) are specific to the
     // fixture's id ordering as well as its vectors.
     val b =
-      if (probes <= 0)
+      if (effProbes <= 0)
         banded.select(col("table"), col("bucket"), col("id").as("id_b"))
       else vecs
         .withColumn("_tb",
           V.letBind(V.planeDots(col("v"), planes2d))(dots =>
-            V.probeBucketsFromDots(dots, ppt, tables, probes)))
+            V.probeBucketsFromDots(dots, ppt, tables, effProbes)))
         .select(col("id").as("id_b"), explode(col("_tb")).as("tb"))
         .select(col("tb.table").as("table"), col("tb.bucket").as("bucket"),
           col("id_b"))
@@ -383,6 +405,12 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** The scale-conditional probe rule (see [[embeddingNearDupPairs]]): probe
+    * only past the 4-plane floor, where per-table recall p^planes has decayed
+    * below the measured-total regime; 2 is the pinned sf1 trade. */
+  private[graft] def autoProbes(planesPerTable: Int): Int =
+    if (planesPerTable <= 4) 0 else 2
 
   /** Planes so that n rows over 2^planes buckets sit at ~`targetBucketSize`
     * occupancy; the floor of 4 keeps verify-scale corpora at the

@@ -122,6 +122,25 @@ class DedupSpec extends SparkSpec {
     assert(auto.collect().toSet == fixed.collect().toSet) // n=40 -> auto = 4
   }
 
+  test("auto-probe rule: 0 at the 4-plane floor, 2 above it; probes = -1 " +
+       "matches probes = 0 where candidates are total") {
+    // the scale-conditional default the r9 verdict asked for: probe expansion
+    // pays only where auto-sized planes exceed the measured-total floor
+    assert(Dedup.autoProbes(4) == 0)
+    assert(Dedup.autoProbes(3) == 0)
+    assert(Dedup.autoProbes(5) == 2)
+    assert(Dedup.autoProbes(8) == 2) // the sf1 config (20k vecs)
+    // end to end at verify scale: auto resolves to the unprobed plan's output
+    val vs = (0 until 40).map(i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j + 1).toFloat).toSeq))
+    val dfAuto = vs.toDF("vec_id", "embedding")
+    val autoP = Dedup.embeddingNearDupPairs(dfAuto, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planesPerTable = 0, tables = 4, probes = -1)
+    val noP = Dedup.embeddingNearDupPairs(dfAuto, "vec_id", "embedding",
+      dim = 16, threshold = 0.99, planesPerTable = 0, tables = 4, probes = 0)
+    assert(autoP.collect().toSet == noP.collect().toSet)
+  }
+
   test("auto-planes at scaled n holds recall >= 0.9 at the shipped tables=24") {
     // The auto-sizing trade: more planes hold candidate generation linear but
     // lower per-table collision probability. This pins the SHIPPED d06 config

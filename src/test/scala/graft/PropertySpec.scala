@@ -392,6 +392,148 @@ class PropertySpec extends SparkSpec {
     assert(sawFlags, "fixture planted no contamination — property vacuous")
   }
 
+  test("semDedup invariants on random corpora: survivor rule == brute force, " +
+       "explicit-centroid overload == seed path, salting output-invariant") {
+    // The three quantization invariants the round-9 verdict asked to pin
+    // (the LSH probe path got the same treatment in r8): on arbitrary
+    // vectors — including zero rows and exact assignment near-ties —
+    //  (a) assignment + survivor == a driver-side brute force of the
+    //      documented contract (quantize at 1e6 half-away, squared-L2 argmin
+    //      with lowest-index ties, removed iff ANY lower id in-cluster within
+    //      eps, zero-norm rows never pair);
+    //  (b) the explicit-centroid overload fed the SAME k lowest-id vectors
+    //      equals the seed-path run;
+    //  (c) random block salting never changes output.
+    import graft.operators.SemDedup
+    var sawRemoved = false
+    for (seed <- 1 to 5) {
+      val rnd = new Random(5200 + seed)
+      val n = 20 + rnd.nextInt(20)
+      val dim = 3
+      val k = 2 + rnd.nextInt(3)
+      val eps = Seq(0.7, 0.9)(rnd.nextInt(2))
+      // coarse 0.25 grid makes exact argmin ties and >= eps boundaries
+      // actually occur; every ~7th row is the zero vector
+      val vecs: Seq[(Long, Array[Float])] = (0 until n).map { i =>
+        val v = if (i % 7 == 3) Array.fill(dim)(0f)
+        else Array.fill(dim)((rnd.nextInt(9) - 4) * 0.25f)
+        (i.toLong, v)
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+      val tbr = 1 + rnd.nextInt(4)
+      val mb = 1 + rnd.nextInt(6)
+      def collectMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      val got = collectMap(SemDedup.semDedup(df, "vec_id", "embedding", k, eps))
+      // (c) salted run
+      val salted = collectMap(SemDedup.semDedup(df, "vec_id", "embedding", k,
+        eps, targetBlockRows = tbr, maxBlocks = mb))
+      assert(salted == got, s"seed=$seed salting changed output (tbr=$tbr mb=$mb)")
+      // (b) explicit overload with the same k lowest-id vectors
+      val seedVecs = vecs.sortBy(_._1).take(k)
+        .map(_._2.map(_.toDouble)).toArray
+      val explicit = collectMap(
+        SemDedup.semDedup(df, "vec_id", "embedding", seedVecs, eps))
+      assert(explicit == got, s"seed=$seed explicit overload diverged")
+      // (a) brute force of the documented contract
+      def q(v: Array[Float]): Array[Double] =
+        v.map(x => math.copySign(math.floor(math.abs(x.toDouble * 1e6) + 0.5), x.toDouble))
+      val qv = vecs.map { case (id, v) => id -> q(v) }.toMap
+      val seeds = vecs.sortBy(_._1).take(k).map(x => qv(x._1))
+      def dot(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map { case (x, y) => x * y }.sum
+      def cluster(id: Long): Int =
+        seeds.zipWithIndex.minBy { case (s, i) =>
+          (dot(qv(id), qv(id)) + dot(s, s) - 2 * dot(qv(id), s), i) }._2
+      def near(a: Long, b: Long): Boolean = {
+        val (n2a, n2b) = (dot(qv(a), qv(a)), dot(qv(b), qv(b)))
+        n2a > 0 && n2b > 0 &&
+          dot(qv(a), qv(b)) / (math.sqrt(n2a) * math.sqrt(n2b)) >= eps
+      }
+      val ids = vecs.map(_._1)
+      val expect = ids.map { id =>
+        val c = cluster(id)
+        val removed = ids.exists(o => o < id && cluster(o) == c && near(o, id))
+        id -> ((c.toLong, !removed))
+      }.toMap
+      assert(got == expect, s"seed=$seed k=$k eps=$eps")
+      sawRemoved ||= expect.values.exists(!_._2)
+    }
+    assert(sawRemoved, "fixture removed nothing at any seed — property vacuous")
+  }
+
+  test("prefix-filtered ngram jaccard with small maxDocFreq == oracle " +
+       "modeling the same prefix-df prune (random boilerplate corpora)") {
+    // The composed miss condition (documented in Dedup.ngramJaccardPairs):
+    // with the prune ON, a true pair survives iff the two PREFIXES share a
+    // shingle whose prefix-document-frequency is <= maxDocFreq — a strictly
+    // broader miss set than "shares nothing but stop-shingles overall",
+    // because a rare shared shingle OUTSIDE both prefixes cannot rescue a
+    // pair whose in-prefix shared shingles are all pruned. The equivalence
+    // property above disables the prune; this one runs it hot against an
+    // oracle that models exactly that rule.
+    import graft.operators.Dedup
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum",
+      "gold", "jade")
+    val threshold = 0.4
+    var sawPrunedMiss = false
+    for (seed <- 1 to 5; mdf <- Seq(2L, 4L)) {
+      val rnd = new Random(6100 + seed)
+      // shared boilerplate head on most docs -> its shingles exceed mdf and
+      // sit early in many prefixes; near-dup tails supply true pairs whose
+      // rarer shingles may or may not make the prefix
+      val boiler = Seq.fill(3)(vocab(rnd.nextInt(4))).mkString(" ")
+      val base = (0 until 18).map { i =>
+        val tail = List.fill(3 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size)))
+        (i.toLong,
+          (if (i % 3 != 0) boiler + " " else "") + tail.mkString(" "))
+      }
+      val dups = base.take(8).map { case (id, text) =>
+        val w = text.split(" ").toBuffer
+        if (w.length > 1) w(rnd.nextInt(w.length)) = vocab(rnd.nextInt(vocab.size))
+        (id + 10000L, w.mkString(" "))
+      }
+      val df = (base ++ dups).toDF("doc_id", "text")
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", shingleN = 2,
+          threshold = threshold, maxDocFreq = mdf)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // oracle: same hashed sorted sets, prefix rule, prefix-df prune —
+      // then exact jaccard on the FULL sets
+      val hf = graft.functions.HashExpressions
+      val tf = graft.functions.TextFunctions
+      val sets: Map[Long, Vector[Long]] = df.select(col("doc_id"),
+          hf.hashed_sorted_set(tf.wordShingles(col("text"), 2)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      def prefix(s: Vector[Long]): Vector[Long] =
+        s.take(s.size - math.ceil(threshold * s.size - 1e-9).toInt + 1)
+      val prefixes = sets.view.mapValues(prefix).toMap
+      val dfc: Map[Long, Int] = prefixes.values.flatten
+        .groupBy(identity).view.mapValues(_.size).toMap
+      def jac(a: Vector[Long], b: Vector[Long]): Double = {
+        val i = a.toSet.intersect(b.toSet).size
+        i.toDouble / (a.size + b.size - i)
+      }
+      val ids = sets.keys.toSeq.sorted
+      val want = (for {
+        x <- ids; y <- ids if x < y
+        shared = prefixes(x).toSet.intersect(prefixes(y).toSet)
+        if shared.exists(sh => dfc(sh) <= mdf)
+        if jac(sets(x), sets(y)) >= threshold
+      } yield (x, y)).toSet
+      assert(got == want,
+        s"seed=$seed mdf=$mdf missing=${want -- got} extra=${got -- want}")
+      // non-vacuity: the prune must actually drop a true pair somewhere
+      val fullRecall = (for {
+        x <- ids; y <- ids if x < y
+        if jac(sets(x), sets(y)) >= threshold
+      } yield (x, y)).toSet
+      sawPrunedMiss ||= (fullRecall -- want).nonEmpty
+    }
+    assert(sawPrunedMiss,
+      "prune never dropped a pair at any seed — property vacuous")
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)

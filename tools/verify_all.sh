@@ -8,11 +8,18 @@
 # Usage: tools/verify_all.sh [out_dir] [verify_sf_dir] [bench_sf_dir]
 # Stops at the first failing stage (set -e); partial artifacts stay on disk.
 # On success the artifact set is also archived to verify_out/$GRAFT_ROUND/
-# (default r9) so a later harness re-run over OUT_DIR can't clobber the
-# committed round record (the r8 working-tree BENCH overwrite).
+# (REQUIRED env — no default) so a later harness re-run over OUT_DIR can't
+# clobber the committed round record (the r8 working-tree BENCH overwrite).
 set -euo pipefail
 OUT_DIR="$(realpath -m "${1:-verify_out}")"
-ROUND="${GRAFT_ROUND:-r9}"
+# GRAFT_ROUND is REQUIRED: a hardcoded default silently overwrote a prior
+# round's committed archive once GRAFT_ROUND was forgotten — exactly the
+# clobbering the archive step exists to prevent. Fail loudly instead.
+[ -n "${GRAFT_ROUND:-}" ] || {
+  echo "[verify_all] FATAL: export GRAFT_ROUND=rN (archive dir suffix) first" >&2
+  exit 2
+}
+ROUND="$GRAFT_ROUND"
 cd "$(dirname "$0")/.."
 VSF="${2:-/root/testdata/sf0.01}"
 BSF="${3:-/root/testdata/sf0.1}"

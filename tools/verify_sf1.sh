@@ -11,12 +11,18 @@
 # Usage: tools/verify_sf1.sh [report.json] [sf1_dir]
 # Env: SPARK_GRAFT_CLASSES (classes dir), SPARK_DRIVER_MEM (-Xmx, default 48g),
 #      SPARK_GRAFT_CPUS (default 24), SF1_DUMP (dump dir, default /tmp/verify_sf1_dump),
-#      GRAFT_ROUND (archive dir suffix, default r9 — the merged report is also
+#      GRAFT_ROUND (archive dir suffix, REQUIRED — the merged report is also
 #      copied to verify_out/$GRAFT_ROUND/ so a later harness re-run can't
 #      clobber the committed round record)
 set -euo pipefail
 OUT="$(realpath -m "${1:-CORRECTNESS_sf1.json}")"
-ROUND="${GRAFT_ROUND:-r9}"
+# GRAFT_ROUND is REQUIRED (same rationale as verify_all.sh): a stale default
+# would silently overwrite the previous round's committed archive.
+[ -n "${GRAFT_ROUND:-}" ] || {
+  echo "[verify_sf1] FATAL: export GRAFT_ROUND=rN (archive dir suffix) first" >&2
+  exit 2
+}
+ROUND="$GRAFT_ROUND"
 cd "$(dirname "$0")/.."
 SF1="${2:-/tmp/sf1}"
 DUMP="${SF1_DUMP:-/tmp/verify_sf1_dump}"
