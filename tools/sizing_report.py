@@ -40,6 +40,8 @@ DOMINANT = {
     "o04_interval_overlap": "orders", "o07_interval_pairs": "orders",
     "x01_tfidf": "documents", "x02_kmeans_step": "embeddings",
     "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
+    "d11_semdedup": "embeddings", "t15_lm_perplexity": "documents",
+    "d05_ngram_jaccard_t08": "documents",
 }
 
 
