@@ -968,6 +968,18 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text")),
 
+    // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram bag
+    // features (portable md5 buckets), add-one-smoothed target-vs-raw bucket
+    // models, per-doc log-likelihood ratio. Target split reuses d09's
+    // deterministic doc_id % 97 convention; the model is EXACTLY B rows at
+    // any corpus size — see operators.Dsir.
+    "t16_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Dsir.importanceWeights(
+        docs, docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+        buckets = 1024)
+    }),
+
     // Gopher-style quality-rule battery: every stat is an exact integer ratio,
     // so flags AND the keep verdict reproduce bit-for-bit in the oracle.
     "t06_quality_filter" -> ((s, dir) =>
@@ -2176,6 +2188,45 @@ object SparkEntry {
         |  FROM bigrams JOIN model USING (w1, w2) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 3) AS ppl
         |FROM scored""".stripMargin,
+    // same tokenization as t15; gram buckets via the portable 60-bit md5 hash
+    // (d04's oracle convention); per-DISTINCT-bucket log-ratio quantized at
+    // 1e-9 (2B ln calls total, corpus-independent), per-doc integer-count x
+    // quantized-ratio products summed as exact decimals, rounded at 6.
+    "t16_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |    FROM documents)
+        |  WHERE len(ws) >= 1),
+        |grams AS (
+        |  SELECT doc_id, unnest(ws) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM toks WHERE len(ws) >= 2)),
+        |gb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM grams),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM gb
+        |        WHERE doc_id % 97 = 0 GROUP BY 1),
+        |raws AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM gb WHERE doc_id % 97 = 0),
+        |nr AS (SELECT count(*) AS nr FROM gb),
+        |model AS (
+        |  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+        |    round(ln((COALESCE(ct, 0) + 1.0) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln((COALESCE(cr, 0) + 1.0) / CAST(nr + 1024 AS DOUBLE)), 9)
+        |      AS lr
+        |  FROM tgt t FULL OUTER JOIN raws r ON t.bucket = r.bucket
+        |  CROSS JOIN nt CROSS JOIN nr),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM gb GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |  round(CAST(sum(CAST(c AS DECIMAL(12,0)) *
+        |                 CAST(lr AS DECIMAL(12,9))) AS DOUBLE), 6) AS log_w
+        |FROM db JOIN model USING (bucket) GROUP BY doc_id""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
     "t06_quality_filter" ->

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.HashExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (Xie et al., NeurIPS 2023): score
+  * every raw document by how much more likely its hashed n-gram features are
+  * under a target-domain model than under the raw-corpus model, so a pipeline
+  * can up-sample target-like data. The reference's transform surface stops at
+  * column-level cleansing (`/root/reference/src/Infrastructure/Transformation/
+  * Common/DataCleansingStep.cs:24-63`); this is the corpus-selection extension
+  * of it, the step DSIR runs between quality filtering and sampling.
+  *
+  * Feature map (the paper's §3.1 hashed n-grams): word unigrams AND bigrams,
+  * each hashed into one of `buckets` bins — here with the portable 60-bit
+  * md5 hash ([[HashExpressions.md5Hash60]]) so an external engine reproduces
+  * the exact bucketing. Both bag-of-buckets models are multinomials with
+  * add-one smoothing:
+  *
+  *   log w(d) = sum over d's grams g of
+  *     [ ln((ct[b(g)] + 1) / (nt + B)) - ln((cr[b(g)] + 1) / (nr + B)) ]
+  *
+  * with `ct`/`cr` the bucket counts over the target/raw corpus, `nt`/`nr`
+  * their totals, `B = buckets`.
+  *
+  * Scale shape — the model is FIXED-size by construction, the strongest
+  * possible 100 TB story for a model-join family: unlike t15's
+  * vocabulary-bounded bigram LM (which still grows with Heaps' law), the DSIR
+  * model is exactly `B` rows no matter the corpus, so the scoring join is a
+  * broadcast at ANY scale. The only corpus-sized exchange is the per-doc
+  * bucket-count aggregation keyed on `(id, bucket)` — rows of three integers,
+  * bounded by min(grams-per-doc, B) per document — and the final per-doc
+  * reduce ships `(id, decimal)` only. No text payload crosses any exchange
+  * after the gram explode.
+  *
+  * Determinism (the [[Quality.lmScore]] pattern): each DISTINCT bucket's
+  * log-ratio is rounded once at 9 decimals — 2B `ln` calls total, independent
+  * of corpus size, confining any engine last-ulp `ln` disagreement to the
+  * model — then each doc sums integer-count × quantized-ratio products as
+  * exact decimals (order-independent) and rounds at 6.
+  *
+  * Output: `(id, n_grams, log_w)` for every raw doc with ≥ 1 token; higher
+  * `log_w` = more target-like. Resampling itself composes downstream: rank by
+  * `log_w` (or feed `exp` of it to [[Sampling.weightedSample]]'s prefix-sum
+  * draw) — kept out of this operator so the weight contract stays exact.
+  *
+  * @param target the target-domain sample (same text column); typically a
+  *               small curated set — its gram explode is corpus-sized only
+  *               when the target is, and its model is still B rows after.
+  */
+object Dsir {
+
+  /** `(id, bucket)` gram-bucket stream: word unigrams + bigrams of the
+    * space-tokenized text, each md5-bucketed into `[0, buckets)`. */
+  private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): DataFrame = {
+    val ws = filter(split(col(textCol), " "), t => t =!= "")
+    // the >= 2 guard matters: Spark's sequence(1, 0) yields a DESCENDING
+    // [1, 0] for one-token docs (where DuckDB's generate_series is empty),
+    // and element_at at index 0 raises — one-token docs have unigrams only
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(col("ws"), bigrams)
+    df.select(col(idCol).as("id"), ws.as("ws"))
+      .where(size(col("ws")) >= 1)
+      .select(col("id"), explode(grams).as("g"))
+      .select(col("id"),
+        (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"))
+  }
+
+  /** The `B`-row smoothed bucket-count model of one corpus side:
+    * `(bucket, lnp = round(ln((c + 1) / (n + B)), 9))`. Buckets never seen
+    * keep their smoothed mass implicitly: scoring coalesces an absent model
+    * row to `round(ln(1 / (n + B)), 9)` via the 1-row totals broadcast. */
+  private def bucketModel(gb: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
+    val counts = gb.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val total = gb.agg(count(lit(1)).as("n"))
+    (counts, total)
+  }
+
+  /** Per-document DSIR log-importance weight of every `raw` doc against the
+    * `target` sample. See object scaladoc for the contract. */
+  def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                        textCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val rawGb = gramBuckets(raw, idCol, textCol, buckets)
+    val tgtGb = gramBuckets(target, idCol, textCol, buckets)
+    val (tgtCounts, tgtTotal) = bucketModel(tgtGb, buckets)
+    val (rawCounts, rawTotal) = bucketModel(rawGb, buckets)
+    // B-row model: full outer over the two count sides (a bucket may appear
+    // in only one corpus), totals ride along as 1-row broadcasts. The single
+    // rounding site for all ln() arithmetic in the operator.
+    val model = tgtCounts.withColumnRenamed("c", "ct")
+      .join(rawCounts.withColumnRenamed("c", "cr"), Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("ct", "cr"))
+      .crossJoin(broadcast(tgtTotal.withColumnRenamed("n", "nt")))
+      .crossJoin(broadcast(rawTotal.withColumnRenamed("n", "nr")))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + lit(1)).cast("double") /
+            (col("nt") + lit(buckets)).cast("double")) -
+          log((col("cr") + lit(1)).cast("double") /
+            (col("nr") + lit(buckets)).cast("double")), 9).as("lr"))
+    // per-doc bucket counts — the one corpus-sized exchange: (id, bucket, c)
+    val docBuckets = rawGb.groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    docBuckets.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_grams"),
+        // cast each factor to decimal BEFORE multiplying: (12,0) x (12,9)
+        // -> (25,9), inside Spark's 38-digit cap, so the whole sum is exact
+        // decimal arithmetic over the already-quantized model values
+        sum(col("c").cast("decimal(12,0)") * col("lr").cast("decimal(12,9)"))
+          .as("_wsum"))
+      .select(col("id").as(idCol), col("n_grams"),
+        round(col("_wsum").cast("double"), 6).as("log_w"))
+  }
+}
