@@ -28,11 +28,13 @@ import org.apache.spark.sql.functions._
   * possible 100 TB story for a model-join family: unlike t15's
   * vocabulary-bounded bigram LM (which still grows with Heaps' law), the DSIR
   * model is exactly `B` rows no matter the corpus, so the scoring join is a
-  * broadcast at ANY scale. The only corpus-sized exchange is the per-doc
-  * bucket-count aggregation keyed on `(id, bucket)` — rows of three integers,
-  * bounded by min(grams-per-doc, B) per document — and the final per-doc
-  * reduce ships `(id, decimal)` only. No text payload crosses any exchange
-  * after the gram explode.
+  * broadcast at ANY scale. The raw corpus is scanned and gram-exploded ONCE:
+  * the only corpus-sized exchange is the per-doc bucket-count aggregation
+  * keyed on `(id, bucket)` — rows of three integers, bounded by
+  * min(grams-per-doc, B) per document — the raw model rolls up from that
+  * relation (sum of per-doc counts is exactly the global counts), and the
+  * final per-doc reduce ships `(id, decimal)` only. No text payload crosses
+  * any exchange after the gram explode.
   *
   * Determinism (the [[Quality.lmScore]] pattern): each DISTINCT bucket's
   * log-ratio is rounded once at 9 decimals — 2B `ln` calls total, independent
@@ -71,16 +73,6 @@ object Dsir {
         (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"))
   }
 
-  /** The `B`-row smoothed bucket-count model of one corpus side:
-    * `(bucket, lnp = round(ln((c + 1) / (n + B)), 9))`. Buckets never seen
-    * keep their smoothed mass implicitly: scoring coalesces an absent model
-    * row to `round(ln(1 / (n + B)), 9)` via the 1-row totals broadcast. */
-  private def bucketModel(gb: DataFrame, buckets: Int): (DataFrame, DataFrame) = {
-    val counts = gb.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
-    val total = gb.agg(count(lit(1)).as("n"))
-    (counts, total)
-  }
-
   /** Per-document DSIR log-importance weight of every `raw` doc against the
     * `target` sample. See object scaladoc for the contract. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
@@ -88,8 +80,19 @@ object Dsir {
     require(buckets > 0, "buckets must be positive")
     val rawGb = gramBuckets(raw, idCol, textCol, buckets)
     val tgtGb = gramBuckets(target, idCol, textCol, buckets)
-    val (tgtCounts, tgtTotal) = bucketModel(tgtGb, buckets)
-    val (rawCounts, rawTotal) = bucketModel(rawGb, buckets)
+    // per-doc bucket counts FIRST — the one corpus-sized exchange: rows of
+    // (id, bucket, c). The raw model then rolls up from THIS relation
+    // (sum of per-doc counts == global counts, exactly) instead of
+    // re-aggregating the gram stream, cutting the raw-side corpus scans from
+    // three to one when Catalyst reuses the exchange — and where it doesn't,
+    // the rollup costs one extra shuffle of these narrow integer rows,
+    // still strictly cheaper than re-scanning and re-exploding the text.
+    val docBuckets = rawGb.groupBy(col("id"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val rawCounts = docBuckets.groupBy(col("bucket")).agg(sum(col("c")).as("c"))
+    val rawTotal = rawCounts.agg(sum(col("c")).as("n"))
+    val tgtCounts = tgtGb.groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+    val tgtTotal = tgtCounts.agg(sum(col("c")).as("n"))
     // B-row model: full outer over the two count sides (a bucket may appear
     // in only one corpus), totals ride along as 1-row broadcasts. The single
     // rounding site for all ln() arithmetic in the operator.
@@ -104,9 +107,6 @@ object Dsir {
             (col("nt") + lit(buckets)).cast("double")) -
           log((col("cr") + lit(1)).cast("double") /
             (col("nr") + lit(buckets)).cast("double")), 9).as("lr"))
-    // per-doc bucket counts — the one corpus-sized exchange: (id, bucket, c)
-    val docBuckets = rawGb.groupBy(col("id"), col("bucket"))
-      .agg(count(lit(1)).as("c"))
     docBuckets.join(broadcast(model), Seq("bucket"))
       .groupBy(col("id"))
       .agg(sum(col("c")).as("n_grams"),

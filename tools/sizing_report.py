@@ -41,7 +41,7 @@ DOMINANT = {
     "x01_tfidf": "documents", "x02_kmeans_step": "embeddings",
     "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
     "d11_semdedup": "embeddings", "t15_lm_perplexity": "documents",
-    "d05_ngram_jaccard_t08": "documents",
+    "d05_ngram_jaccard_t08": "documents", "t16_dsir_weights": "documents",
 }
 
 
@@ -73,7 +73,8 @@ lines = [
     "are deterministic per plan + data, unlike wall times), extrapolated to "
     "a 100 TB compressed instance of each op's dominant input table at that "
     "table's measured bytes/row. Linearity of the extrapolation is measured "
-    f"per family in SCALING_r09.json. Primary scale: `{base['sf']}`.",
+    "per family in SCALING_r09.json and SCALING_r10.json. Primary scale: "
+    f"`{base['sf']}`.",
     "",
     "| op | table | scan rows | shuffle MB | shuffle rows | B/row "
     "| 100 TB shuffle | partitions @200MiB |"
@@ -140,6 +141,32 @@ FLAG_NOTES = {
     "q02_agg_pricing":
         "absolute volume is ~30 KB (partial-agg rows only) — the growth "
         "figure is noise at the metric floor.",
+    "d05_ngram_jaccard_t08":
+        "measurement-only variant of d05 at the production threshold t=0.8: "
+        "the lossless prefix filter keeps only |s|-ceil(t*|s|)+1 shingles "
+        "per doc indexed, so the candidate exchange drops 6x vs the shipped "
+        "t=0.4 row (86.8 vs 522.3 MB at sf1) for near-identical output — "
+        "the 'quadratically more saved at real thresholds' scaladoc claim, "
+        "measured. Growth vs rows inherits d05's duplication-density note.",
+    "t15_lm_perplexity":
+        "growth 0.73x < 1 is the vocabulary bound doing its job: the model "
+        "exchange grows with DISTINCT bigrams (Heaps' law, sublinear in "
+        "corpus), not corpus size — the 'model is vocab-bounded aggregation' "
+        "claim, measured across the decade.",
+    "t16_dsir_weights":
+        "the DSIR model is exactly B=1024 rows at any scale (hashed-bucket "
+        "bound, stronger than t15's Heaps bound); the measured volume is the "
+        "(id, bucket, count) per-doc relation plus its model rollup, linear "
+        "at 1.09x with zero text payload crossing any exchange.",
+    "d11_semdedup":
+        "volume is id/cluster-keyed rows only at this scale: AQE broadcasts "
+        "the within-cluster self-join's pair side, so no quantized vector "
+        "crosses the measured fabric. In the scale regime (broadcast off) "
+        "the vectors cross exactly ONCE — both self-join sides read the "
+        "same cluster-keyed exchange (ReusedExchange, PlanSpec-pinned), "
+        "~vector-payload x1 like d03/d04's regime change; hot clusters fan "
+        "out over salted blocks (SCALING_r10 d11_hot rows measure that "
+        "shape).",
 }
 
 flagged = [op for op in base["ops"] if op in FLAG_NOTES and op in DOMINANT]
