@@ -487,6 +487,30 @@ object Scaling {
         "x10 row",
       scaleLabel = "x100")
 
+    // t16: the target sample is held CONSTANT while the raw corpus grows —
+    // the realistic DSIR shape (a small curated target, a growing raw crawl).
+    // The model is a fixed B=1024 rows at both scales by construction, so
+    // wall must track the raw-side gram explode + (id, bucket) aggregation,
+    // ~linear in docs.
+    def dsirOn(raw: DataFrame): DataFrame =
+      graft.operators.Dsir.importanceWeights(
+        raw, docs.select(col("doc_id"), col("text"))
+          .where(col("doc_id") % 97 === 0), "doc_id", "text", buckets = 1024)
+    record("t16_dsir_weights",
+      () => dsirOn(docs.select(col("doc_id"), col("text"))),
+      () => dsirOn(docs10.select(col("doc_id"), col("text"))),
+      "10x vowel-rotated raw docs against a CONSTANT target sample: the " +
+        "model stays exactly B = 1024 rows at both scales, so wall must " +
+        "track the raw gram explode ~linearly, never model size")
+    record("t16_dsir_weights_x100",
+      () => dsirOn(docs.select(col("doc_id"), col("text"))),
+      () => dsirOn(docs100),
+      "x100 raw docs (10 vowel x 10 consonant rotations), constant target: " +
+        "one decade deeper on the fixed-model family — wall ~linear in raw " +
+        "docs; the B-row model and its broadcast are scale-invariant by " +
+        "construction",
+      scaleLabel = "x100")
+
     record("t15_lm_perplexity_x100",
       () => graft.operators.Quality.lmScore(
         docs.select(col("doc_id"), col("text")), "doc_id", "text"),

@@ -534,6 +534,50 @@ class PropertySpec extends SparkSpec {
       "prune never dropped a pair at any seed — property vacuous")
   }
 
+  test("DSIR weights == plain-Scala recomputation (random corpora)") {
+    // random corpora over a small vocab (guaranteeing bucket collisions),
+    // random doc lengths including 0 and 1 tokens, random target subsets,
+    // random bucket counts — the distributed pass must equal the sequential
+    // definition bit-for-bit (quantize-at-9, exact-decimal sums, round-at-6)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    for (seed <- 1 to 5) {
+      val rnd = new Random(900 + seed)
+      val b = Seq(8, 16, 64)(rnd.nextInt(3))
+      val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "gg", "hi")
+      val docs = (0L until (8 + rnd.nextInt(20)).toLong).map { id =>
+        id -> List.fill(rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val tmod = 2 + rnd.nextInt(3)
+      val df = docs.toDF("doc_id", "text")
+      val got = graft.operators.Dsir.importanceWeights(
+          df, df.where(col("doc_id") % tmod === 0), "doc_id", "text", buckets = b)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+      def bucket(g: String): Long = java.lang.Long.parseLong(md5hex(g).take(15), 16) % b
+      def grams(text: String): Seq[String] = {
+        val ws = text.split(" ").filter(_.nonEmpty).toSeq
+        ws ++ ws.zip(ws.drop(1)).map { case (x, y) => s"$x $y" }
+      }
+      val all = docs.map { case (id, t) => id -> grams(t).map(bucket) }
+      val rawCounts = all.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val tgtCounts = all.filter(_._1 % tmod == 0).flatMap(_._2)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val nr = rawCounts.values.sum
+      val nt = tgtCounts.values.sum
+      def lr(bk: Long): BigDecimal = BigDecimal(
+          math.log((tgtCounts.getOrElse(bk, 0L) + 1).toDouble / (nt + b)) -
+            math.log((rawCounts.getOrElse(bk, 0L) + 1).toDouble / (nr + b)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      val want = all.filter(_._2.nonEmpty).map { case (id, bs) =>
+        val w = bs.groupBy(identity).map { case (bk, c) => BigDecimal(c.size) * lr(bk) }.sum
+        id -> ((bs.size.toLong, w.setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }.toMap
+      assert(got == want, s"seed=$seed b=$b tmod=$tmod")
+    }
+  }
+
   test("stratified sample: exact per-stratum size at random fractions") {
     for (seed <- 1 to 5) {
       val rnd = new Random(300 + seed)
