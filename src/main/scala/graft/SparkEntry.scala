@@ -980,6 +980,19 @@ object SparkEntry {
         buckets = 1024)
     }),
 
+    // DSIR stage 2 (Xie et al. §3.2): Gumbel-top-k resampling over the t16
+    // weights — k docs without replacement, probability ~ exp(log_w), noise
+    // content-keyed through the portable md5 hash so the draw is exactly
+    // reproducible (and idempotent under retry) in any engine.
+    "t17_dsir_resample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.operators.Dsir.gumbelTopK(
+        graft.operators.Dsir.importanceWeights(
+          docs, docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
+          buckets = 1024).drop("n_grams"),
+        "doc_id", "log_w", k = 100)
+    }),
+
     // Gopher-style quality-rule battery: every stat is an exact integer ratio,
     // so flags AND the keep verdict reproduce bit-for-bit in the oracle.
     "t06_quality_filter" -> ((s, dir) =>
@@ -2227,6 +2240,55 @@ object SparkEntry {
         |  round(CAST(sum(CAST(c AS DECIMAL(12,0)) *
         |                 CAST(lr AS DECIMAL(12,9))) AS DOUBLE), 6) AS log_w
         |FROM db JOIN model USING (bucket) GROUP BY doc_id""".stripMargin,
+    // t16's weights CTE verbatim, then the Gumbel-top-k draw: u from the
+    // md5 hash reduced mod 2^52 (+0.5, /2^52 — all exact IEEE steps, u
+    // strictly inside (0,1)), key = round(log_w - ln(-ln(u)), 9), ties by
+    // lowest id, keep the 100 largest.
+    "t17_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |    FROM documents)
+        |  WHERE len(ws) >= 1),
+        |grams AS (
+        |  SELECT doc_id, unnest(ws) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM toks WHERE len(ws) >= 2)),
+        |gb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM grams),
+        |tgt AS (SELECT bucket, count(*) AS ct FROM gb
+        |        WHERE doc_id % 97 = 0 GROUP BY 1),
+        |raws AS (SELECT bucket, count(*) AS cr FROM gb GROUP BY 1),
+        |nt AS (SELECT count(*) AS nt FROM gb WHERE doc_id % 97 = 0),
+        |nr AS (SELECT count(*) AS nr FROM gb),
+        |model AS (
+        |  SELECT COALESCE(t.bucket, r.bucket) AS bucket,
+        |    round(ln((COALESCE(ct, 0) + 1.0) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln((COALESCE(cr, 0) + 1.0) / CAST(nr + 1024 AS DOUBLE)), 9)
+        |      AS lr
+        |  FROM tgt t FULL OUTER JOIN raws r ON t.bucket = r.bucket
+        |  CROSS JOIN nt CROSS JOIN nr),
+        |db AS (SELECT doc_id, bucket, count(*) AS c FROM gb GROUP BY 1, 2),
+        |w AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(c AS DECIMAL(12,0)) *
+        |                   CAST(lr AS DECIMAL(12,9))) AS DOUBLE), 6) AS log_w
+        |  FROM db JOIN model USING (bucket) GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id, log_w,
+        |    round(log_w - ln(-ln(
+        |      (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 4503599627370496 + 0.5) / 4503599627370496.0)),
+        |      9) AS key
+        |  FROM w)
+        |SELECT doc_id, log_w, key FROM keyed
+        |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
     "t06_quality_filter" ->

@@ -118,4 +118,42 @@ object Dsir {
       .select(col("id").as(idCol), col("n_grams"),
         round(col("_wsum").cast("double"), 6).as("log_w"))
   }
+
+  /** DSIR's resampling stage (Xie et al. §3.2): draw `k` docs WITHOUT
+    * replacement, each with probability proportional to
+    * `exp(log_w / temperature)`, via the Gumbel-top-k trick — perturb each
+    * doc's scaled log-weight with standard Gumbel noise and keep the k
+    * largest. Deterministic end to end: the "noise" is seeded by the doc id
+    * itself through the portable md5 hash, reduced mod 2^52 so that
+    * `u = (h mod 2^52 + 0.5) / 2^52` is an EXACTLY-representable double
+    * strictly inside (0, 1) — every step (mod, add-half, divide-by-2^52) is
+    * exact IEEE arithmetic in any engine, `g = -ln(-ln(u))` is always
+    * finite, and the draw is content-keyed — idempotent under retry,
+    * repartition, and append, the same contract as [[DatasetSplit]]. (A
+    * naive `(h + 1) / (2^60 + 1)` fails at the edges: quotients within
+    * 2^-54 of 1 round to exactly 1.0 and blow up the outer ln.)
+    *
+    * Scale shape: one projection over the weights relation, then a global
+    * top-k — Spark plans `TakeOrderedAndProject` (per-partition heap of k,
+    * merge on the driver), never a full sort or shuffle of the corpus.
+    *
+    * Determinism bound (weaker than [[importanceWeights]]'s, stated
+    * honestly): the perturbed key is `round(log_w / temperature + g, 9)`
+    * with TWO `ln` calls per doc — corpus-many rounding sites, not
+    * model-bounded, so an engine whose `ln` differs in the last ulp exactly
+    * at a 1e-9 half-way point could flip one key; ties on the quantized key
+    * break by lowest id, so only a boundary collision (not key equality)
+    * can reorder. Output: `(id, log_w, key)`, the selected k docs. */
+  def gumbelTopK(weights: DataFrame, idCol: String, logWCol: String,
+                 k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(temperature > 0, "temperature must be positive")
+    val twoTo52 = 4503599627370496L // 2^52
+    val u = (pmod(HashExpressions.md5Hash60(col(idCol).cast("string")),
+        lit(twoTo52)).cast("double") + lit(0.5)) / lit(twoTo52.toDouble)
+    val key = round(col(logWCol) / lit(temperature) - log(-log(u)), 9)
+    weights.select(col(idCol), col(logWCol), key.as("key"))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -81,6 +81,38 @@ class DsirSpec extends SparkSpec {
     assert(!got.contains(6L) && !got.contains(7L))
   }
 
+  test("gumbelTopK matches a driver-side exact draw and plans as top-k") {
+    val weights = Dsir.importanceWeights(df, target, "doc_id", "text", buckets = B)
+    val picked = Dsir.gumbelTopK(weights, "doc_id", "log_w", k = 3)
+    // driver-side recomputation of the content-keyed draw
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val twoTo52 = 4503599627370496L
+    val byId = weights.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val want = byId.toSeq.map { case (id, lw) =>
+      val h = java.lang.Long.parseLong(md5hex(id.toString).take(15), 16) % twoTo52
+      val u = (h.toDouble + 0.5) / twoTo52.toDouble
+      val key = BigDecimal(lw - math.log(-math.log(u)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, lw, key)
+    }.sortBy { case (id, _, key) => (-key, id) }.take(3)
+    val got = picked.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got.sortBy { case (id, _, key) => (-key, id) } == want)
+    val plan = picked.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject, not a full sort:\n$plan")
+  }
+
+  test("gumbelTopK is idempotent: same draw after repartition and re-run") {
+    val weights = Dsir.importanceWeights(df, target, "doc_id", "text", buckets = B)
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.getLong(0)).toSet
+    val a = ids(Dsir.gumbelTopK(weights, "doc_id", "log_w", k = 3))
+    val b = ids(Dsir.gumbelTopK(weights.repartition(7), "doc_id", "log_w", k = 3))
+    assert(a == b && a.size == 3)
+  }
+
   test("the scoring join is broadcast (B-row model never shuffles the corpus)") {
     val plan = Dsir.importanceWeights(df, target, "doc_id", "text", buckets = B)
       .queryExecution.executedPlan.toString
