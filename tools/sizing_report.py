@@ -42,6 +42,7 @@ DOMINANT = {
     "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
     "d11_semdedup": "embeddings", "t15_lm_perplexity": "documents",
     "d05_ngram_jaccard_t08": "documents", "t16_dsir_weights": "documents",
+    "t17_dsir_resample": "documents",
 }
 
 
@@ -156,8 +157,16 @@ FLAG_NOTES = {
     "t16_dsir_weights":
         "the DSIR model is exactly B=1024 rows at any scale (hashed-bucket "
         "bound, stronger than t15's Heaps bound); the measured volume is the "
-        "(id, bucket, count) per-doc relation plus its model rollup, linear "
-        "at 1.09x with zero text payload crossing any exchange.",
+        "(id, bucket, count) per-doc relation plus its model rollup, ~linear "
+        "at 1.24x with zero text payload crossing any exchange (the sf1 lake "
+        "plants duplicate docs, so distinct (id, bucket) pairs per doc rise "
+        "slightly with its longer mutated texts).",
+    "t17_dsir_resample":
+        "t16's weights pipeline plus the Gumbel-top-k draw — which adds ZERO "
+        "exchange: the perturbed key is a projection and the global top-k "
+        "plans as TakeOrderedAndProject (per-partition heaps, driver merge "
+        "of k rows). Measured volume is slightly BELOW t16's because "
+        "n_grams is dropped before the final reduce.",
     "d11_semdedup":
         "volume is id/cluster-keyed rows only at this scale: AQE broadcasts "
         "the within-cluster self-join's pair side, so no quantized vector "
