@@ -45,7 +45,8 @@ object Sizing {
     "o04_interval_overlap", "o07_interval_pairs",
     "x01_tfidf", "x02_kmeans_step", "q02_agg_pricing", "q03_join_agg",
     "d11_semdedup", "t15_lm_perplexity", "d05_ngram_jaccard_t08",
-    "t16_dsir_weights", "t17_dsir_resample")
+    "t16_dsir_weights", "t17_dsir_resample", "t18_unimax_mix",
+    "t19_temperature_mix", "d12_incremental_dedup")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

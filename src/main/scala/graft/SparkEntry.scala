@@ -959,6 +959,21 @@ object SparkEntry {
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, eps = 0.45)
         .select(col("id").as("vec_id"), col("cluster"), col("kept"))),
 
+    // Incremental dedup of a new ingest batch against the already-ingested
+    // history: bloom-pruned (no false negatives) + exact confirm, output
+    // EXACTLY the plain anti-join on the d02 normalized-text fingerprint.
+    // History = even doc_ids, batch = ids % 3 == 0; ids % 6 == 0 model the
+    // recrawl overlap (identical text already ingested) and must drop.
+    "d12_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      graft.operators.HistoryDedup.newAgainstHistory(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 2 === 0),
+        "text", expectedHistoryRows = 1000000L)
+        .select(col("doc_id"), col("n_chars"))
+    }),
+
     // bigram-LM quality scoring (CCNet's KenLM-perplexity filtering step):
     // the model is trained on the corpus in the same pass that scores it;
     // per-distinct-bigram log-probs quantized at 1e-9, per-doc mean summed as
@@ -991,6 +1006,33 @@ object SparkEntry {
           docs, docs.where(col("doc_id") % 97 === 0), "doc_id", "text",
           buckets = 1024).drop("n_grams"),
         "doc_id", "log_w", k = 100)
+    }),
+
+    // UniMax language mixing (Chung et al. 2023): budget spread as evenly as
+    // possible over languages, each capped at epochCap epochs of its own
+    // corpus — INTEGER closed form over the language histogram, then the
+    // exact per-language md5-rank draw. Budget = 60% of the corpus (integer
+    // div, the one bounded driver seam: a 1-value count).
+    "t18_unimax_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val budget = docs.count() * 6 / 10
+      graft.operators.LanguageMix.drawByQuota(
+        docs, "lang", "doc_id",
+        graft.operators.LanguageMix.unimaxQuotas(docs, "lang", budget,
+          epochCap = 2))
+    }),
+
+    // mC4 exponent-scaled language sampling (alpha = 0.3): quotas from the
+    // flattened language shares (pow quantized once per language), drawn
+    // SHUFFLE-FREE by content-keyed hash threshold — membership exact and
+    // append-stable, counts binomial around the quota by contract.
+    "t19_temperature_mix" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val budget = docs.count() / 2
+      graft.operators.LanguageMix.drawByShare(
+        docs, "lang", "doc_id",
+        graft.operators.LanguageMix.temperatureQuotas(docs, "lang", budget,
+          alpha = 0.3))
     }),
 
     // Gopher-style quality-rule battery: every stat is an exact integer ratio,
@@ -2170,6 +2212,18 @@ object SparkEntry {
         |    AND list_dot_product(a.qv, b.qv) / (sqrt(a.n2) * sqrt(b.n2)) >= 0.45)
         |SELECT a.vec_id, a.cluster, r.vec_id IS NULL AS kept
         |FROM assigned a LEFT JOIN removed r ON a.vec_id = r.vec_id""".stripMargin,
+    // d12: the bloom stage is lossless (no false negatives; false positives
+    // die in the exact confirm join), so the oracle is the plain anti-join
+    // on d02's normalized-text key.
+    "d12_incremental_dedup" ->
+      """SELECT b.doc_id, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 3 = 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents h
+        |    WHERE h.doc_id % 2 = 0
+        |      AND regexp_replace(lower(trim(h.text)), '\s+', ' ', 'g') =
+        |          regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))""".stripMargin,
     // same tokenization as t02/x01 (space-split, empties dropped); the model
     // log-prob is quantized at 1e-9 per DISTINCT bigram and the per-doc mean
     // sums exact decimals, so engine ln() disagreement is confined to
@@ -2289,6 +2343,57 @@ object SparkEntry {
         |  FROM w)
         |SELECT doc_id, log_w, key FROM keyed
         |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+    // t18: the UniMax closed form is integer end to end (counts, prefix
+    // sums, // division), so the oracle replays it exactly; the draw ranks
+    // by the same 60-bit md5 integer both engines compute.
+    "t18_unimax_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT count(*) AS langs FROM counts),
+        |bud AS (SELECT count(*) * 6 // 10 AS b FROM documents),
+        |ord AS (SELECT lang, n,
+        |         row_number() OVER (ORDER BY n, lang) AS i,
+        |         sum(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING) AS s
+        |        FROM counts),
+        |flag AS (SELECT lang, n, i, s, langs, b,
+        |          (2 * n * (langs - i + 1) <= b - 2 * (s - n)) AS capped
+        |         FROM ord, tot, bud),
+        |k AS (SELECT coalesce(max(CASE WHEN capped THEN i END), 0) AS ki,
+        |             coalesce(max(CASE WHEN capped THEN s END), 0) AS ks
+        |      FROM flag),
+        |quotas AS (SELECT lang,
+        |            CASE WHEN capped THEN 2 * n
+        |                 ELSE (b - 2 * ks) // greatest(langs - ki, 1)
+        |            END AS quota
+        |           FROM flag, k),
+        |ranked AS (SELECT doc_id, lang,
+        |            row_number() OVER (PARTITION BY lang ORDER BY
+        |              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |                AS BIGINT), doc_id) AS r
+        |           FROM documents)
+        |SELECT doc_id, lang FROM ranked JOIN quotas USING (lang)
+        |WHERE r <= quota""".stripMargin,
+    // t19: pow is the single transcendental, quantized at 1e-9 per language
+    // (L model-bounded rounding sites); the threshold draw's uniform is the
+    // t17 exact-IEEE construction, so membership replays exactly.
+    "t19_temperature_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nt FROM counts),
+        |bud AS (SELECT count(*) // 2 AS b FROM documents),
+        |wts AS (SELECT lang, n,
+        |         CAST(round(pow(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE), 0.3),
+        |           9) AS DECIMAL(20,9)) AS w
+        |        FROM counts, tot),
+        |tw AS (SELECT sum(w) AS wt FROM wts),
+        |quotas AS (SELECT lang, n,
+        |            CAST(floor(CAST(b AS DOUBLE) *
+        |              (CAST(w AS DOUBLE) / CAST(wt AS DOUBLE))) AS BIGINT)
+        |              AS quota
+        |           FROM wts, tw, bud)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN quotas q ON d.lang = q.lang
+        |WHERE (CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 4503599627370496 + 0.5) / 4503599627370496.0
+        |      < CAST(q.quota AS DOUBLE) / CAST(q.n AS DOUBLE)""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
     "t06_quality_filter" ->

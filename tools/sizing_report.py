@@ -42,7 +42,8 @@ DOMINANT = {
     "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
     "d11_semdedup": "embeddings", "t15_lm_perplexity": "documents",
     "d05_ngram_jaccard_t08": "documents", "t16_dsir_weights": "documents",
-    "t17_dsir_resample": "documents",
+    "t17_dsir_resample": "documents", "t18_unimax_mix": "documents",
+    "t19_temperature_mix": "documents", "d12_incremental_dedup": "documents",
 }
 
 
@@ -167,6 +168,21 @@ FLAG_NOTES = {
         "plans as TakeOrderedAndProject (per-partition heaps, driver merge "
         "of k rows). Measured volume is slightly BELOW t16's because "
         "n_grams is dropped before the final reduce.",
+    "t18_unimax_mix":
+        "allocation computes on the L-row language histogram (one map-side-"
+        "combined agg); the measured volume is the exact draw's per-language "
+        "rank window shipping (id, lang) pairs — ~4 B/row, linear. The "
+        "histogram itself is the sub-KB residue.",
+    "t19_temperature_mix":
+        "SHUFFLE-FREE by construction and measured so: ~1 KB total exchange "
+        "at BOTH scales (the L-row histogram aggregates; 13-14 records). The "
+        "content-keyed hash-threshold draw is a scan-level filter — the "
+        "corpus never moves, at any scale.",
+    "d12_incremental_dedup":
+        "history is never shuffled: measured volume is bloom-filter partials "
+        "plus the confirmed-fingerprint set (grows with the batch's TRUE dup "
+        "mass, not history size). The naive anti-join this replaces would "
+        "shuffle the entire history fingerprint relation every batch.",
     "d11_semdedup":
         "volume is id/cluster-keyed rows only at this scale: AQE broadcasts "
         "the within-cluster self-join's pair side, so no quantized vector "
