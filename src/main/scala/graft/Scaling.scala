@@ -511,6 +511,39 @@ object Scaling {
         "construction",
       scaleLabel = "x100")
 
+    // d12: the HISTORY side grows x10/x100 while the ingest batch stays
+    // CONSTANT — the real continuous-ingest shape (history accretes, daily
+    // batches don't). The vowel/consonant rotations keep the scaled history
+    // fingerprint-disjoint from the batch, so true-dup mass (and with it the
+    // confirmed-fp exchange, see SIZING) is IDENTICAL at every scale; wall
+    // may grow only with the two history scans (filter build + confirm),
+    // never with a history shuffle. Histories are pre-materialized to
+    // scratch parquet (mat) — real increment history IS an on-disk corpus,
+    // and the in-plan 100-branch union fixture would otherwise dominate the
+    // measurement with ~170 MB task binaries (the d08/m05 exclusion-by-
+    // construction pattern).
+    def d12Batch: DataFrame = docs.select(col("doc_id"), col("text"))
+      .where(col("doc_id") % 3 === 0)
+    def d12On(history: DataFrame): DataFrame =
+      graft.operators.HistoryDedup.newAgainstHistory(
+        d12Batch, history, "text", expectedHistoryRows = 10000000L)
+    def histBase: DataFrame = mat("d12h1")(
+      docs.select(col("doc_id"), col("text")).where(col("doc_id") % 2 === 0))
+    record("d12_incremental_dedup",
+      () => d12On(histBase),
+      () => d12On(mat("d12h10")(docs10.select(col("doc_id"), col("text"))
+        .where(col("doc_id") % 2 === 0))),
+      "x10 history, CONSTANT batch: survivors and confirmed-dup mass " +
+        "identical at both scales; wall bounded by the history scans " +
+        "(~linear at worst), the batch-side work is scale-invariant")
+    record("d12_incremental_dedup_x100",
+      () => d12On(histBase),
+      () => d12On(mat("d12h100")(docs100.where(col("doc_id") % 2 === 0))),
+      "x100 history, CONSTANT batch: one decade deeper — wall must keep " +
+        "tracking the history scan only; the bloom filter and confirm set " +
+        "stay batch-bounded by construction",
+      scaleLabel = "x100")
+
     record("t15_lm_perplexity_x100",
       () => graft.operators.Quality.lmScore(
         docs.select(col("doc_id"), col("text")), "doc_id", "text"),
