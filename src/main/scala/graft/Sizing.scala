@@ -46,7 +46,8 @@ object Sizing {
     "x01_tfidf", "x02_kmeans_step", "q02_agg_pricing", "q03_join_agg",
     "d11_semdedup", "t15_lm_perplexity", "d05_ngram_jaccard_t08",
     "t16_dsir_weights", "t17_dsir_resample", "t18_unimax_mix",
-    "t19_temperature_mix", "d12_incremental_dedup")
+    "t19_temperature_mix", "d12_incremental_dedup", "v02_drift_psi",
+    "e04_transitions")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

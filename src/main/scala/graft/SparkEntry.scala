@@ -1499,7 +1499,26 @@ object SparkEntry {
           .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
       graft.operators.Reconcile.diff(a, b,
         Seq("o_orderkey"), Seq("o_custkey", "price", "status_c", "pri"))
-    })
+    }),
+
+    // snapshot drift (PSI with add-one smoothing) between two halves of the
+    // corpus over 50-char length bins: both snapshots collapse to B-row
+    // histograms map-side (the corpus never shuffles), ln quantized once per
+    // bin, PSI total an exact decimal sum of the quantized terms.
+    "v02_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), expr("n_chars div 50").as("len_bin"))
+      graft.operators.Drift.psi(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), "len_bin")
+    }),
+
+    // first-order Markov transition matrix over per-user event sequences:
+    // one user-key window shuffle, then K^2 map-side-combined pair counts;
+    // p is an exact integer division, row-stochastic per from_type.
+    "e04_transitions" -> ((s, dir) =>
+      graft.operators.Funnel.transitions(
+        t(s, dir, "events"), "user_id", "ts", "event_type", "event_id"))
   )
 
   /** Shared exact 3-gram-Jaccard pair CTE chain for the d03/d05/d07/d08
@@ -3077,6 +3096,50 @@ object SparkEntry {
         |           OR a.status_c <> b.status_c OR a.pri <> b.pri
         |           THEN 'mismatch' END AS status
         |  FROM canon a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey)
-        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL""".stripMargin
+        |SELECT o_orderkey, status FROM j WHERE status IS NOT NULL""".stripMargin,
+    // v02: counts and smoothed denominators are integers, the probability
+    // divisions single IEEE ops; ln is quantized at 1e-9 per bin (B bounded
+    // rounding sites) and the PSI total is an exact decimal sum of the
+    // quantized terms — every step replays bit-for-bit.
+    "v02_drift_psi" ->
+      """WITH ref AS (
+        |  SELECT n_chars // 50 AS bin, count(*) AS n FROM documents
+        |  WHERE doc_id % 2 = 0 GROUP BY 1),
+        |cur AS (
+        |  SELECT n_chars // 50 AS bin, count(*) AS n FROM documents
+        |  WHERE doc_id % 2 = 1 GROUP BY 1),
+        |bins AS (
+        |  SELECT coalesce(r.bin, c.bin) AS bin,
+        |    coalesce(r.n, 0) AS ref_n, coalesce(c.n, 0) AS cur_n
+        |  FROM ref r FULL OUTER JOIN cur c ON r.bin = c.bin),
+        |tot AS (
+        |  SELECT CAST(sum(ref_n) AS BIGINT) AS nr,
+        |    CAST(sum(cur_n) AS BIGINT) AS nc, count(*) AS b FROM bins),
+        |p AS (
+        |  SELECT bin, ref_n, cur_n,
+        |    CAST(ref_n + 1 AS DOUBLE) / (nr + b) AS ref_p,
+        |    CAST(cur_n + 1 AS DOUBLE) / (nc + b) AS cur_p
+        |  FROM bins, tot),
+        |terms AS (
+        |  SELECT bin, ref_n, cur_n, ref_p, cur_p,
+        |    round((ref_p - cur_p) * round(ln(ref_p / cur_p), 9), 9) AS psi_term
+        |  FROM p),
+        |s AS (SELECT sum(CAST(psi_term AS DECIMAL(20,9))) AS psi_dec FROM terms)
+        |SELECT bin, ref_n, cur_n, ref_p, cur_p, psi_term,
+        |  CAST(psi_dec AS DOUBLE) AS psi_total FROM terms, s""".stripMargin,
+    // e04: the lag window orders by (ts, event_id) — the same total order
+    // e01 already proved engine-portable; p is an exact integer division.
+    "e04_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM events),
+        |c AS (
+        |  SELECT prev AS from_type, event_type AS to_type, count(*) AS n
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n, CAST(c.n AS DOUBLE) / t.tot AS p
+        |FROM c JOIN t USING (from_type)""".stripMargin
   )
 }

@@ -71,4 +71,29 @@ object Funnel {
       .groupBy(col("cohort_date"), col("week_offset"))
       .agg(count_distinct(col(entityCol)).as("n_active"))
   }
+
+  /** First-order Markov transition matrix over per-entity event sequences:
+    * `(from_type, to_type, n, p)` with `p` the row-stochastic probability
+    * `n / sum(n over from_type)`. `tieCol` makes same-timestamp ordering
+    * deterministic (and the oracle replayable), same as [[firstCompletion]].
+    *
+    * Plan: ONE entity-key exchange for the lag window; the pair rollup then
+    * moves only (from, to) partial counts — K² rows for a K-type vocabulary,
+    * map-side combined — and the row totals re-join as a K-row broadcast.
+    * The event stream itself is never shuffled a second time. `p` is one
+    * exact integer division, so a plain-SQL oracle matches bit-for-bit. */
+  def transitions(df: DataFrame, entityCol: String, tsCol: String,
+                  typeCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val pairs = df
+      .withColumn("graft_prev", lag(col(typeCol), 1).over(w))
+      .where(col("graft_prev").isNotNull)
+      .groupBy(col("graft_prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("graft_tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("graft_tot")).as("p"))
+  }
 }
