@@ -555,6 +555,21 @@ object SparkEntry {
         s"$out/data", s"$out/ckpt")
     }),
 
+    // windowed drift monitor (v02's streaming form): per closed 1-hour
+    // window, PSI of the window's event-type mix against the full-corpus
+    // histogram. The reference is a K-row bounded driver seam compiled to
+    // literals; per-window state is exactly K+2 longs in ONE stateful agg.
+    "st10_stream_drift" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = graft.util.Scratch.dir(s"graft-st10-$run")
+      val ref = Lake.table(s, dir, "events").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      graft.streaming.EventsStream.runAvailableNowToFiles(s, dir,
+        ev => graft.streaming.EventsStream.windowedDrift(ev, ref),
+        s"$out/data", s"$out/ckpt")
+    }),
+
     // stream-static enrichment: the events stream joined to the static
     // customer dimension, run through the production Append file sink. No
     // state store — every micro-batch joins against the dimension and emits,
@@ -1915,6 +1930,44 @@ object SparkEntry {
         |WHERE window_start + INTERVAL 1 HOUR
         |      <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR
         |GROUP BY 1, 2""".stripMargin,
+    // st10: st01's finalization cut, then the v02 PSI construction per
+    // window — integer counts, IEEE divisions, ln quantized at 1e-9, exact
+    // decimal total. The other bin's count is n_events minus the known sum.
+    "st10_stream_drift" ->
+      """WITH ref AS (
+        |  SELECT event_type, count(*) AS rn FROM events GROUP BY 1),
+        |rt AS (
+        |  SELECT CAST(sum(rn) AS BIGINT) AS refn, count(*) + 1 AS b FROM ref),
+        |w AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, event_type
+        |  FROM events
+        |  WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR
+        |        <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR),
+        |cur AS (SELECT window_start, count(*) AS n_events FROM w GROUP BY 1),
+        |counts AS (
+        |  SELECT window_start, event_type, count(*) AS n FROM w GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT c.window_start, c.n_events, r.rn, coalesce(k.n, 0) AS n
+        |  FROM cur c CROSS JOIN ref r
+        |  LEFT JOIN counts k ON k.window_start = c.window_start
+        |                    AND k.event_type = r.event_type),
+        |known AS (SELECT window_start, sum(n) AS kn FROM grid GROUP BY 1),
+        |bins AS (
+        |  SELECT window_start, n_events, rn, n FROM grid
+        |  UNION ALL
+        |  SELECT c.window_start, c.n_events, 0 AS rn,
+        |    c.n_events - k.kn AS n
+        |  FROM cur c JOIN known k USING (window_start)),
+        |terms AS (
+        |  SELECT window_start, n_events,
+        |    round((rp - cp) * round(ln(rp / cp), 9), 9) AS term
+        |  FROM (SELECT window_start, n_events,
+        |          CAST(rn + 1 AS DOUBLE) / (refn + b) AS rp,
+        |          CAST(n + 1 AS DOUBLE) / (n_events + b) AS cp
+        |        FROM bins, rt))
+        |SELECT window_start, n_events,
+        |  CAST(sum(CAST(term AS DECIMAL(20,9))) AS DOUBLE) AS psi
+        |FROM terms GROUP BY 1, 2""".stripMargin,
     "st05_stream_dedup" ->
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
@@ -91,6 +91,56 @@ object EventsStream {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("value_sum"))
+
+  /** Windowed distribution-drift monitor — [[graft.operators.Drift]]'s PSI
+    * brought to the stream: for each closed 1-hour window, the Population
+    * Stability Index of the window's `event_type` distribution against a
+    * FIXED reference histogram (typically last month's corpus — the
+    * continuously-running form of the v02 between-snapshots check, alerting
+    * the moment one hour of traffic stops looking like the reference).
+    *
+    * `refHist` is the reference's (type, count) histogram — K rows, a
+    * bounded driver seam like the k-means centroid seeds: its types + counts
+    * compile into the aggregation as literals. Types outside the reference
+    * vocabulary fold into one `other` bin, so the per-window state is
+    * EXACTLY K+2 longs (K type counts, the other count, the total) no
+    * matter what the stream sends — model-bounded state on top of the
+    * watermark bound, and ONE stateful aggregation (append-mode safe; a
+    * naive count-then-total chain would be two).
+    *
+    * Determinism: counts are integers, both smoothed probabilities are
+    * single IEEE divisions (the reference side constant-folds to the same
+    * division the oracle runs), ln is quantized at 1e-9 per bin (K+1
+    * bounded sites) and the PSI is an exact decimal sum of the quantized
+    * terms — the [[graft.operators.Drift.psi]] contract, replayable in
+    * plain SQL over the closed windows. */
+  def windowedDrift(events: DataFrame, refHist: Seq[(String, Long)]): DataFrame = {
+    require(refHist.nonEmpty, "windowedDrift needs a reference histogram")
+    val b = refHist.size + 1L            // bins: K reference types + other
+    val refN = refHist.map(_._2).sum
+    val types = refHist.map(_._1)
+    val aggs = refHist.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"graft_n$i")
+    } ++ Seq(
+      sum(when(col("event_type").isin(types: _*), 0L).otherwise(1L))
+        .as("graft_other"),
+      count(lit(1)).as("n_events"))
+    val counted = events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    // add-one smoothing over the K+1 union bins; ref_p constant-folds
+    def term(cur: Column, refCnt: Long): Column = {
+      val rp = lit(refCnt + 1L).cast("double") / lit(refN + b)
+      val cp = (cur + lit(1L)).cast("double") / (col("n_events") + lit(b))
+      round((rp - cp) * round(log(rp / cp), 9), 9)
+    }
+    val terms = refHist.zipWithIndex.map { case ((_, rn), i) =>
+      term(col(s"graft_n$i"), rn)
+    } :+ term(col("graft_other"), 0L)
+    counted.select(col("w.start").as("window_start"), col("n_events"),
+      terms.map(_.cast("decimal(20,9)")).reduce(_ + _).cast("double").as("psi"))
+  }
 
   /** TEST/VERIFY HARNESS ONLY: run a streaming aggregation to completion and
     * return the complete result via the in-memory sink. `Complete` + memory

@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
       batch.orderBy("window_start", "event_type").collect().toSeq)
   }
 
+  test("windowed drift PSI equals the batch twin; a reference missing a type " +
+       "folds it into the other bin (finite, positive drift)") {
+    val ev = Lake.table(spark, sf0001, "events")
+    val ref = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val out = graft.util.Scratch.dir("graft-st10-test")
+    val streamed = EventsStream.runAvailableNowToFiles(spark, sf0001,
+      e => EventsStream.windowedDrift(e, ref), s"$out/data", s"$out/ckpt")
+    // withWatermark is a no-op on batch input, so the operator IS its twin
+    val mx = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val batch = EventsStream.windowedDrift(ev, ref)
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 2 HOURS"))
+    assert(streamed.count() > 0)
+    assert(streamed.orderBy("window_start").collect().toSeq ==
+      batch.orderBy("window_start").collect().toSeq)
+    // drop one reference type: its events fold into the other bin — every
+    // window's PSI stays finite and positive, and the corpus-mean drift
+    // rises clearly (a ~20%-mass type now reads as fully novel traffic)
+    val dropped = ref.filterNot(_._1 == ref.head._1)
+    val fullPsi = batch.select(col("psi")).collect().map(_.getDouble(0))
+    val dropPsi = EventsStream.windowedDrift(ev, dropped)
+      .filter(col("window_start") + expr("INTERVAL 1 HOUR") <=
+        lit(mx) - expr("INTERVAL 2 HOURS"))
+      .select(col("psi")).collect().map(_.getDouble(0))
+    dropPsi.foreach(p => assert(!p.isNaN && !p.isInfinite && p > 0.0))
+    assert(dropPsi.sum / dropPsi.length > fullPsi.sum / fullPsi.length,
+      "mean drift must rise when a major reference type goes missing")
+  }
+
   test("flatMapGroupsWithState sessionization emits watermark-expired sessions " +
     "that match the batch formulation") {
     import spark.implicits._
