@@ -1059,6 +1059,17 @@ object SparkEntry {
           col("symbol_ratio"), col("stopword_ratio"), col("dup_bigram_frac"),
           col("keep").cast("int").as("keep"))),
 
+    // domain-level curation gate (FineWeb/Dolma pattern): per-SOURCE
+    // dup-rate + stub-fraction signals, broadcast back to gate every doc.
+    // One wide exchange carries (source, fingerprint, short-flag) only; the
+    // doc side never shuffles. kept cast to int (t06's boolean convention).
+    "t20_source_curation" -> ((s, dir) =>
+      graft.operators.SourceCuration.curate(
+        t(s, dir, "documents").select(col("doc_id"), col("text"), col("source")),
+        "doc_id", "text", "source")
+        .select(col("doc_id"), col("source"), col("src_dup_rate"),
+          col("src_short_frac"), col("kept").cast("int").as("kept"))),
+
     // deterministic stratified sampling (domain mixing): exactly
     // ceil(0.25 * |stratum|) docs per source, chosen by md5-of-id rank —
     // content-keyed, so the identical row set falls out of any engine.
@@ -2468,6 +2479,28 @@ object SparkEntry {
         |      < CAST(q.quota AS DOUBLE) / CAST(q.n AS DOUBLE)""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
+    // t20: distinct normalized texts stand in for distinct fingerprints
+    // (the d02 contract); each signal is one IEEE division of exact integer
+    // counts, so the doubles and the threshold verdict match bit-for-bit.
+    "t20_source_curation" ->
+      """WITH fp AS (
+        |  SELECT source, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    count(*) AS n,
+        |    sum(CASE WHEN length(text) < 120 THEN 1 ELSE 0 END) AS n_short
+        |  FROM documents GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT source,
+        |    CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) - count(*) AS BIGINT) AS n_dup,
+        |    CAST(sum(n_short) AS BIGINT) AS n_short
+        |  FROM fp GROUP BY 1)
+        |SELECT d.doc_id, d.source,
+        |  CAST(s.n_dup AS DOUBLE) / s.n_docs AS src_dup_rate,
+        |  CAST(s.n_short AS DOUBLE) / s.n_docs AS src_short_frac,
+        |  CAST(CAST(s.n_dup AS DOUBLE) / s.n_docs <= 0.02
+        |    AND CAST(s.n_short AS DOUBLE) / s.n_docs <= 0.15
+        |    AND length(d.text) >= 120 AS INT) AS kept
+        |FROM documents d JOIN stats s USING (source)""".stripMargin,
     "t06_quality_filter" ->
       """WITH f AS (
         |  SELECT doc_id, text,
