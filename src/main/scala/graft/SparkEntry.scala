@@ -1396,6 +1396,13 @@ object SparkEntry {
       graft.operators.Clustering.kmeansStep(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)),
 
+    // JL random projection 64 -> 16 dims (Achlioptas +-1 signs from md5
+    // parity): a pure narrow map — the sign matrix is literals, zero
+    // exchanges at any scale. Exact integer sums, one final IEEE division.
+    "x03_random_projection" -> ((s, dir) =>
+      graft.operators.Projection.randomProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", dIn = 64, dOut = 16)),
+
     // per-language length-band filter: drop the shortest 5% and longest 5% of
     // docs within each language — the adaptive length cut of corpus curation
     // (a global cutoff over mixed languages removes the wrong docs; CJK runs
@@ -3043,6 +3050,30 @@ object SparkEntry {
     // same exact-decimal mean — the centroids must agree bit-for-bit. Seeds
     // are derived exactly as the operator does (k lowest vec_ids via ORDER BY
     // + LIMIT), not a hardcoded id predicate that assumes 0-based contiguity.
+    // x03: parallel unnests zip value with ordinal; the sign is the parity
+    // of md5's first hex digit — exactly Projection.sign's construction.
+    // Sums are exact BIGINTs; the one division's divisor (1e6 * sqrt(16))
+    // is binary-exact, so y matches Spark bit-for-bit.
+    "x03_random_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    unnest(embedding) AS x,
+        |    unnest(range(1, len(embedding) + 1)) AS j
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, j,
+        |    CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS qx
+        |  FROM e),
+        |ks AS (SELECT unnest(range(1, 17)) AS k),
+        |s AS (
+        |  SELECT vec_id, k,
+        |    sum(CASE WHEN substr(md5(j || '_' || k), 1, 1)
+        |               IN ('0','2','4','6','8','a','c','e')
+        |             THEN qx ELSE -qx END) AS qsum
+        |  FROM q CROSS JOIN ks GROUP BY 1, 2)
+        |SELECT vec_id, CAST(k AS INT) AS k,
+        |  CAST(qsum AS DOUBLE) / 4000000 AS y
+        |FROM s""".stripMargin,
     "x02_kmeans_step" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,
