@@ -693,6 +693,47 @@ object Scaling {
       stateRows,
       scaleLabel = "x1000")
 
+    // ---- st10 windowed drift at x100 event DENSITY (constant time span) ----
+    // The drift monitor's state contract is stronger than the joins'
+    // watermark-linear bound: ONE state row per open window holding K+2
+    // longs, independent of event volume. The fixture that isolates exactly
+    // that claim replicates events 100x with fresh ids and UNSHIFTED
+    // timestamps — same 1-hour windows, 100x the rows per window. state_rows
+    // must come back EQUAL across the two scales (window-bound, never
+    // event-bound) and wall at-most-linear in events; output rows equal too
+    // (one PSI row per closed window at both scales).
+    lazy val evDense100Dir = writeEventsFixture(
+      events.crossJoin(spark.range(100).withColumnRenamed("id", "copy"))
+        .withColumn("event_id", col("event_id") + col("copy") * 1000000000L)
+        .drop("copy"),
+      "evdense100")
+    // fixed reference histogram from the 1x corpus — the deployment shape
+    // (reference = the corpus you tuned on, stream = whatever arrives)
+    lazy val driftRef = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).orderBy(col("event_type"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    def driftRun(dir: String): DataFrame = {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val out = graft.util.Scratch.dir(s"graft-scale-st10-$run")
+      val (df, state, stateMem) = graft.streaming.EventsStream
+        .runAvailableNowToFilesWithState(spark, dir,
+          ev => graft.streaming.EventsStream.windowedDrift(ev, driftRef),
+          s"$out/data", s"$out/ckpt")
+      lastStreamState = state
+      lastStreamStateMem = stateMem
+      df
+    }
+    record("st10_stream_drift_x100density",
+      () => driftRun(evBaseDir),
+      () => driftRun(evDense100Dir),
+      "windowed drift PSI at x100 event DENSITY (fresh ids, unshifted ts -> " +
+        "identical 1-hour windows): state is one row of K+2 longs per open " +
+        "window, so state_rows must stay EQUAL across scales while wall " +
+        "grows at most linearly in events; rows_ratio stays 1.0 (one PSI " +
+        "row per closed window at both scales)",
+      stateRows,
+      scaleLabel = "x100")
+
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",
       ",", "}}")
