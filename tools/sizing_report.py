@@ -55,6 +55,7 @@ DOMINANT = {
     "t17_dsir_resample": "documents", "t18_unimax_mix": "documents",
     "t19_temperature_mix": "documents", "d12_incremental_dedup": "documents",
     "v02_drift_psi": "documents", "e04_transitions": "events",
+    "t20_source_curation": "documents", "x03_random_projection": "embeddings",
 }
 
 
@@ -123,6 +124,16 @@ for op, m in base["ops"].items():
 # Per-op explanations for rows whose growth column is far from 1.0 — the
 # sheet must say WHY a ratio moved, or the number invites wrong conclusions.
 FLAG_NOTES = {
+    "t20_source_curation":
+        "one wide exchange of pre-combined (source, fingerprint, short-flag) "
+        "triples, ~19 B/doc stable across the decade; the S-row stats table "
+        "broadcasts back, so the gate itself moves nothing. Budget this op "
+        "as one fingerprint-dedup-shaped pass.",
+    "x03_random_projection":
+        "ZERO shuffle bytes at both scales, by construction and measured: "
+        "the +-1 sign matrix compiles to literals and the projection fuses "
+        "into the scan as a narrow map (ProjectionSpec pins no-Exchange). "
+        "The 100 TB cost is scan + CPU only.",
     "d03_minhash_pairs":
         "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
         "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
