@@ -969,6 +969,14 @@ object SparkEntry {
     // squared-L2 argmin, cosine ≥ eps, survivor rule — is bit-identical on
     // any engine (see operators.SemDedup scaladoc); the oracle recomputes the
     // whole pass exactly, no approx gate needed at any scale.
+    // MOSS winnowing fingerprints (Schleimer et al. 2003): window-min k-gram
+    // hashes, rightmost tie — the position-robust passage signature. Whole
+    // selection compiles into the row; zero exchanges (WinnowingSpec).
+    "t21_winnow_fingerprints" -> ((s, dir) =>
+      graft.operators.Winnowing.fingerprints(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 5, w = 4)),
+
     "d11_semdedup" -> ((s, dir) =>
       graft.operators.SemDedup.semDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, eps = 0.45)
@@ -2486,6 +2494,33 @@ object SparkEntry {
         |      < CAST(q.quota AS DOUBLE) / CAST(q.n AS DOUBLE)""".stripMargin,
     // identical stat constructions to t01/t05 (tokens from lower(trim(text)),
     // bigrams from lower(text)); all ratios are exact int/int divisions.
+    // t21: row-based winnowing twin — per (doc, window), row_number over
+    // (hash asc, pos desc) picks the rightmost minimum; DISTINCT collapses
+    // overlapping windows. Hashes are the portable md5-60bit contract.
+    "t21_winnow_fingerprints" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s, CAST(length(s) - 4 AS BIGINT) AS m
+        |  FROM n WHERE length(s) >= 5),
+        |h AS (
+        |  SELECT doc_id, m, i,
+        |    CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15)
+        |      AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, s, m, unnest(range(1, m + 1)) AS i FROM g)),
+        |t AS (
+        |  SELECT doc_id, we, unnest(range(1, m - we + 2)) AS t
+        |  FROM (SELECT doc_id, m, least(4, m) AS we FROM g)),
+        |sel AS (
+        |  SELECT doc_id, i, fp FROM (
+        |    SELECT t.doc_id, t.t, h.i, h.fp,
+        |      row_number() OVER (PARTITION BY t.doc_id, t.t
+        |                         ORDER BY h.fp ASC, h.i DESC) AS rn
+        |    FROM t JOIN h ON h.doc_id = t.doc_id
+        |                 AND h.i BETWEEN t.t AND t.t + t.we - 1)
+        |  WHERE rn = 1)
+        |SELECT DISTINCT doc_id, i AS pos, fp FROM sel""".stripMargin,
     // t20: distinct normalized texts stand in for distinct fingerprints
     // (the d02 contract); each signal is one IEEE division of exact integer
     // counts, so the doubles and the threshold verdict match bit-for-bit.

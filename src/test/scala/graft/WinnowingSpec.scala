@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.Winnowing
+import graft.sources.Lake
+import org.apache.spark.sql.functions._
+
+class WinnowingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent driver-side winnowing (same contract, separate code path). */
+  private def winnowRef(text: String, k: Int = 5, w: Int = 4): Set[(Long, Long)] = {
+    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (s.length < k) return Set.empty
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = (1 to s.length - k + 1).map { i =>
+      val hex = md.digest(s.substring(i - 1, i - 1 + k).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val we = math.min(w, hs.length)
+    (1 to hs.length - we + 1).map { t =>
+      // argmin, rightmost on ties
+      val (h, p) = (t until t + we).map(p => (hs(p - 1), p))
+        .minBy { case (h, p) => (h, -p) }
+      (p.toLong, h)
+    }.toSet
+  }
+
+  test("matches an independent reimplementation on real documents") {
+    val docs = Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Winnowing.fingerprints(
+        Lake.table(spark, sf0001, "documents"), "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(got.keySet == docs.keySet.filter(id => docs(id).trim.length >= 5))
+    got.foreach { case (id, fps) =>
+      assert(fps == winnowRef(docs(id)), s"doc $id")
+    }
+  }
+
+  test("shared-passage guarantee: docs sharing a substring of length >= w+k-1 " +
+       "share a fingerprint hash at any offset; disjoint docs share none") {
+    val passage = "the quick brown fox jumps over the lazy dog near the bank"
+    val df = Seq(
+      (1L, s"XXXX YYYY $passage ZZZZ"),
+      (2L, s"completely different preamble words here $passage and a tail"),
+      (3L, "unrelated content about weather patterns in antarctica today")
+    ).toDF("doc_id", "text")
+    val fps = Winnowing.fingerprints(df, "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "planted shared passage must fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint texts must not collide")
+  }
+
+  test("density ~ 2/(w+1): selected fraction within [1/(w+1), 3/(w+1)] on " +
+       "real docs") {
+    val docs = Lake.table(spark, sf0001, "documents")
+    val k = 5
+    val nGrams = docs.select(
+        sum(greatest(length(regexp_replace(lower(trim(col("text"))), "\\s+", " "))
+          - (k - 1), lit(0))).as("g"))
+      .head().getLong(0)
+    val nSel = Winnowing.fingerprints(docs, "doc_id", "text").count()
+    val density = nSel.toDouble / nGrams
+    assert(density > 1.0 / 5 && density < 3.0 / 5,
+      s"winnowing density out of range for w=4: $density")
+  }
+
+  test("plan: winnowing is a pure narrow map — zero exchanges") {
+    val plan = Winnowing.fingerprints(
+        Lake.table(spark, sf0001, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"selection must stay inside the row with no shuffle:\n$plan")
+  }
+}
