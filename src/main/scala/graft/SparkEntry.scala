@@ -977,6 +977,14 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", k = 5, w = 4)),
 
+    // passage-overlap pairs over the winnowed index: the fp-keyed exchange
+    // carries ~2/(w+1) of d10's every-gram volume (SIZING d13 vs d10); the
+    // maxDocFreq boilerplate prune is contractual and oracle-modeled.
+    "d13_winnow_overlap" -> ((s, dir) =>
+      graft.operators.Winnowing.overlapPairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 16, w = 8, minShared = 8, maxDocFreq = 1000)),
+
     "d11_semdedup" -> ((s, dir) =>
       graft.operators.SemDedup.semDedup(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16, eps = 0.45)
@@ -2521,6 +2529,39 @@ object SparkEntry {
         |                 AND h.i BETWEEN t.t AND t.t + t.we - 1)
         |  WHERE rn = 1)
         |SELECT DISTINCT doc_id, i AS pos, fp FROM sel""".stripMargin,
+    // d13: t21's selection, then distinct (doc, fp), the same <=1000-doc
+    // prune, and pair counting — every step integer-exact.
+    "d13_winnow_overlap" ->
+      """WITH n AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS s
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, s, CAST(length(s) - 15 AS BIGINT) AS m
+        |  FROM n WHERE length(s) >= 16),
+        |h AS (
+        |  SELECT doc_id, m, i,
+        |    CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 16)), 1, 15)
+        |      AS BIGINT) AS fp
+        |  FROM (SELECT doc_id, s, m, unnest(range(1, m + 1)) AS i FROM g)),
+        |t AS (
+        |  SELECT doc_id, we, unnest(range(1, m - we + 2)) AS t
+        |  FROM (SELECT doc_id, m, least(8, m) AS we FROM g)),
+        |sel AS (
+        |  SELECT doc_id, i, fp FROM (
+        |    SELECT t.doc_id, t.t, h.i, h.fp,
+        |      row_number() OVER (PARTITION BY t.doc_id, t.t
+        |                         ORDER BY h.fp ASC, h.i DESC) AS rn
+        |    FROM t JOIN h ON h.doc_id = t.doc_id
+        |                 AND h.i BETWEEN t.t AND t.t + t.we - 1)
+        |  WHERE rn = 1),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        |keep AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 1000),
+        |j AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM fps a JOIN fps b USING (fp) JOIN keep USING (fp)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, count(*) AS shared_fps
+        |FROM j GROUP BY 1, 2 HAVING count(*) >= 8""".stripMargin,
     // t20: distinct normalized texts stand in for distinct fingerprints
     // (the d02 contract); each signal is one IEEE division of exact integer
     // counts, so the doubles and the threshold verdict match bit-for-bit.

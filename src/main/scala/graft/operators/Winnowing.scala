@@ -65,4 +65,38 @@ object Winnowing {
       .select(col("id").as(idCol),
         col("s.p").cast("long").as("pos"), col("s.h").as("fp"))
   }
+
+  /** Passage-overlap pairs over the winnowed index — the detection pass the
+    * fingerprints exist for: docs sharing ≥ `minShared` distinct selected
+    * hashes, with the shared count. The inverted-index self-join runs on the
+    * ~2/(w+1)-dense fingerprint set instead of every gram (d10's exchange),
+    * so the fp-keyed shuffle carries ~40% of the rows at w = 4 — measured
+    * next to d10 in SIZING. `maxDocFreq` drops hashes present in more than
+    * that many docs (ubiquitous boilerplate phrases — each contributes
+    * df² pair rows); the prune is part of the operator CONTRACT and the
+    * oracle models it exactly, so output stays bit-exact: a pair's shared
+    * count simply excludes ubiquitous passages by definition.
+    *
+    * Output: `(a_id, b_id, shared_fps)`, a_id < b_id. */
+  def overlapPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 5, w: Int = 4, minShared: Long = 8,
+                   maxDocFreq: Long = 1000): DataFrame = {
+    require(minShared >= 1 && maxDocFreq >= 1,
+      s"bad overlap params: minShared=$minShared maxDocFreq=$maxDocFreq")
+    // distinct hashes per doc fall out of the per-row arrays — no exchange
+    // spent on row-level distinct before the index join
+    // collect_set dedups a doc repeating the same hash at several positions,
+    // so df and the pair counts are over DISTINCT (doc, hash) pairs
+    val dfp = fingerprints(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_set(col("id")).as("ids"))
+      .where(size(col("ids")) <= maxDocFreq)
+    dfp.select(explode(col("ids")).as("a_id"), col("ids"))
+      .select(col("a_id"), explode(col("ids")).as("b_id"))
+      .where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }

@@ -70,6 +70,31 @@ class WinnowingSpec extends SparkSpec {
       s"winnowing density out of range for w=4: $density")
   }
 
+  test("overlapPairs finds planted shared passages, counts DISTINCT shared " +
+       "hashes, and the maxDocFreq prune drops ubiquitous phrases exactly") {
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val boiler = "all rights reserved contact us terms of service apply here"
+    val df = Seq(
+      (1L, s"alpha beta gamma $passage delta $boiler"),
+      (2L, s"totally different opening words $passage closing remarks $boiler"),
+      (3L, s"unrelated text about glaciers and penguins in the far south $boiler")
+    ).toDF("doc_id", "text")
+    val pairs = Winnowing.overlapPairs(df, "doc_id", "text", minShared = 1,
+        maxDocFreq = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.contains((1L, 2L)), "planted passage pair missing")
+    // with the boilerplate phrase in all 3 docs, pruning at df <= 2 must
+    // remove exactly the hashes shared by all three: (1,3)/(2,3) overlap
+    // (boilerplate only) disappears, (1,2) keeps its passage hashes
+    val pruned = Winnowing.overlapPairs(df, "doc_id", "text", minShared = 1,
+        maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pruned.contains((1L, 2L)))
+    assert(!pruned.contains((1L, 3L)) && !pruned.contains((2L, 3L)),
+      "boilerplate-only overlap must vanish under the df prune")
+    assert(pruned((1L, 2L)) <= pairs((1L, 2L)))
+  }
+
   test("plan: winnowing is a pure narrow map — zero exchanges") {
     val plan = Winnowing.fingerprints(
         Lake.table(spark, sf0001, "documents"), "doc_id", "text")
