@@ -47,7 +47,8 @@ object Sizing {
     "d11_semdedup", "t15_lm_perplexity", "d05_ngram_jaccard_t08",
     "t16_dsir_weights", "t17_dsir_resample", "t18_unimax_mix",
     "t19_temperature_mix", "d12_incremental_dedup", "v02_drift_psi",
-    "e04_transitions", "t20_source_curation", "x03_random_projection")
+    "e04_transitions", "t20_source_curation", "x03_random_projection",
+    "t21_winnow_fingerprints", "d13_winnow_overlap")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

@@ -56,6 +56,7 @@ DOMINANT = {
     "t19_temperature_mix": "documents", "d12_incremental_dedup": "documents",
     "v02_drift_psi": "documents", "e04_transitions": "events",
     "t20_source_curation": "documents", "x03_random_projection": "embeddings",
+    "t21_winnow_fingerprints": "documents", "d13_winnow_overlap": "documents",
 }
 
 
@@ -134,6 +135,20 @@ FLAG_NOTES = {
         "the +-1 sign matrix compiles to literals and the projection fuses "
         "into the scan as a narrow map (ProjectionSpec pins no-Exchange). "
         "The 100 TB cost is scan + CPU only.",
+    "t21_winnow_fingerprints":
+        "ZERO shuffle bytes at both scales: selection (grams, hashes, "
+        "window argmins, overlap dedup) runs entirely inside per-row "
+        "higher-order functions (WinnowingSpec pins no-Exchange). The "
+        "100 TB cost is scan + CPU; only downstream consumers shuffle the "
+        "~2/(w+1)-dense (id, pos, fp) rows.",
+    "d13_winnow_overlap":
+        "the fp-keyed index is the winnowed ~2/(w+1) subset of grams "
+        "(vs d10's every-position exchange), but the PAIR term grows with "
+        "duplication density like d05: the sf1 lake's ~11-copy groups emit "
+        "C(11,2) pair rows per shared fingerprint (~62M of the 68M records "
+        "here). maxDocFreq caps the worst case (a boilerplate fp in df docs "
+        "costs df^2); budget the pair term from YOUR corpus's dup density, "
+        "not corpus size.",
     "d03_minhash_pairs":
         "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
         "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
