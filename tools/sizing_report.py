@@ -142,13 +142,15 @@ FLAG_NOTES = {
         "100 TB cost is scan + CPU; only downstream consumers shuffle the "
         "~2/(w+1)-dense (id, pos, fp) rows.",
     "d13_winnow_overlap":
-        "the fp-keyed index is the winnowed ~2/(w+1) subset of grams "
-        "(vs d10's every-position exchange), but the PAIR term grows with "
-        "duplication density like d05: the sf1 lake's ~11-copy groups emit "
-        "C(11,2) pair rows per shared fingerprint (~62M of the 68M records "
-        "here). maxDocFreq caps the worst case (a boilerplate fp in df docs "
-        "costs df^2); budget the pair term from YOUR corpus's dup density, "
-        "not corpus size.",
+        "the fp-keyed index is the winnowed ~2/(w+1) subset of grams (3.2M "
+        "rows at sf1, vs d10's every-position exchange), but the PAIR term "
+        "grows with duplication density like d05: measured at sf1, 101.7M "
+        "raw pair rows over 73.6M DISTINCT pairs (most share exactly one "
+        "16-gram — cross-mutation collisions), which map-side combine cuts "
+        "to the ~62M crossing this exchange; the volume is the candidate "
+        "space itself, not an agg inefficiency. maxDocFreq caps the "
+        "boilerplate worst case (a fp in df docs costs df^2); budget the "
+        "pair term from YOUR corpus's dup density, not corpus size.",
     "d03_minhash_pairs":
         "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
         "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
