@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: the whole selection runs INSIDE compiled higher-order
   * functions — grams, hashes, window minima are per-row arrays; only the
   * final `(id, pos, fp)` explode leaves the row, and no shuffle exists at
-  * all (plan-pinned zero-Exchange in WinnowingSpec). O(len · w) per doc.
+  * all (plan-pinned zero-Exchange in WinnowingSpec). O(len) per doc — the
+  * selection is [[graft.functions.HashExpressions.WinnowSelect]]'s compiled
+  * monotonic-deque pass.
   * Downstream overlap detection groups the ~2/(w+1)-dense fingerprints —
   * a fraction of d10's every-position shingle exchange.
   *
@@ -38,30 +40,19 @@ object Winnowing {
                    k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    // bind the hash array once; every window read is an element_at
+    // gram hashes stay declarative (md5/conv are codegen'd builtins); the
+    // window-min selection runs in the compiled O(m) monotonic-deque
+    // expression [[H.WinnowSelect]] — the interpreted per-window aggregate
+    // formulation measured ~10 s over sf0.1's 5k docs, the compiled pass is
+    // the same contract (argmin, rightmost tie, overlap-deduped) in one loop
     val prepared = df
       .select(col(idCol).as("id"), norm.as("_norm"))
       .where(length(col("_norm")) >= k)
       .select(col("id"),
         transform(sequence(lit(1), length(col("_norm")) - (k - 1)),
           i => H.md5Hash60(col("_norm").substr(i, lit(k)))).as("_hs"))
-    val m = size(col("_hs"))
-    val wEff = least(lit(w), m)
-    // per window t: argmin hash, rightmost wins ties (<= keeps later offsets)
-    val selected = transform(sequence(lit(1), m - wEff + 1), t =>
-      aggregate(sequence(lit(0), wEff - 1),
-        struct(lit(Long.MaxValue).as("h"), lit(0).as("p")),
-        (acc, o) => {
-          val p = t + o
-          val h = element_at(col("_hs"), p)
-          when(h <= acc.getField("h"), struct(h.as("h"), p.as("p")))
-            .otherwise(acc)
-        }))
-    // array_distinct is the complete per-doc dedup (a repeated (h, p) can
-    // only come from overlapping windows of the same doc) — no row-level
-    // distinct, which would cost the exchange this operator exists to avoid
     prepared
-      .select(col("id"), explode(array_distinct(selected)).as("s"))
+      .select(col("id"), explode(H.winnow_select(col("_hs"), w)).as("s"))
       .select(col("id").as(idCol),
         col("s.p").cast("long").as("pos"), col("s.h").as("fp"))
   }
