@@ -197,6 +197,34 @@ object Scaling {
       "10x docs, per-copy vowel rotation keeps copies mostly gram-disjoint " +
         "(1x dup structure preserved); hash-led shuffle must scale ~linearly")
 
+    // d13 at CONSTANT duplication density. Vowel rotation is NOT enough
+    // here: consonant/digit-only 16-grams survive it, so cross-copy pairs
+    // leak (measured rows x65 at x10 before switching). A per-copy Caesar
+    // shift of the WHOLE alphabet is injective, so 16-gram equality — and
+    // with it each copy's pair structure and shared counts — is preserved
+    // exactly within a copy, while cross-copy grams differ unless a gram
+    // is letter-free. The SIZING note blames d13's sf1 pair volume on the
+    // lake's planted ~11-copy density — this is the control: at constant
+    // density, pairs ~10x and wall at most ~linear, never docs^2.
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    def caesar(i: Int): String = alpha.drop(i) + alpha.take(i)
+    def docs10Caesar: DataFrame =
+      (0 until 10).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"), alpha, caesar(i))))
+        .reduce(_ unionAll _)
+    record("d13_winnow_overlap",
+      () => graft.operators.Winnowing.overlapPairs(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      () => graft.operators.Winnowing.overlapPairs(
+        docs10Caesar.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      "10x Caesar-shifted docs (constant dup density, copies 16-gram-" +
+        "disjoint up to letter-free grams): winnowed index ~10x, " +
+        "shared-passage pairs ~10x, wall at most ~linear in docs — the " +
+        "control row for the density-driven sf1 pair volume in SIZING")
+
     record("d03_minhash_pairs",
       () => Dedup.minhashPairs(docs.select(col("doc_id"), col("text")),
         "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32,
