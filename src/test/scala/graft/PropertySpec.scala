@@ -149,6 +149,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnow_select == brute-force per-window argmin under HEAVY ties " +
+       "(random small-range hash arrays) and on real-range hashes") {
+    // small value ranges force the tie path the corpus never exercises
+    // (60-bit hashes virtually never collide): the deque's pop-on->= must
+    // implement exactly "rightmost minimal position per window"
+    def brute(hs: IndexedSeq[Long], w: Int): Seq[(Int, Long)] = {
+      val we = math.min(w, hs.length)
+      (0 to hs.length - we).map { t =>
+        val p = (t until t + we).maxBy(p => (-hs(p), p)) // min hash, max pos
+        (p + 1, hs(p))
+      }.distinct
+    }
+    for (seed <- 1 to 30) {
+      val rnd = new Random(9000 + seed)
+      val range = Seq(2L, 4L, 16L, 1L << 60)(rnd.nextInt(4))
+      val w = 1 + rnd.nextInt(6)
+      val hs = IndexedSeq.fill(1 + rnd.nextInt(40))(rnd.nextLong(range))
+      val got = Seq(Tuple1(hs)).toDF("hs")
+        .select(explode(graft.functions.HashExpressions
+          .winnow_select(col("hs"), w)).as("s"))
+        .select(col("s.p"), col("s.h"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      assert(got == brute(hs, w), s"seed=$seed w=$w range=$range hs=$hs")
+    }
+  }
+
   test("merge snapshot == last-writer-wins reference fold (random changelogs)") {
     for (seed <- 1 to 6) {
       val rnd = new Random(400 + seed)
