@@ -63,12 +63,31 @@ object Similarity {
               centroids: Int = 16, nprobe: Int = 4,
               excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
-    val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
     // deterministic quantizer: the `centroids` lowest-id corpus vectors
     // (tiny driver collect — centroids × dim doubles)
     val cents2d: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(centroids)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    ivfTopK(corpus, queries, idCol, vecCol, k, cents2d, nprobe, excludeSelf)
+  }
+
+  /** IVF against an EXPLICIT centroid matrix — the trained-quantizer path
+    * the default overload's scaladoc promises: chain
+    * [[Clustering.kmeansStep]]'s `(cluster, dim_idx, centroid)` rows (or any
+    * externally trained codebook) in as `cents2d`. The machinery —
+    * assignment, inverted cells, probe join, exact re-rank — is the default
+    * path's, and full probe (`nprobe = cents2d.length`) remains exact by
+    * construction under ANY placement; placement only moves the
+    * partial-probe recall/cost curve (exercised in SimilaritySpec). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              cents2d: Array[Array[Double]], nprobe: Int,
+              excludeSelf: Boolean): DataFrame = {
+    require(cents2d.nonEmpty && nprobe >= 1 && nprobe <= cents2d.length,
+      s"ivfTopK: ${cents2d.length} centroids, nprobe=$nprobe")
+    val centroids = cents2d.length
+    val c = corpus.select(col(idCol).as("neighbor_id"), V.l2normalize(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), V.l2normalize(col(vecCol)).as("qv"))
     // dots against all centroids in one pass (same compiled primitive as LSH)
     def withDots(df: DataFrame, vec: String): DataFrame =
       df.withColumn("_cd", V.planeDots(col(vec), cents2d))

@@ -89,6 +89,38 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (exact1.size * 0.5).toInt, s"ivf recall too low: $hits/${exact1.size}")
   }
 
+  test("trained-centroid IVF: kmeansStep's codebook drives the explicit " +
+       "overload; full probe stays exact under ANY placement, and trained " +
+       "partial-probe recall is at least the id-seed quantizer's") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(e, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    // x02 -> s03: pivot one Lloyd step's (cluster, dim_idx, centroid) rows
+    val step = graft.operators.Clustering
+      .kmeansStep(e, "vec_id", "embedding", k = 8)
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(3)))
+    val cents = Array.ofDim[Double](8, 64)
+    step.foreach { case (c, d, v) => cents(c)(d) = v }
+
+    val full = Similarity.ivfTopK(e, queries, "vec_id", "embedding", k = 5,
+        cents2d = cents, nprobe = 8, excludeSelf = true)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(full === exact, "full probe must be exact under trained placement")
+
+    val exact1 = exact.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    def rank1Hits(df: org.apache.spark.sql.DataFrame): Int = {
+      val m = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+      exact1.count { case (q, n) => m.get(q).contains(n) }
+    }
+    val trained = rank1Hits(Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 1, cents2d = cents, nprobe = 3, excludeSelf = true))
+    val seeded = rank1Hits(Similarity.ivfTopK(e, queries, "vec_id", "embedding",
+      k = 1, dim = 64, centroids = 8, nprobe = 3))
+    assert(trained >= seeded,
+      s"trained placement must not lose to id-seeds: $trained < $seeded of ${exact1.size}")
+  }
+
   test("deterministic across runs (seeded hyperplanes)") {
     val e = Lake.table(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") === 3)
