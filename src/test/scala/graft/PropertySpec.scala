@@ -175,6 +175,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("source curation == plain-Scala fold (random corpora with planted " +
+       "dup-heavy and stub-heavy sources)") {
+    for (seed <- 1 to 6) {
+      val rnd = new Random(7100 + seed)
+      val nSrc = 2 + rnd.nextInt(5)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String)]
+      (1L to (20 + rnd.nextInt(60))).foreach { id =>
+        val src = s"s${rnd.nextInt(nSrc)}"
+        val text =
+          if (buf.nonEmpty && rnd.nextInt(4) == 0) {
+            // planted dup: an earlier text, sometimes case/space-mangled —
+            // normalization-equal, so it must count as a duplicate
+            val prev = buf(rnd.nextInt(buf.size))._2
+            if (rnd.nextBoolean()) "  " + prev.trim.toUpperCase.toLowerCase + " "
+            else prev
+          }
+          else if (rnd.nextInt(5) == 0)
+            rnd.alphanumeric.take(10 + rnd.nextInt(30)).mkString // stub-ish
+          else rnd.alphanumeric.take(61 + rnd.nextInt(200)).mkString
+        buf += ((id, text, src))
+      }
+      val docs = buf.toSeq
+      val got = graft.operators.SourceCuration.curate(
+          docs.toDF("doc_id", "text", "source"), "doc_id", "text", "source",
+          maxDupRate = 0.3, maxShortFrac = 0.4, minChars = 60)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+      val bySrc = docs.groupBy(_._3)
+      val stats = bySrc.view.mapValues { g =>
+        val n = g.size
+        val dup = n - g.map(_._2.trim.toLowerCase.replaceAll("\\s+", " ")).distinct.size
+        val short = g.count(_._2.length < 60)
+        (dup.toDouble / n, short.toDouble / n)
+      }.toMap
+      docs.foreach { case (id, text, src) =>
+        val (dr, sf) = stats(src)
+        val kept = dr <= 0.3 && sf <= 0.4 && text.length >= 60
+        assert(got(id) == ((dr, sf, kept)), s"seed=$seed doc=$id")
+      }
+    }
+  }
+
   test("merge snapshot == last-writer-wins reference fold (random changelogs)") {
     for (seed <- 1 to 6) {
       val rnd = new Random(400 + seed)
