@@ -108,4 +108,32 @@ class ShuffleMetricsSpec extends SparkSpec {
     assert(total < corpusTextBytes / 10,
       s"contamination shuffled $total B vs $corpusTextBytes B of corpus text")
   }
+
+  test("winnowed fingerprint index shuffles ~2/(w+1) of the every-gram index") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{HashExpressions => H}
+    // same normalization, same hash, same downstream shape (group by fp) —
+    // the only difference is winnowing's window-min selection, so the byte
+    // ratio IS the selection density (theory 2/(w+1) = 0.4 at w = 4)
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val winnowed = graft.operators.Winnowing
+      .fingerprints(docs, "doc_id", "text", k = 5, w = 4)
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val norm = regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+    val everyGram = docs.select(col("doc_id"), norm.as("_n"))
+      .where(length(col("_n")) >= 5)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("_n")) - 4),
+        i => H.md5Hash60(col("_n").substr(i, lit(5))))).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val wb = shuffleWriteBytes(winnowed)
+    val ab = shuffleWriteBytes(everyGram)
+    assert(wb > 0 && ab > 0)
+    // bytes understate the row ratio: the every-gram side's repeats combine
+    // map-side while winnowed mins are mostly distinct (measured 0.51x here
+    // vs the 0.40 row-density theory) — pin the saving with headroom
+    assert(wb * 5 < ab * 3 && wb * 10 > ab,
+      s"winnowed index shuffled $wb B vs every-gram $ab B — expected ~0.5x")
+  }
 }
