@@ -225,6 +225,87 @@ object Scaling {
         "shared-passage pairs ~10x, wall at most ~linear in docs — the " +
         "control row for the density-driven sf1 pair volume in SIZING")
 
+    // d13 second decade at CONSTANT duplication density: 100 distinct
+    // affine ciphers x -> a*x + b (mod 26) over the letter alphabet, with
+    // multiplier a a unit mod 26 — each is an alphabet permutation, so
+    // 16-gram equality (and each copy's pair structure) is preserved exactly
+    // within a copy. Two distinct affine maps with equal multipliers agree
+    // on ZERO letters; with different multipliers on at most
+    // gcd(a1-a2, 26) = 2 letters — so cross-copy grams differ unless
+    // essentially letter-free, the same caveat the x10 Caesar row measures
+    // as negligible. (A Caesar x digit-rotation product fixture was tried
+    // first and leaked x3383 pairs: copies sharing the Caesar shift differ
+    // only in digits, making sibling docs near-identical.) Pins the x10
+    // claim one decade deeper: pairs ~100x (planted density), wall ~linear.
+    val affineMults = Seq(1, 3, 5, 7)
+    def affine(a: Int, b: Int): String =
+      (0 until 26).map(x => alpha((a * x + b) % 26)).mkString
+    def docs100Affine: DataFrame =
+      (0 until 100).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit((i + 1) * 1000000L))
+        .withColumn("text",
+          translate(col("text"), alpha, affine(affineMults(i % 4), i / 4))))
+        .reduce(_ unionAll _)
+        .select(col("doc_id"), col("text"))
+    record("d13_winnow_overlap_x100",
+      () => graft.operators.Winnowing.overlapPairs(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      () => graft.operators.Winnowing.overlapPairs(
+        docs100Affine, "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      "x100 docs (25 Caesar shifts x 4 digit rotations, all injective) at " +
+        "constant dup density: copies 16-gram-disjoint up to letter-and-" +
+        "digit-free grams, so pairs ~100x (planted density), wall ~linear " +
+        "in docs one decade past the x10 row",
+      scaleLabel = "x100")
+
+    // d13 hot-fingerprint stress: EVERY doc (both scales) ends with the same
+    // boilerplate sentence, so its fingerprints' doc frequency is the whole
+    // corpus — 40x maxDocFreq at 1x, 400x at 10x. The two-pass prune counts
+    // and drops them map-side; wall must stay ~linear in docs (the r10
+    // collect_set formulation buffered the full corpus-sized id array in
+    // single aggregation buffers BEFORE size-checking it).
+    val boiler = lit(" all rights reserved contact us terms of service " +
+      "apply privacy policy cookies consent banner text")
+    def withBoiler(d: DataFrame): DataFrame =
+      d.withColumn("text", concat(col("text"), boiler))
+        .select(col("doc_id"), col("text"))
+    record("d13_winnow_overlap_hotfp",
+      () => graft.operators.Winnowing.overlapPairs(
+        withBoiler(docs), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      () => graft.operators.Winnowing.overlapPairs(
+        withBoiler(docs10Caesar), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
+      "ubiquitous boilerplate planted in EVERY doc (df = corpus size >> " +
+        "maxDocFreq = 1000 at both scales): the count-first prune drops the " +
+        "hot fingerprints without materializing their id sets, so wall " +
+        "tracks docs ~linearly and no aggregation buffer holds df elements",
+      scaleLabel = "x10hot")
+
+    // t21 selection decades: a zero-exchange narrow map — wall must track
+    // total normalized chars ~linearly at both x10 and x100 (any transform
+    // works; cross-doc interaction doesn't exist in the selection).
+    record("t21_winnow_fingerprints",
+      () => graft.operators.Winnowing.fingerprints(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 5, w = 4),
+      () => graft.operators.Winnowing.fingerprints(
+        docs10Caesar.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 5, w = 4),
+      "10x docs: the compiled per-row selection (zero exchanges, " +
+        "WinnowingSpec plan pin) must scale ~linearly in total chars")
+    record("t21_winnow_fingerprints_x100",
+      () => graft.operators.Winnowing.fingerprints(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text",
+        k = 5, w = 4),
+      () => graft.operators.Winnowing.fingerprints(
+        docs100Affine, "doc_id", "text", k = 5, w = 4),
+      "x100 docs: second decade for the selection — still a pure narrow " +
+        "map, wall ~linear in total chars, no exchange appears at any scale",
+      scaleLabel = "x100")
+
     record("d03_minhash_pairs",
       () => Dedup.minhashPairs(docs.select(col("doc_id"), col("text")),
         "doc_id", "text", shingleN = 3, numHashes = 128, bands = 32,

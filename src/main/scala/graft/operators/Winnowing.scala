@@ -33,25 +33,30 @@ import org.apache.spark.sql.functions._
   * across engines for BMP/ASCII corpora (the t02/t06 caveat). */
 object Winnowing {
 
+  /** Per-doc k-gram hash arrays `(id, _hs)` — the shared prep for both the
+    * positional fingerprint stream and the per-doc distinct-hash stream. */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+                         k: Int): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    df.select(col(idCol).as("id"), norm.as("_norm"))
+      .where(length(col("_norm")) >= k)
+      .select(col("id"),
+        transform(sequence(lit(1), length(col("_norm")) - (k - 1)),
+          i => H.md5Hash60(col("_norm").substr(i, lit(k)))).as("_hs"))
+  }
+
   /** Selected fingerprints `(id, pos, fp)`, one row per distinct selected
     * (position, hash); docs shorter than `k` normalized chars emit nothing,
     * docs with fewer than `w` grams winnow a single all-gram window. */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     // gram hashes stay declarative (md5/conv are codegen'd builtins); the
     // window-min selection runs in the compiled O(m) monotonic-deque
     // expression [[H.WinnowSelect]] — the interpreted per-window aggregate
     // formulation measured ~10 s over sf0.1's 5k docs, the compiled pass is
     // the same contract (argmin, rightmost tie, overlap-deduped) in one loop
-    val prepared = df
-      .select(col(idCol).as("id"), norm.as("_norm"))
-      .where(length(col("_norm")) >= k)
-      .select(col("id"),
-        transform(sequence(lit(1), length(col("_norm")) - (k - 1)),
-          i => H.md5Hash60(col("_norm").substr(i, lit(k)))).as("_hs"))
-    prepared
+    gramHashes(df, idCol, textCol, k)
       .select(col("id"), explode(H.winnow_select(col("_hs"), w)).as("s"))
       .select(col("id").as(idCol),
         col("s.p").cast("long").as("pos"), col("s.h").as("fp"))
@@ -68,23 +73,41 @@ object Winnowing {
     * oracle models it exactly, so output stays bit-exact: a pair's shared
     * count simply excludes ubiquitous passages by definition.
     *
+    * Hot-fingerprint shape: doc frequency is computed with a plain `count`
+    * over the per-doc-distinct `(id, fp)` stream — fully map-side combinable,
+    * constant-size aggregation buffers — and the prune filters BEFORE any
+    * per-fingerprint structure exists. A boilerplate hash shared by millions
+    * of docs costs one long counter per partition, never a df-sized array in
+    * one buffer (the r10 formulation collect_set'd the id list first and
+    * only then sized-checked it — an executor OOM on exactly the corpus the
+    * prune targets). Pairs then come from a self-join of the surviving
+    * `(fp, id)` relation (d05's inverted-index shape): SortMergeJoin STREAMS
+    * a fingerprint's ≤ maxDocFreq×maxDocFreq pair rows instead of buffering
+    * its id set. `df ≥ 2` is also applied (a fingerprint in one doc yields
+    * no pairs) — output-identical, and it drops the unique-mass long tail
+    * from the self-join input.
+    *
     * Output: `(a_id, b_id, shared_fps)`, a_id < b_id. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4, minShared: Long = 8,
                    maxDocFreq: Long = 1000): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
     require(minShared >= 1 && maxDocFreq >= 1,
       s"bad overlap params: minShared=$minShared maxDocFreq=$maxDocFreq")
-    // distinct hashes per doc fall out of the per-row arrays — no exchange
-    // spent on row-level distinct before the index join
-    // collect_set dedups a doc repeating the same hash at several positions,
-    // so df and the pair counts are over DISTINCT (doc, hash) pairs
-    val dfp = fingerprints(df, idCol, textCol, k, w)
-      .select(col(idCol).as("id"), col("fp"))
-      .groupBy(col("fp"))
-      .agg(collect_set(col("id")).as("ids"))
-      .where(size(col("ids")) <= maxDocFreq)
-    dfp.select(explode(col("ids")).as("a_id"), col("ids"))
-      .select(col("a_id"), explode(col("ids")).as("b_id"))
+    // distinct hashes per doc fall out of the per-row selection arrays
+    // (array_distinct before the explode) — no exchange spent on row-level
+    // distinct, and df / pair counts are over DISTINCT (doc, hash) pairs
+    val docFps = gramHashes(df, idCol, textCol, k)
+      .select(col("id"), explode(array_distinct(
+        transform(H.winnow_select(col("_hs"), w), s => s.getField("h"))))
+        .as("fp"))
+    val surviving = docFps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= 2 && col("_df") <= maxDocFreq)
+      .select(col("fp"))
+    val pruned = docFps.join(surviving, Seq("fp"))
+    pruned.select(col("fp"), col("id").as("a_id"))
+      .join(pruned.select(col("fp"), col("id").as("b_id")), Seq("fp"))
       .where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_fps"))

@@ -102,4 +102,47 @@ class WinnowingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"selection must stay inside the row with no shuffle:\n$plan")
   }
+
+  test("hot fingerprint: a boilerplate hash with df >> maxDocFreq is pruned " +
+       "by a count, never materialized — output equals brute force") {
+    // 400 docs all share one ubiquitous boilerplate sentence (df = 400,
+    // maxDocFreq = 50); consecutive doc pairs (2i, 2i+1) additionally share
+    // a distinct long passage. The prune must drop the boilerplate hashes by
+    // doc-frequency COUNT alone and still find every planted pair.
+    val boiler = "all rights reserved terms of service privacy policy applies"
+    val docs = (0 until 400).map { i =>
+      val passage = s"shared unique passage number ${i / 2} with extra words " +
+        s"padding the window ${i / 2} end"
+      (i.toLong, s"doc $i preamble $passage middle $boiler tail $i")
+    }
+    val df = docs.toDF("doc_id", "text")
+    val k = 5; val w = 4; val maxDf = 50L
+    val got = Winnowing.overlapPairs(df, "doc_id", "text", k = k, w = w,
+        minShared = 1, maxDocFreq = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // brute force from the independent driver-side reference
+    val perDoc = docs.map { case (id, t) => id -> winnowRef(t, k, w).map(_._2) }
+    val dfCount = perDoc.flatMap { case (id, fps) => fps.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, xs) => fp -> xs.map(_._2).toSet.size }
+    val keep = dfCount.collect { case (fp, n) if n >= 2 && n <= maxDf => fp }.toSet
+    val want = (for {
+      (a, af) <- perDoc; (b, bf) <- perDoc if a < b
+      shared = (af & bf & keep).size if shared >= 1
+    } yield (a, b) -> shared.toLong).toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+    // every planted consecutive pair survives; boilerplate-only pairs don't
+    assert((0 until 200).forall(i => got.contains((2L * i, 2L * i + 1))))
+    assert(!got.contains((0L, 2L)), "boilerplate-only pair must be pruned")
+  }
+
+  test("plan: overlapPairs prunes by map-side-combinable count — no " +
+       "collect_set / object-hash buffer anywhere in the plan") {
+    val plan = Winnowing.overlapPairs(
+        Lake.table(spark, sf0001, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_set") && !plan.contains("ObjectHashAggregate"),
+      s"hot-fp prune must never buffer per-fp id sets:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"doc-frequency count must be partial-aggregated map-side:\n$plan")
+  }
 }
