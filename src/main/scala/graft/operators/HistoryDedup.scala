@@ -46,19 +46,40 @@ object HistoryDedup {
   /** New-batch rows (all columns preserved) whose normalized-text
     * fingerprint is absent from `history`. `expectedHistoryRows` sizes the
     * Bloom filter (8 bits/row ≈ 2% fpp; sizing affects cost only, never
-    * correctness). */
+    * correctness).
+    *
+    * `maxBroadcastRows` guards the confirm path: the maybe-set is only
+    * batch-bounded, so a giant ingest batch with high dup mass (or an
+    * undersized filter raising fpp) could push an unconditional broadcast
+    * past the executor/driver broadcast limits and FAIL the job instead of
+    * degrading. Both broadcast sets are subsets of the batch's DISTINCT
+    * fingerprints (maybe ⊆ batch fps, confirmed ⊆ maybe), so one map-side
+    * `approx_count_distinct` over the batch alone — no history scan, no
+    * second Bloom build — upper-bounds them; the broadcast hints apply only
+    * when that bound (with HLL-error slack) sits under the cap, and above
+    * it the confirm and anti joins fall back to shuffle joins on the 8-byte
+    * fingerprint key — slower, never fatal, output-identical (pinned in
+    * HistoryDedupSpec). */
   def newAgainstHistory(newBatch: DataFrame, history: DataFrame,
                         textCol: String,
-                        expectedHistoryRows: Long): DataFrame = {
+                        expectedHistoryRows: Long,
+                        maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame = {
     val newFp = newBatch.withColumn("_fp", T.fingerprint(col(textCol)))
     val histFp = history.select(T.fingerprint(col(textCol)).as("_fp"))
     // bloom-maybe fingerprints from the new batch: every true dup is here
     val maybe = BloomJoin.prune(newFp.select(col("_fp")), histFp,
       "_fp", "_fp", expectedHistoryRows).distinct()
+    // upper bound on BOTH broadcast sets from the batch side only (2% HLL
+    // error, 10% slack), so the guard never rebuilds the history Bloom
+    val bound = newFp.agg(approx_count_distinct(col("_fp"), 0.02))
+      .head().getLong(0)
+    val small = bound * 1.1 <= maxBroadcastRows
+    def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // exact confirm: the maybe-fps that REALLY occur in history. maybe is
-    // batch-bounded, so it broadcasts; history streams through the semi-join.
-    val confirmed = histFp.join(broadcast(maybe), Seq("_fp"), "left_semi")
+    // batch-bounded, so it normally broadcasts and history streams through
+    // the semi-join; past the cap both confirm joins shuffle instead.
+    val confirmed = histFp.join(hint(maybe), Seq("_fp"), "left_semi")
       .distinct()
-    newFp.join(broadcast(confirmed), Seq("_fp"), "left_anti").drop("_fp")
+    newFp.join(hint(confirmed), Seq("_fp"), "left_anti").drop("_fp")
   }
 }

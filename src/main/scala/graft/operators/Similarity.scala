@@ -68,7 +68,11 @@ object Similarity {
     val cents2d: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(centroids)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
-    ivfTopK(corpus, queries, idCol, vecCol, k, cents2d, nprobe, excludeSelf)
+    // a corpus smaller than `centroids` yields fewer cells than asked for;
+    // probing every available cell is the graceful (and exact) degradation,
+    // so clamp rather than trip the explicit-codebook path's strict require
+    ivfTopK(corpus, queries, idCol, vecCol, k, cents2d,
+      math.min(nprobe, cents2d.length), excludeSelf)
   }
 
   /** IVF against an EXPLICIT centroid matrix — the trained-quantizer path

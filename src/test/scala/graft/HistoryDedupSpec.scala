@@ -77,4 +77,20 @@ class HistoryDedupSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"history/batch must never shuffle to join:\n$plan")
   }
+
+  test("broadcast cap: a maybe-set past maxBroadcastRows drops the forced " +
+       "broadcast hints (planner free to shuffle) with identical output") {
+    val shuffled = HistoryDedup.newAgainstHistory(batch, history, "text",
+      1000L, maxBroadcastRows = 0L)
+    // over the cap the plan carries NO forced-broadcast hint — a genuinely
+    // huge maybe-set may then be shuffle-joined instead of failing the job
+    // (the tiny test frames still auto-broadcast by size, which is fine)
+    assert(!shuffled.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "cap=0 must drop the broadcast hints")
+    assert(HistoryDedup.newAgainstHistory(batch, history, "text", 1000L)
+      .queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "under the cap the hints must stay")
+    val got = shuffled.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(12L, 14L, 15L), "fallback path changed output")
+  }
 }

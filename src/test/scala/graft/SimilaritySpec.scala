@@ -89,6 +89,18 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (exact1.size * 0.5).toInt, s"ivf recall too low: $hits/${exact1.size}")
   }
 
+  test("ivfTopK degrades gracefully on a corpus smaller than nprobe: " +
+       "clamps to the available cells and stays exact") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val tiny = e.filter(col("vec_id") < 3)  // 3 vectors < nprobe = 4
+    val got = Similarity.ivfTopK(tiny, tiny, "vec_id", "embedding",
+      k = 2, dim = 64, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val exact = Similarity.bruteForceTopK(tiny, tiny, "vec_id", "embedding", k = 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === exact, "clamped full probe over every cell must be exact")
+  }
+
   test("trained-centroid IVF: kmeansStep's codebook drives the explicit " +
        "overload; full probe stays exact under ANY placement, and trained " +
        "partial-probe recall is at least the id-seed quantizer's") {

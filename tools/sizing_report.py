@@ -40,16 +40,6 @@ DOMINANT = {
     "o04_interval_overlap": "orders", "o07_interval_pairs": "orders",
     "x01_tfidf": "documents", "x02_kmeans_step": "embeddings",
     "q02_agg_pricing": "lineitem", "q03_join_agg": "lineitem",
-    "v02_drift_psi":
-        "scale-INVARIANT by the model bound: ~1.4 KB total exchange at BOTH "
-        "scales (26 records — the two B-row bin-histogram partials plus "
-        "broadcast totals). The corpus never moves; growth column is the "
-        "metric floor, not a trend.",
-    "e04_transitions":
-        "the one entity-key window exchange ships (user, ts, type, tie) "
-        "rows — ~10-18 B/row compressed; the per-row DROP across the decade "
-        "is shuffle compression improving on the larger sorted runs, not "
-        "sublinear work. Pair counts and totals are K^2/K-row residue.",
     "d11_semdedup": "embeddings", "t15_lm_perplexity": "documents",
     "d05_ngram_jaccard_t08": "documents", "t16_dsir_weights": "documents",
     "t17_dsir_resample": "documents", "t18_unimax_mix": "documents",
