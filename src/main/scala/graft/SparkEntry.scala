@@ -1005,6 +1005,21 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Language identification (Cavnar & Trenkle 1994 char n-gram signal,
+    // multinomial NB scoring): the PRODUCER for the language column the
+    // t08/t11/t18/t19 mix family consumes. Train on the labeled 4/5 of the
+    // corpus (doc_id % 5 != 0), score the held-out unlabeled fifth; the
+    // L×V-row model broadcasts and per-gram log-probs are quantized at 1e-9
+    // — see operators.LangId.
+    "t22_language_id" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.operators.LangId.classify(
+        docs.where(col("doc_id") % 5 =!= 0),
+        docs.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+    }),
+
     // bigram-LM quality scoring (CCNet's KenLM-perplexity filtering step):
     // the model is trained on the corpus in the same pass that scores it;
     // per-distinct-bigram log-probs quantized at 1e-9, per-doc mean summed as
@@ -2334,6 +2349,57 @@ object SparkEntry {
     // log-prob is quantized at 1e-9 per DISTINCT bigram and the per-doc mean
     // sums exact decimals, so engine ln() disagreement is confined to
     // vocabulary²-many rounding calls, independent of corpus size.
+    // t22: multinomial NB over char 3-grams of the d02-normalized text.
+    // Counts are exact integers; each ln is rounded once at 1e-9 per MODEL
+    // row (L×V + 2L sites, corpus-independent); per-doc sums run as exact
+    // decimals; argmax ties break to the smallest language (rn ordering).
+    "t22_language_id" ->
+      """WITH lt AS (
+        |  SELECT lang, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |ltg AS (SELECT lang, t FROM lt WHERE length(t) >= 3),
+        |lg AS (
+        |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT lang, t, unnest(range(1, length(t) - 1)) AS i
+        |        FROM ltg)),
+        |counts AS (SELECT lang, g, count(*) AS c FROM lg GROUP BY 1, 2),
+        |totals AS (SELECT lang, count(*) AS tot FROM lg GROUP BY 1),
+        |vocab AS (SELECT count(DISTINCT g) AS v FROM lg),
+        |dpl AS (SELECT lang, count(*) AS nl FROM ltg GROUP BY 1),
+        |nd AS (SELECT count(*) AS n FROM ltg),
+        |stats AS (
+        |  SELECT t.lang,
+        |    CAST(round(ln(CAST(d.nl AS DOUBLE) / n.n), 9)
+        |      AS DECIMAL(20,9)) AS prior,
+        |    CAST(round(ln(1.0 / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS miss
+        |  FROM totals t JOIN dpl d ON t.lang = d.lang
+        |  CROSS JOIN vocab v CROSS JOIN nd n),
+        |model AS (
+        |  SELECT c.lang, c.g,
+        |    CAST(round(ln((c.c + 1.0) / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS lp
+        |  FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab v),
+        |dg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |              FROM documents WHERE doc_id % 5 = 0)
+        |        WHERE length(t) >= 3)),
+        |sums AS (
+        |  SELECT dg.doc_id, s.lang, sum(coalesce(m.lp, s.miss)) AS gsum
+        |  FROM dg CROSS JOIN stats s
+        |  LEFT JOIN model m ON m.lang = s.lang AND m.g = dg.g
+        |  GROUP BY 1, 2),
+        |fin AS (
+        |  SELECT s.doc_id, s.lang, st.prior + s.gsum AS sc,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY st.prior + s.gsum DESC, s.lang ASC)
+        |      AS rn
+        |  FROM sums s JOIN stats st ON s.lang = st.lang)
+        |SELECT doc_id, lang AS lang_pred, round(CAST(sc AS DOUBLE), 6) AS score
+        |FROM fin WHERE rn = 1""".stripMargin,
     "t15_lm_perplexity" ->
       """WITH docs2 AS (
         |  SELECT doc_id, ws FROM (

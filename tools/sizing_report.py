@@ -47,6 +47,7 @@ DOMINANT = {
     "v02_drift_psi": "documents", "e04_transitions": "events",
     "t20_source_curation": "documents", "x03_random_projection": "embeddings",
     "t21_winnow_fingerprints": "documents", "d13_winnow_overlap": "documents",
+    "t22_language_id": "documents",
 }
 
 
@@ -141,6 +142,13 @@ FLAG_NOTES = {
         "space itself, not an agg inefficiency. maxDocFreq caps the "
         "boilerplate worst case (a fp in df docs costs df^2); budget the "
         "pair term from YOUR corpus's dup density, not corpus size.",
+    "t22_language_id":
+        "the L x V-row NB model and the L-row stats BROADCAST; training is "
+        "a vocabulary-bounded (lang, gram) count exchange (Heaps-bounded "
+        "like t15's model), and scoring's only corpus-sized exchange is the "
+        "per-(doc, lang) partial-sum reduce — docs x L rows of (id, lang, "
+        "decimal) after map-side combine, no text payload. Budget scoring "
+        "as L x one fingerprint-dedup-shaped pass.",
     "d03_minhash_pairs":
         "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
         "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
