@@ -1020,6 +1020,24 @@ object SparkEntry {
         "doc_id", "text", "lang")
     }),
 
+    // HTML boilerplate removal (Kohlschütter et al., WSDM 2010): the crawl
+    // pipeline's step upstream of every text operator. Pages are built
+    // deterministically from the lake docs (nav + article + footer — the
+    // canonical boilerplate sandwich); the densitometric block rules must
+    // keep exactly the article text. Integer-exact, zero-exchange narrow
+    // map — see operators.Boilerplate.
+    "t23_boilerplate" -> ((s, dir) =>
+      graft.operators.Boilerplate.extract(
+        t(s, dir, "documents").select(col("doc_id"),
+          concat(
+            lit("<html><body><nav><a href=\"/\">home</a> " +
+              "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+            col("text"),
+            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+              "</body></html>")).as("html")),
+        "doc_id", "html")),
+
     // bigram-LM quality scoring (CCNet's KenLM-perplexity filtering step):
     // the model is trained on the corpus in the same pass that scores it;
     // per-distinct-bigram log-probs quantized at 1e-9, per-doc mean summed as
@@ -2400,6 +2418,58 @@ object SparkEntry {
         |  FROM sums s JOIN stats st ON s.lang = st.lang)
         |SELECT doc_id, lang AS lang_pred, round(CAST(sc AS DOUBLE), 6) AS score
         |FROM fin WHERE rn = 1""".stripMargin,
+    // t23: the same page construction, block split, tag strip, anchor
+    // extraction and integer density rules in SQL; per-block rows via
+    // range-unnest (the t21 convention), reassembly via string_agg ORDER BY
+    // block position. All comparisons integer-exact.
+    "t23_boilerplate" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><body><nav><a href="/">home</a> <a href="/a">about</a> ' ||
+        |    '<a href="/c">contact</a></nav><p>' || text ||
+        |    '</p><div class="foot"><a href="/t">terms</a> ' ||
+        |    '<a href="/p">privacy</a> all rights reserved</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, string_split_regex(html,
+        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|blockquote|pre|section|article|header|footer|nav|aside|main|form|html|body|head|title)[^>]*>')
+        |    AS arr
+        |  FROM h),
+        |blk AS (
+        |  SELECT doc_id, i, arr[i] AS raw
+        |  FROM (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS i
+        |        FROM b)),
+        |st AS (
+        |  SELECT doc_id, i,
+        |    trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
+        |                        '\s+', ' ', 'g')) AS txt,
+        |    trim(regexp_replace(regexp_replace(
+        |      coalesce(array_to_string(
+        |        regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+        |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS ltxt
+        |  FROM blk),
+        |w AS (
+        |  SELECT doc_id, i, txt,
+        |    CASE WHEN txt = '' THEN 0
+        |         ELSE len(string_split(txt, ' ')) END AS w,
+        |    CAST(length(txt) AS BIGINT) AS c,
+        |    CASE WHEN ltxt = '' THEN 0
+        |         ELSE len(string_split(ltxt, ' ')) END AS lw
+        |  FROM st),
+        |k AS (
+        |  SELECT doc_id, i, txt,
+        |    (w >= 5 AND 3 * lw <= w
+        |       AND w >= 7 * CAST(floor((c + 79) / 80.0) AS BIGINT)) AS kept
+        |  FROM w WHERE w >= 1)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS content_blocks,
+        |  CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+        |    AS boiler_blocks,
+        |  coalesce(string_agg(CASE WHEN kept THEN txt END, ' ' ORDER BY i),
+        |           '') AS extracted_text
+        |FROM k GROUP BY doc_id""".stripMargin,
     "t15_lm_perplexity" ->
       """WITH docs2 AS (
         |  SELECT doc_id, ws FROM (
