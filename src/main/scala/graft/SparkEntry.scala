@@ -648,6 +648,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("lang"))
     }),
 
+    // the d12 dedup run as a CONTINUOUS pipeline over its materialized
+    // state: three ingest batches (doc_id % 3 = 0, 1, 2, in order), each
+    // deduped against the fingerprint INDEX built by the previous batches —
+    // batch N+1 scans ~8 B/doc of index, never the raw history text — then
+    // appended to it. Survivors = docs whose normalized text is unseen in
+    // any earlier batch (in-batch dups all survive, the d12 contract).
+    "i03_fingerprint_index" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val base = graft.util.Scratch.dir(s"graft-i03-$run")
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idx = s"$base/fpindex"
+      (0L to 2L).map { b =>
+        graft.operators.FingerprintIndex.step(
+          docs.where(col("doc_id") % 3 === b), "text", idx, b,
+          expectedHistoryRows = 1000000L)
+          .select(col("doc_id"), lit(b).as("batch"))
+      }.reduce(_ unionAll _)
+    }),
+
     // continuous ingestion with the reference's output contract: every
     // micro-batch commits one parquet file + CTL manifest (foreachBatch
     // bridging the stream onto the batch sink stack); batch-id file names make
@@ -2047,6 +2066,17 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
         |FROM events""".stripMargin,
+    // i03: a doc survives iff no doc in an EARLIER batch (batch = doc_id%3,
+    // processed in order) shares its normalized text — the d12 anti-join
+    // contract replayed over the materialized index.
+    "i03_fingerprint_index" ->
+      """SELECT b.doc_id, b.doc_id % 3 AS batch
+        |FROM documents b
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents h
+        |  WHERE h.doc_id % 3 < b.doc_id % 3
+        |    AND regexp_replace(lower(trim(h.text)), '\s+', ' ', 'g') =
+        |        regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g'))""".stripMargin,
     // `div` (Spark) and `//` (DuckDB) both floor for non-negative operands;
     // plain `/` would be double division with engine-specific cast rounding.
     "i02_schema_evolution" ->

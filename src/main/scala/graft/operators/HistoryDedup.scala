@@ -63,9 +63,20 @@ object HistoryDedup {
   def newAgainstHistory(newBatch: DataFrame, history: DataFrame,
                         textCol: String,
                         expectedHistoryRows: Long,
-                        maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame = {
+                        maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame =
+    newAgainstFingerprints(newBatch,
+      history.select(T.fingerprint(col(textCol)).as("_fp")), textCol,
+      expectedHistoryRows, maxBroadcastRows)
+
+  /** Same contract with history given as its FINGERPRINT relation (one
+    * `_fp: long` column) — the production path: both history reads hit a
+    * materialized compact index ([[FingerprintIndex]]), never the text
+    * corpus. */
+  def newAgainstFingerprints(newBatch: DataFrame, histFp: DataFrame,
+                             textCol: String,
+                             expectedHistoryRows: Long,
+                             maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame = {
     val newFp = newBatch.withColumn("_fp", T.fingerprint(col(textCol)))
-    val histFp = history.select(T.fingerprint(col(textCol)).as("_fp"))
     // bloom-maybe fingerprints from the new batch: every true dup is here
     val maybe = BloomJoin.prune(newFp.select(col("_fp")), histFp,
       "_fp", "_fp", expectedHistoryRows).distinct()
