@@ -936,6 +936,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), bi(col("rank")).as("rank"))
     }),
 
+    // product-quantization ANN (Jégou et al. 2011, ADC): corpus compressed
+    // to m=8 sub-codes from per-subspace kmeansStep codebooks (the x02
+    // chain), queries score candidates by summing quantized distance-table
+    // decimals — the whole approximation is deterministic, so the oracle
+    // recomputes it exactly (no recall gate needed; recall vs exact is
+    // RecallProbe/BENCH_ANALYSIS territory).
+    "s04_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16)
+        .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+          bi(col("rank")).as("rank"))
+    }),
+
     // text analysis: language-ID + quality + token counts. (The xxhash64
     // fingerprint feature is exercised by d02's grouping and unit tests — it
     // has no DuckDB equivalent, so it stays out of the oracle-checked output.)
@@ -3316,6 +3330,61 @@ object SparkEntry {
         |SELECT vec_id, CAST(k AS INT) AS k,
         |  CAST(qsum AS DOUBLE) / 4000000 AS y
         |FROM s""".stripMargin,
+    // s04: per-subspace kmeansStep (the x02 oracle block generalized over
+    // m), first-max assignment ties to the lowest cluster, ADC table
+    // entries quantized at 1e-9 per (query, subspace, codeword), per-pair
+    // scores as exact decimal sums of m entries.
+    "s04_ann_pq" ->
+      """WITH sub AS (
+        |  SELECT vec_id, m,
+        |    embedding[m * 8 + 1 : m * 8 + 8] AS svf,
+        |    CAST(embedding[m * 8 + 1 : m * 8 + 8] AS DOUBLE[]) AS sv
+        |  FROM embeddings, range(0, 8) t(m)),
+        |seeds AS (
+        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+        |           AS cl, sv
+        |  FROM sub WHERE vec_id IN
+        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.sv)
+        |                 - list_dot_product(c.sv, c.sv) / 2 DESC, c.cl) AS rn
+        |    FROM sub s JOIN seeds c USING (m))
+        |  WHERE rn = 1),
+        |cb AS (
+        |  SELECT m, cl, list(centroid ORDER BY i) AS cv FROM (
+        |    SELECT a.m, a.cl, i,
+        |      round(CAST(sum(CAST(s.svf[i] AS DECIMAL(27,10))) AS DOUBLE)
+        |        / count(*), 6) AS centroid
+        |    FROM assign a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+        |         unnest(range(1, 9)) t(i)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |codes AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.cv)
+        |                 - list_dot_product(c.cv, c.cv) / 2 DESC, c.cl) AS rn
+        |    FROM sub s JOIN cb c USING (m))
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT s.vec_id AS query_id, s.m, c.cl,
+        |    CAST(round(list_dot_product(s.sv, c.cv), 9) AS DECIMAL(20,9)) AS e
+        |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 8),
+        |sc AS (
+        |  SELECT d.query_id, x.vec_id AS neighbor_id, sum(d.e) AS adot
+        |  FROM codes x JOIN dt d ON d.m = x.m AND d.cl = x.cl
+        |  WHERE x.vec_id <> d.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adot AS DOUBLE), 6) AS approx_dot,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adot DESC, neighbor_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
     "x02_kmeans_step" ->
       """WITH cents AS (
         |  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv,

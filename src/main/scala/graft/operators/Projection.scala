@@ -62,4 +62,30 @@ object Projection {
       .select(col("id").as(idCol), (col("k0") + 1).as("k"),
         (col("qsum").cast("double") / lit(Quantum * root)).as("y"))
   }
+
+  /** The same projection packed as a VECTOR column `(idCol, <vecCol>_proj:
+    * array<float>)` — the shape the ANN operators consume, so x03 chains
+    * directly into s01/s02/d06 (project 64 → dOut dims, then search the
+    * short vectors). Identical narrow-map shape and arithmetic as
+    * [[randomProject]], without the row explode. */
+  def projectedVectors(df: DataFrame, idCol: String, vecCol: String,
+                       dIn: Int = 64, dOut: Int = 16): DataFrame = {
+    require(dIn >= 1 && dOut >= 1, s"bad dims: $dIn -> $dOut")
+    val root = math.sqrt(dOut.toDouble)
+    require(root == math.rint(root),
+      s"dOut = $dOut must be a perfect square: the 1/sqrt(dOut) normalizer " +
+        "must be binary-exact for the bit-reproducibility contract")
+    val signs: Seq[Seq[Long]] =
+      Seq.tabulate(dOut, dIn)((k, j) => sign(j + 1, k + 1))
+    val qx = transform(col(vecCol),
+      x => round(x.cast("double") * Quantum).cast("long"))
+    val qsums: Column = transform(typedLit(signs), srow =>
+      aggregate(zip_with(col("_qx"), srow, (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+    df.select(col(idCol).as("id"), qx.as("_qx"))
+      .select(col("id").as(idCol),
+        transform(qsums,
+          q => (q.cast("double") / lit(Quantum * root)).cast("float"))
+          .as(s"${vecCol}_proj"))
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{VectorFunctions => V}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -188,5 +188,88 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine"), col("rank"))
+  }
+
+  /** Product-quantization ANN with asymmetric distance computation (Jégou,
+    * Douze & Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011) — the MEMORY story for 100 TB ANN: every corpus vector is
+    * compressed to `m` sub-codes (one byte each at `ks ≤ 256`), so the scan
+    * side touches ~`m` bytes per vector instead of `4·dim` (8 vs 256 here,
+    * a 32× scan-volume cut), and scoring is `m` table lookups instead of a
+    * `dim`-wide dot product. Codebooks are trained per subspace with one
+    * deterministic Lloyd step ([[Clustering.kmeansStep]] — the x02 chain;
+    * callers can iterate the step for better placement, the machinery is
+    * placement-agnostic). Ranking is by APPROXIMATE inner product
+    * `q · x̂ = Σ_j q_j · c_{code_j(x)}` (ADC in its inner-product form; feed
+    * l2-normalized vectors for the cosine contract). No re-ranking against
+    * original vectors — at PQ's target scale they are not resident; compose
+    * with [[ivfTopK]]'s cell pruning for the full IVFADC when the scan
+    * itself must shrink too.
+    *
+    * Determinism: sub-assignment uses the kmeansStep argmax contract
+    * (first-max ties), distance-table entries are `round(dot, 9)` decimals —
+    * one quantization per (query, subspace, codeword), Q×m×ks sites,
+    * corpus-independent — and per-pair scores are exact decimal sums of m
+    * entries, so a DuckDB oracle reproduces the ranking bit-for-bit.
+    *
+    * Scale shape: training is m bounded aggregations; encoding is a narrow
+    * map against literal codebooks; queries (with their Q×m×ks tables)
+    * broadcast; the only corpus-sized exchange is the per-query top-k
+    * window over (query_id, neighbor_id, score) — s01's shape at a fraction
+    * of the row width, no vector ever shuffles. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String, k: Int, dim: Int,
+             m: Int = 8, ks: Int = 16,
+             excludeSelf: Boolean = true): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    require(ks >= 1, s"pqTopK: ks=$ks")
+    val ds = dim / m
+    // --- train: one Lloyd step per subspace (bounded: m × ks × ds doubles)
+    // codebook j: trained codewords in cluster-id order (empty clusters —
+    // possible under duplicate seeds — simply don't exist in either engine)
+    val codebooks: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map { j =>
+        val sub = corpus.select(col(idCol),
+          slice(col(vecCol), j * ds + 1, ds).as("_sv"))
+        Clustering.kmeansStep(sub, idCol, "_sv", ks)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+          .groupBy(_._1).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._2).map(_._3))
+      }
+    def subCol(vec: Column, j: Int): Column = slice(vec, j * ds + 1, ds)
+    // nearest codeword by the kmeansStep contract: argmax(a·c − |c|²/2),
+    // first max on ties; the code is the POSITION in the cluster-id-sorted
+    // codebook (both engines order codewords identically)
+    def codeExpr(vec: Column, j: Int): Column = {
+      val cents = codebooks(j)
+      val cn2h = cents.map(c => c.map(x => x * x).sum / 2)
+      val scores = transform(V.planeDots(subCol(vec, j), cents),
+        (d, i) => d - get(lit(cn2h), i))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    // query-side ADC table for subspace j: round(dot, 9) per codeword
+    def tableExpr(vec: Column, j: Int): Column =
+      transform(V.planeDots(subCol(vec, j), codebooks(j)),
+        d => round(d, 9).cast("decimal(20,9)"))
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      array((0 until m).map(j => codeExpr(col(vecCol), j)): _*).as("_codes"))
+    val qTables = queries.select(col(idCol).as("query_id"),
+      array((0 until m).map(j => tableExpr(col(vecCol), j)): _*).as("_dt"))
+    // per-pair approximate dot: a fixed m-term decimal addition tree (exact,
+    // order-independent — matches the oracle's SUM over m rows)
+    val approx = (0 until m).map(j =>
+        element_at(element_at(col("_dt"), j + 1),
+          element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adot").desc, col("neighbor_id"))
+    coded.join(broadcast(qTables),
+        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+      .select(col("query_id"), col("neighbor_id"), approx.as("_adot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_adot").cast("double"), 6).as("approx_dot"), col("rank"))
   }
 }

@@ -64,4 +64,21 @@ class ProjectionSpec extends SparkSpec {
       Projection.randomProject(e, "vec_id", "embedding", dOut = 12)
     }
   }
+
+  test("projectedVectors packs exactly randomProject's values (to float) " +
+       "as the ANN-consumable column, with the same zero-exchange plan") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val flat = Projection.randomProject(e, "vec_id", "embedding", dOut = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1).toLong) -> r.getDouble(2).toFloat)
+      .toMap
+    val packed = Projection.projectedVectors(e, "vec_id", "embedding", dOut = 16)
+    assert(!packed.queryExecution.executedPlan.toString.contains("Exchange"))
+    packed.collect().foreach { r =>
+      val id = r.getLong(0); val v = r.getSeq[Float](1)
+      assert(v.length == 16)
+      v.zipWithIndex.foreach { case (y, k0) =>
+        assert(y == flat((id, k0 + 1L)), s"vec $id dim ${k0 + 1}")
+      }
+    }
+  }
 }

@@ -89,6 +89,45 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= (exact1.size * 0.5).toInt, s"ivf recall too low: $hits/${exact1.size}")
   }
 
+  test("pqTopK finds same-cluster neighbors on planted cluster structure") {
+    // 8 well-separated axis clusters, 12 vectors each with small noise: the
+    // PQ approximation must rank a same-cluster vector first for every query
+    val rnd = new scala.util.Random(41)
+    val vecs = for (c <- 0 until 8; i <- 0 until 12) yield {
+      val base = Array.fill(64)(0.05f)
+      (0 until 8).foreach(j => base(c * 8 + j) = 1.0f)
+      ((c * 100 + i).toLong,
+        base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df.filter(col("vec_id") % 100 < 2),
+        "vec_id", "embedding", k = 1, dim = 64, m = 8, ks = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(got.length == 16)
+    val sameCluster = got.count { case (q, n) => q / 100 == n / 100 }
+    assert(sameCluster >= 15, s"PQ must respect planted clusters: " +
+      s"$sameCluster/16 same-cluster rank-1 hits")
+  }
+
+  test("pqTopK is deterministic across runs and never shuffles a vector") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val df = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+    val a = df.collect().map(_.toString).sorted
+    val b = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // the only exchange is the per-query top-k window over
+    // (query_id, neighbor_id, decimal score) — codes and tables are
+    // row-local, the embedding column never appears past the scan projection
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.contains("query_id")),
+      s"only the rank window may shuffle:\n$plan")
+  }
+
   test("ivfTopK degrades gracefully on a corpus smaller than nprobe: " +
        "clamps to the available cells and stays exact") {
     val e = Lake.table(spark, sf0001, "embeddings")
