@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   * Determinism/portability: gram hashes are [[H.md5Hash60]] (the d04
   * portable contract — `CAST('0x' || substr(md5(g),1,15) AS BIGINT)` in
   * ANSI SQL), selection is integer argmin with a rightmost tie rule, so the
-  * oracle reproduces the exact set. Positions are 1-based code units over
-  * the d02-normalized text (lower, trim, whitespace collapsed) — identical
-  * across engines for BMP/ASCII corpora (the t02/t06 caveat). */
+  * oracle reproduces the exact set. Positions are 1-based CODE POINTS over
+  * the d02-normalized text (lower, trim, whitespace collapsed): Spark's
+  * Substring/length and DuckDB's substr/length both index code points, so
+  * the contract holds on ALL planes, supplementary included (pinned in
+  * WinnowingSpec against a codePoints-based reference — a UTF-16-unit
+  * reading would shift every position after the first emoji). Remaining
+  * caveat: `lower` of exotic UPPERCASE (Turkish İ, ß full-casing) is
+  * engine-dependent; already-lowercase non-BMP text is exact. */
 object Winnowing {
 
   /** Per-doc k-gram hash arrays `(id, _hs)` — the shared prep for both the

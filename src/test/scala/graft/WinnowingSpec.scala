@@ -7,13 +7,19 @@ import org.apache.spark.sql.functions._
 class WinnowingSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Independent driver-side winnowing (same contract, separate code path). */
+  /** Independent driver-side winnowing (same contract, separate code path).
+    * Grams/positions are CODE POINTS — the engine's Substring/length operate
+    * on code points (UTF8String semantics), as do DuckDB's, so the reference
+    * must too or it diverges off the BMP (Java String indices are UTF-16). */
   private def winnowRef(text: String, k: Int = 5, w: Int = 4): Set[(Long, Long)] = {
-    val s = text.trim.toLowerCase.replaceAll("\\s+", " ")
-    if (s.length < k) return Set.empty
+    val s0 = text.trim.toLowerCase.replaceAll("\\s+", " ")
+    val cps = s0.codePoints().toArray
+    def cpSub(from: Int, len: Int): String =
+      new String(cps, from, len)
+    if (cps.length < k) return Set.empty
     val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = (1 to s.length - k + 1).map { i =>
-      val hex = md.digest(s.substring(i - 1, i - 1 + k).getBytes("UTF-8"))
+    val hs = (1 to cps.length - k + 1).map { i =>
+      val hex = md.digest(cpSub(i - 1, k).getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
       java.lang.Long.parseLong(hex.take(15), 16)
     }
@@ -93,6 +99,23 @@ class WinnowingSpec extends SparkSpec {
     assert(!pruned.contains((1L, 3L)) && !pruned.contains((2L, 3L)),
       "boilerplate-only overlap must vanish under the df prune")
     assert(pruned((1L, 2L)) <= pairs((1L, 2L)))
+  }
+
+  test("supplementary-plane text: positions and grams are code points — " +
+       "engine agrees with the code-point reference off the BMP") {
+    // emoji (U+1F600..) and Gothic letters (U+10330..) are 2 UTF-16 units
+    // each; a UTF-16-based engine would shift every later position and hash
+    val docs = Seq(
+      1L -> "café 😀😁 naïve 😀😁 résumé text",
+      2L -> "plain ascii alongside 𐌰𐌱𐌲 gothic letters here",
+      3L -> "😀😁😂😃😄😅 all emoji doc")
+    val got = Winnowing.fingerprints(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    docs.foreach { case (id, t) =>
+      assert(got(id) == winnowRef(t), s"doc $id diverges off the BMP")
+    }
   }
 
   test("plan: winnowing is a pure narrow map — zero exchanges") {
