@@ -136,13 +136,16 @@ FLAG_NOTES = {
     "d13_winnow_overlap":
         "the fp-keyed index is the winnowed ~2/(w+1) subset of grams (3.2M "
         "rows at sf1, vs d10's every-position exchange), but the PAIR term "
-        "grows with duplication density like d05: measured at sf1, 101.7M "
-        "raw pair rows over 73.6M DISTINCT pairs (most share exactly one "
-        "16-gram — cross-mutation collisions), which map-side combine cuts "
-        "to the ~62M crossing this exchange; the volume is the candidate "
-        "space itself, not an agg inefficiency. maxDocFreq caps the "
-        "boilerplate worst case (a fp in df docs costs df^2); budget the "
-        "pair term from YOUR corpus's dup density, not corpus size.",
+        "grows with duplication density like d05: at sf1, 73.6M DISTINCT "
+        "candidate pairs (most share exactly one 16-gram — cross-mutation "
+        "collisions) dominate the ~63M rows crossing this exchange; the "
+        "volume is the candidate space itself, not an agg inefficiency. "
+        "Since r11 the maxDocFreq prune is COUNT-first (constant-size "
+        "buffers; a df >> maxDocFreq boilerplate fp never materializes its "
+        "id set — SCALING d13_hotfp row) and df=1 fps are cut before the "
+        "self-join, shaving ~9%% of the r10 exchange (625 -> 571 MB) with "
+        "bit-identical output. Budget the pair term from YOUR corpus's dup "
+        "density, not corpus size.",
     "t22_language_id":
         "the L x V-row NB model and the L-row stats BROADCAST; training is "
         "a vocabulary-bounded (lang, gram) count exchange (Heaps-bounded "
