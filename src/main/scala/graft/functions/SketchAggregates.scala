@@ -435,6 +435,92 @@ object SketchAggregates {
     final case class Entry(item: UTF8String, cnt: Long, err: Long)
   }
 
+  /** Distinct LONG values per group, CAPPED at `cap` elements — the bounded
+    * twin of `collect_set` for prune-then-use patterns: a group whose
+    * distinct count exceeds `cap` simply stops collecting (its ≤-cap result
+    * is a truncated sample the caller is about to DISCARD anyway — d13's
+    * maxDocFreq prune calls this with cap = maxDocFreq + 1, so
+    * `size(ids) > maxDocFreq` still detects overflow exactly). Every buffer —
+    * map-side partials included — holds at most `cap` longs (8·cap bytes),
+    * so a key shared by millions of rows costs O(cap) memory per partition
+    * instead of an unbounded in-buffer array: the executor-OOM shape
+    * `collect_set` has on hot keys cannot occur. Output sorted ascending
+    * (a pure function of the retained SET; with no overflow — the only case
+    * callers keep — it is exactly the distinct set, SQL-reproducible). */
+  case class CollectSetBoundedLong(child: Expression, cap: Int,
+                                   mutableAggBufferOffset: Int = 0,
+                                   inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]]
+      with UnaryLike[Expression] {
+    require(cap >= 1 && cap <= (1 << 20),
+      s"collect_set_bounded: cap out of range: $cap")
+
+    override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+      new java.util.HashSet[java.lang.Long]()
+
+    override def update(buf: java.util.HashSet[java.lang.Long], input: InternalRow)
+    : java.util.HashSet[java.lang.Long] = {
+      child.eval(input) match {
+        case null => ()
+        case v: java.lang.Long => if (buf.size < cap) { buf.add(v); () }
+        case v: Long => if (buf.size < cap) { buf.add(v); () }
+      }
+      buf
+    }
+
+    override def merge(a: java.util.HashSet[java.lang.Long],
+                       b: java.util.HashSet[java.lang.Long])
+    : java.util.HashSet[java.lang.Long] = {
+      val it = b.iterator()
+      while (it.hasNext && a.size < cap) { a.add(it.next()); () }
+      // drain silently past cap: the group is over the prune bound either way
+      a
+    }
+
+    override def eval(buf: java.util.HashSet[java.lang.Long]): Any = {
+      val arr = new Array[Long](buf.size)
+      val it = buf.iterator(); var i = 0
+      while (it.hasNext) { arr(i) = it.next(); i += 1 }
+      java.util.Arrays.sort(arr)
+      new GenericArrayData(arr)
+    }
+
+    override def serialize(buf: java.util.HashSet[java.lang.Long]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) out.writeLong(it.next())
+      out.flush(); bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): java.util.HashSet[java.lang.Long] = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val buf = createAggregationBuffer()
+      var n = in.readInt()
+      while (n > 0) { buf.add(in.readLong()); n -= 1 }
+      buf
+    }
+
+    override def dataType: DataType =
+      ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"collect_set_bounded needs a long child (cast first), got $other")
+      }
+    override def withNewMutableAggBufferOffset(offset: Int): CollectSetBoundedLong =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): CollectSetBoundedLong =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(newChild: Expression): CollectSetBoundedLong =
+      copy(child = newChild)
+    override def prettyName: String = "collect_set_bounded"
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   /** DataFrame-side: `bottomK(col, k)` usable inside `agg(...)`. */
@@ -449,4 +535,9 @@ object SketchAggregates {
     * array of (item, cnt, err) structs, count-descending. */
   def spaceSaving(c: Column, capacity: Int): Column =
     column(SpaceSaving(expression(c), capacity).toAggregateExpression())
+
+  /** DataFrame-side: `collectSetBounded(longCol, cap)` usable inside
+    * `agg(...)` — sorted distinct longs, collection stopping at `cap`. */
+  def collectSetBounded(c: Column, cap: Int): Column =
+    column(CollectSetBoundedLong(expression(c), cap).toAggregateExpression())
 }

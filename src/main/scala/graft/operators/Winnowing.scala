@@ -78,24 +78,39 @@ object Winnowing {
     * oracle models it exactly, so output stays bit-exact: a pair's shared
     * count simply excludes ubiquitous passages by definition.
     *
-    * Hot-fingerprint shape: doc frequency is computed with a plain `count`
-    * over the per-doc-distinct `(id, fp)` stream — fully map-side combinable,
-    * constant-size aggregation buffers — and the prune filters BEFORE any
-    * per-fingerprint structure exists. A boilerplate hash shared by millions
-    * of docs costs one long counter per partition, never a df-sized array in
-    * one buffer (the r10 formulation collect_set'd the id list first and
-    * only then sized-checked it — an executor OOM on exactly the corpus the
-    * prune targets). Pairs then come from a self-join of the surviving
-    * `(fp, id)` relation (d05's inverted-index shape): SortMergeJoin STREAMS
-    * a fingerprint's ≤ maxDocFreq×maxDocFreq pair rows instead of buffering
-    * its id set. `df ≥ 2` is also applied (a fingerprint in one doc yields
-    * no pairs) — output-identical, and it drops the unique-mass long tail
-    * from the self-join input.
+    * Hot-fingerprint shape: every aggregation buffer in this operator is
+    * BOUNDED. At sane `maxDocFreq` (≤ 2^20) the per-fp id sets are built
+    * with [[graft.functions.SketchAggregates.CollectSetBoundedLong]] capped
+    * at `maxDocFreq + 1`: a boilerplate hash shared by millions of docs
+    * stops collecting at the cap in every partial and merged buffer
+    * (8·(maxDocFreq+1) bytes, ~8 KB at the default 1000) and the
+    * `size(ids) ≤ maxDocFreq` prune still detects the overflow exactly —
+    * unlike r10's plain `collect_set`, which buffered the full df-sized id
+    * array BEFORE the size check, an executor OOM on exactly the corpus the
+    * prune targets. This keeps the expensive winnowing CPU to ONE pass over
+    * the corpus and the fp exchange to one aggregation. For pathological
+    * `maxDocFreq` (> 2^20, where O(maxDocFreq) buffers are themselves a
+    * memory hazard) the operator switches to a two-pass plan with
+    * constant-size buffers: count doc frequency first (map-side-combinable),
+    * prune, then self-join the surviving `(fp, id)` relation — same output,
+    * one extra winnow pass and exchange. `df ≥ 2` is applied in both paths
+    * (a fingerprint in one doc yields no pairs) — output-identical, and it
+    * drops the unique-mass long tail before pair generation.
     *
     * Output: `(a_id, b_id, shared_fps)`, a_id < b_id. */
   def overlapPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 5, w: Int = 4, minShared: Long = 8,
                    maxDocFreq: Long = 1000): DataFrame = {
+    overlapPairsImpl(df, idCol, textCol, k, w, minShared, maxDocFreq,
+      singlePass = maxDocFreq < (1 << 20))
+  }
+
+  /** Path selection exposed for tests: both plans are output-identical by
+    * construction (property-pinned in WinnowingSpec). */
+  private[graft] def overlapPairsImpl(df: DataFrame, idCol: String,
+                                      textCol: String, k: Int, w: Int,
+                                      minShared: Long, maxDocFreq: Long,
+                                      singlePass: Boolean): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
     require(minShared >= 1 && maxDocFreq >= 1,
       s"bad overlap params: minShared=$minShared maxDocFreq=$maxDocFreq")
@@ -106,15 +121,29 @@ object Winnowing {
       .select(col("id"), explode(array_distinct(
         transform(H.winnow_select(col("_hs"), w), s => s.getField("h"))))
         .as("fp"))
-    val surviving = docFps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_df"))
-      .where(col("_df") >= 2 && col("_df") <= maxDocFreq)
-      .select(col("fp"))
-    val pruned = docFps.join(surviving, Seq("fp"))
-    pruned.select(col("fp"), col("id").as("a_id"))
-      .join(pruned.select(col("fp"), col("id").as("b_id")), Seq("fp"))
-      .where(col("a_id") < col("b_id"))
-      .groupBy(col("a_id"), col("b_id"))
+    val pairs =
+      if (singlePass) {
+        // single pass: bounded per-fp sets, overflow detected by size
+        docFps.groupBy(col("fp"))
+          .agg(graft.functions.SketchAggregates
+            .collectSetBounded(col("id"), (maxDocFreq + 1).toInt).as("ids"))
+          .where(size(col("ids")).between(2, maxDocFreq))
+          .select(explode(col("ids")).as("a_id"), col("ids"))
+          .select(col("a_id"), explode(col("ids")).as("b_id"))
+          .where(col("a_id") < col("b_id"))
+      } else {
+        // two passes, constant-size buffers: count-prune, then self-join
+        val surviving = docFps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("_df"))
+          .where(col("_df") >= 2 && col("_df") <= maxDocFreq)
+          .select(col("fp"))
+        val pruned = docFps.join(surviving, Seq("fp"))
+        pruned.select(col("fp"), col("id").as("a_id"))
+          .join(pruned.select(col("fp"), col("id").as("b_id")), Seq("fp"))
+          .where(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+      }
+    pairs.groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
   }

@@ -16,6 +16,21 @@ class ProfileSpec extends SparkSpec {
     assert(p("s") == ((4L, 3L, 2L, "a", "b")))
   }
 
+  test("collect_set_bounded: exact sorted distinct set under the cap, " +
+       "stops collecting (size stays cap) over it, dedups across partitions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val under = (1L to 6L).flatMap(v => Seq(v, v)).toDF("v").repartition(4)
+      .agg(graft.functions.SketchAggregates.collectSetBounded(col("v"), 10))
+      .head().getSeq[Long](0)
+    assert(under == (1L to 6L), "under cap: exact distinct set, ascending")
+    val over = (1L to 100L).toDF("v").repartition(8)
+      .agg(graft.functions.SketchAggregates.collectSetBounded(col("v"), 10))
+      .head().getSeq[Long](0)
+    assert(over.size == 10, s"over cap: size must stop exactly at cap: $over")
+    assert(over.distinct.size == 10 && over == over.sorted)
+  }
+
   test("space_saving is exact (err 0) when distincts fit the capacity") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

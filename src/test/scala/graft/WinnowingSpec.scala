@@ -143,6 +143,11 @@ class WinnowingSpec extends SparkSpec {
     val got = Winnowing.overlapPairs(df, "doc_id", "text", k = k, w = w,
         minShared = 1, maxDocFreq = maxDf)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // the two-pass fallback (pathological-maxDocFreq path) must agree exactly
+    val gotTwoPass = Winnowing.overlapPairsImpl(df, "doc_id", "text", k, w,
+        minShared = 1, maxDocFreq = maxDf, singlePass = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == gotTwoPass, "single-pass and two-pass plans diverged")
     // brute force from the independent driver-side reference
     val perDoc = docs.map { case (id, t) => id -> winnowRef(t, k, w).map(_._2) }
     val dfCount = perDoc.flatMap { case (id, fps) => fps.map(_ -> id) }
@@ -158,14 +163,25 @@ class WinnowingSpec extends SparkSpec {
     assert(!got.contains((0L, 2L)), "boilerplate-only pair must be pruned")
   }
 
-  test("plan: overlapPairs prunes by map-side-combinable count — no " +
-       "collect_set / object-hash buffer anywhere in the plan") {
+  test("plan: overlapPairs builds per-fp sets with the BOUNDED aggregate " +
+       "only — the unbounded collect_set never appears, and the bounded " +
+       "one partial-aggregates map-side") {
     val plan = Winnowing.overlapPairs(
         Lake.table(spark, sf0001, "documents"), "doc_id", "text")
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_set") && !plan.contains("ObjectHashAggregate"),
-      s"hot-fp prune must never buffer per-fp id sets:\n$plan")
-    assert(plan.contains("partial_count") || plan.contains("partial count"),
-      s"doc-frequency count must be partial-aggregated map-side:\n$plan")
+    assert(!plan.contains("collect_set("),
+      s"unbounded collect_set must never buffer per-fp id sets:\n$plan")
+    assert(plan.contains("partial_collect_set_bounded"),
+      s"bounded set must combine map-side:\n$plan")
+    // the pathological-maxDocFreq fallback keeps constant-size buffers:
+    // count-prune (no object-hash buffer at all), then self-join
+    val plan2 = Winnowing.overlapPairsImpl(
+        Lake.table(spark, sf0001, "documents"), "doc_id", "text",
+        5, 4, 8, 1000, singlePass = false)
+      .queryExecution.executedPlan.toString
+    assert(!plan2.contains("collect_set") && !plan2.contains("ObjectHashAggregate"),
+      s"two-pass path must never hold any per-fp id set:\n$plan2")
+    assert(plan2.contains("partial_count") || plan2.contains("partial count"),
+      s"two-pass doc-frequency count must partial-aggregate map-side:\n$plan2")
   }
 }

@@ -138,14 +138,18 @@ FLAG_NOTES = {
         "rows at sf1, vs d10's every-position exchange), but the PAIR term "
         "grows with duplication density like d05: at sf1, 73.6M DISTINCT "
         "candidate pairs (most share exactly one 16-gram — cross-mutation "
-        "collisions) dominate the ~63M rows crossing this exchange; the "
+        "collisions) dominate the ~69M rows crossing this exchange; the "
         "volume is the candidate space itself, not an agg inefficiency. "
-        "Since r11 the maxDocFreq prune is COUNT-first (constant-size "
-        "buffers; a df >> maxDocFreq boilerplate fp never materializes its "
-        "id set — SCALING d13_hotfp row) and df=1 fps are cut before the "
-        "self-join, shaving ~9%% of the r10 exchange (625 -> 571 MB) with "
-        "bit-identical output. Budget the pair term from YOUR corpus's dup "
-        "density, not corpus size.",
+        "Since r11 the per-fp id sets are BOUNDED aggregates capped at "
+        "maxDocFreq+1 (8 KB max buffer at the default 1000; a df >> "
+        "maxDocFreq boilerplate fp stops collecting at the cap in every "
+        "partial — SCALING d13_hotfp row measures wall x1.20 at x10 docs "
+        "with df = corpus size), keeping the expensive winnowing CPU to ONE "
+        "corpus pass at r10's exchange volume; a two-pass count-first plan "
+        "(constant buffers, ~9% less exchange, 2x the winnow CPU) ships as "
+        "the fallback for pathological maxDocFreq > 2^20. Output "
+        "bit-identical on both paths (property-pinned). Budget the pair "
+        "term from YOUR corpus's dup density, not corpus size.",
     "t22_language_id":
         "the L x V-row NB model and the L-row stats BROADCAST; training is "
         "a vocabulary-bounded (lang, gram) count exchange (Heaps-bounded "
