@@ -48,7 +48,8 @@ object Sizing {
     "t16_dsir_weights", "t17_dsir_resample", "t18_unimax_mix",
     "t19_temperature_mix", "d12_incremental_dedup", "v02_drift_psi",
     "e04_transitions", "t20_source_curation", "x03_random_projection",
-    "t21_winnow_fingerprints", "d13_winnow_overlap", "t22_language_id")
+    "t21_winnow_fingerprints", "d13_winnow_overlap", "t22_language_id",
+    "t23_boilerplate", "i03_fingerprint_index")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

@@ -49,6 +49,7 @@ DOMINANT = {
     "t20_source_curation": "documents", "x03_random_projection": "embeddings",
     "t21_winnow_fingerprints": "documents", "d13_winnow_overlap": "documents",
     "t22_language_id": "documents",
+    "t23_boilerplate": "documents", "i03_fingerprint_index": "documents",
 }
 
 
@@ -157,6 +158,18 @@ FLAG_NOTES = {
         "per-(doc, lang) partial-sum reduce — docs x L rows of (id, lang, "
         "decimal) after map-side combine, no text payload. Budget scoring "
         "as L x one fingerprint-dedup-shaped pass.",
+    "t23_boilerplate":
+        "ZERO shuffle bytes at both scales: block split, tag strip, anchor "
+        "extraction, density rules, and reassembly all run inside per-row "
+        "higher-order functions (BoilerplateSpec pins no-Exchange). The "
+        "100 TB cost is scan + CPU only — the t14/t21 shape.",
+    "i03_fingerprint_index":
+        "the dedup side is d12's shape (bloom partials + batch dup mass); "
+        "what this row adds is the SCAN story: every history read is the "
+        "8 B/doc fingerprint index (plan-pinned struct<_fp:bigint> only), "
+        "never the text corpus — at 100 TB the difference between scanning "
+        "~10 B/doc of index and ~5 KB/doc of raw text per ingest batch. "
+        "Shuffle volume is batch-bounded, not history-bounded.",
     "d03_minhash_pairs":
         "growth >> 1 is a REGIME change, not superlinear work: at sf0.1 AQE "
         "broadcasts the band-bucket join (shuffle ~0.01 MB), at sf1 it "
