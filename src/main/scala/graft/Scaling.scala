@@ -620,6 +620,80 @@ object Scaling {
         "construction",
       scaleLabel = "x100")
 
+    // ---- round-11 operators: t22 langid, t23 boilerplate, i03 index, s04 PQ
+    // t22: labels preserved per copy (the language histogram scales with the
+    // corpus); the vowel rotation grows V (rotated grams are new vocabulary),
+    // so this row honestly carries model growth too — train + score walls
+    // must still track docs ~linearly (the exchange is docs x L partial sums
+    // and the V-bounded count shuffle, never corpus x V).
+    val docsLang = tbl("documents").select(col("doc_id"), col("text"), col("lang"))
+    def docsLang10: DataFrame =
+      (0 until 10).map(i => docsLang
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"), "aeiou", vowelRot(i))))
+        .reduce(_ unionAll _)
+    def langidOn(d: DataFrame): DataFrame =
+      graft.operators.LangId.classify(
+        d.where(col("doc_id") % 5 =!= 0), d.where(col("doc_id") % 5 === 0),
+        "doc_id", "text", "lang")
+    record("t22_language_id",
+      () => langidOn(docsLang),
+      () => langidOn(docsLang10),
+      "10x vowel-rotated docs, labels preserved: training counts and " +
+        "scoring partial sums must scale ~linearly in docs even though V " +
+        "itself grows with the rotations (the model join stays broadcast)")
+
+    // t23: the query's nav/article/footer sandwich, built in-plan — a pure
+    // narrow map, wall ~linear in total HTML chars at any scale.
+    def boilerOn(d: DataFrame): DataFrame =
+      graft.operators.Boilerplate.extract(
+        d.select(col("doc_id"),
+          concat(lit("<html><body><nav><a href=\"/\">home</a> " +
+            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+            col("text"),
+            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+              "</body></html>")).as("html")),
+        "doc_id", "html")
+    record("t23_boilerplate",
+      () => boilerOn(docs.select(col("doc_id"), col("text"))),
+      () => boilerOn(docs10.select(col("doc_id"), col("text"))),
+      "10x docs wrapped in the nav/article/footer sandwich: the zero-" +
+        "exchange densitometric pass must scale ~linearly in total chars")
+
+    // i03: both the batch stream and the accreted index scale x10 (the
+    // whole-pipeline variant of d12's constant-batch rows) — three ordered
+    // batches per side, survivors + appends; wall ~linear in total docs.
+    def i03On(d: DataFrame, tag: String): DataFrame = {
+      val idx = graft.util.Scratch.dir(s"graft-scale-i03-$tag-" +
+        java.util.UUID.randomUUID().toString.take(8)).toString + "/idx"
+      (0L to 2L).map { b =>
+        graft.operators.FingerprintIndex.step(
+          d.where(col("doc_id") % 3 === b), "text", idx, b, 1000000L)
+          .select(col("doc_id"))
+      }.reduce(_ unionAll _)
+    }
+    record("i03_fingerprint_index",
+      () => i03On(docs.select(col("doc_id"), col("text")), "b"),
+      () => i03On(docs10.select(col("doc_id"), col("text")), "s"),
+      "10x docs through the same three-batch dedup-then-append cycle: " +
+        "batch scans, bloom builds over the 8 B/doc index, and batch-" +
+        "bounded confirms must give wall ~linear in total docs")
+
+    // s04: 10x sign-decorrelated corpus (the d06 fixture) at CONSTANT
+    // queries — codebook training aggregations, narrow encoding, and the
+    // broadcast-table scoring scan must all track corpus size ~linearly.
+    record("s04_ann_pq",
+      () => graft.operators.Similarity.pqTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16),
+      () => graft.operators.Similarity.pqTopK(emb10,
+        emb10.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16),
+      "10x sign-decorrelated vectors, constant 8 queries: per-subspace " +
+        "kmeans training + code assignment + ADC scan are all corpus-" +
+        "linear; the m x ks tables and codebooks are scale-invariant")
+
     // d12: the HISTORY side grows x10/x100 while the ingest batch stays
     // CONSTANT — the real continuous-ingest shape (history accretes, daily
     // batches don't). The vowel/consonant rotations keep the scaled history
