@@ -41,7 +41,8 @@ object Sizing {
     "d04_simhash_pairs", "d05_ngram_jaccard", "d06_embedding_neardup",
     "d07_dedup_clusters", "d08_quality_survivors", "d09_cross_decontam",
     "d10_dup_spans", "t10_passage_dedup", "t13_weighted_sample",
-    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_pq", "c01_contamination",
+    "s02_ann_lsh", "s03_ann_ivf", "s04_ann_pq", "s05_ann_ivfpq",
+    "c01_contamination",
     "o04_interval_overlap", "o07_interval_pairs",
     "x01_tfidf", "x02_kmeans_step", "q02_agg_pricing", "q03_join_agg",
     "d11_semdedup", "t15_lm_perplexity", "d05_ngram_jaccard_t08",

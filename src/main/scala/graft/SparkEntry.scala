@@ -950,6 +950,20 @@ object SparkEntry {
           bi(col("rank")).as("rank"))
     }),
 
+    // IVF + PQ composed (non-residual IVFADC): the s03 coarse-cell pruning
+    // stacked on s04's code compression — each query ADC-scores only the
+    // codes in its nprobe best cells. Full probe == s04 bit-for-bit
+    // (spec-pinned); this query ships partial probe (4/16), and the oracle
+    // recomputes the same pruned approximation exactly.
+    "s05_ann_ivfpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, dim = 64, m = 8, ks = 16,
+        centroids = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+          bi(col("rank")).as("rank"))
+    }),
+
     // text analysis: language-ID + quality + token counts. (The xxhash64
     // fingerprint feature is exercised by d02's grouping and unit tests — it
     // has no DuckDB equivalent, so it stays out of the oracle-checked output.)
@@ -3330,6 +3344,87 @@ object SparkEntry {
         |SELECT vec_id, CAST(k AS INT) AS k,
         |  CAST(qsum AS DOUBLE) / 4000000 AS y
         |FROM s""".stripMargin,
+    // s05: s04's blocks + the coarse stage — cells/probes from the
+    // id-ordered sample quantizer (rn = 1 / rn <= nprobe over the same
+    // argmax score, ties to the lowest cell — the engine's first-max and
+    // idx-asc-slice contracts), candidate pairs restricted to probed cells.
+    "s05_ann_ivfpq" ->
+      """WITH coarse AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccell,
+        |         CAST(embedding AS DOUBLE[]) AS ccv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |cells AS (
+        |  SELECT vec_id, ccell FROM (
+        |    SELECT s.vec_id, c.ccell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_dot_product(CAST(s.embedding AS DOUBLE[]), c.ccv)
+        |               - list_dot_product(c.ccv, c.ccv) / 2 DESC, c.ccell)
+        |        AS rn
+        |    FROM embeddings s CROSS JOIN coarse c)
+        |  WHERE rn = 1),
+        |qprobes AS (
+        |  SELECT vec_id AS query_id, ccell FROM (
+        |    SELECT s.vec_id, c.ccell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_dot_product(CAST(s.embedding AS DOUBLE[]), c.ccv)
+        |               - list_dot_product(c.ccv, c.ccv) / 2 DESC, c.ccell)
+        |        AS rn
+        |    FROM embeddings s CROSS JOIN coarse c WHERE s.vec_id < 8)
+        |  WHERE rn <= 4),
+        |sub AS (
+        |  SELECT vec_id, m,
+        |    embedding[m * 8 + 1 : m * 8 + 8] AS svf,
+        |    CAST(embedding[m * 8 + 1 : m * 8 + 8] AS DOUBLE[]) AS sv
+        |  FROM embeddings, range(0, 8) t(m)),
+        |seeds AS (
+        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+        |           AS cl, sv
+        |  FROM sub WHERE vec_id IN
+        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |assign AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.sv)
+        |                 - list_dot_product(c.sv, c.sv) / 2 DESC, c.cl) AS rn
+        |    FROM sub s JOIN seeds c USING (m))
+        |  WHERE rn = 1),
+        |cb AS (
+        |  SELECT m, cl, list(centroid ORDER BY i) AS cv FROM (
+        |    SELECT a.m, a.cl, i,
+        |      round(CAST(sum(CAST(s.svf[i] AS DECIMAL(27,10))) AS DOUBLE)
+        |        / count(*), 6) AS centroid
+        |    FROM assign a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m,
+        |         unnest(range(1, 9)) t(i)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |codes AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.cv)
+        |                 - list_dot_product(c.cv, c.cv) / 2 DESC, c.cl) AS rn
+        |    FROM sub s JOIN cb c USING (m))
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT s.vec_id AS query_id, s.m, c.cl,
+        |    CAST(round(list_dot_product(s.sv, c.cv), 9) AS DECIMAL(20,9)) AS e
+        |  FROM sub s JOIN cb c USING (m) WHERE s.vec_id < 8),
+        |sc AS (
+        |  SELECT d.query_id, x.vec_id AS neighbor_id, sum(d.e) AS adot
+        |  FROM codes x
+        |  JOIN cells cl2 ON cl2.vec_id = x.vec_id
+        |  JOIN qprobes p ON p.ccell = cl2.ccell
+        |  JOIN dt d ON d.query_id = p.query_id AND d.m = x.m AND d.cl = x.cl
+        |  WHERE x.vec_id <> d.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adot AS DOUBLE), 6) AS approx_dot,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adot DESC, neighbor_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
     // s04: per-subspace kmeansStep (the x02 oracle block generalized over
     // m), first-max assignment ties to the lowest cluster, ADC table
     // entries quantized at 1e-9 per (query, subspace, codeword), per-pair

@@ -220,10 +220,74 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 8, ks: Int = 16,
-             excludeSelf: Boolean = true): DataFrame = {
+             excludeSelf: Boolean = true): DataFrame =
+    ivfPqTopK(corpus, queries, idCol, vecCol, k, dim, m, ks,
+      centroids = 1, nprobe = 1, excludeSelf = excludeSelf)
+
+  /** IVF + PQ composed (the scan-AND-memory story): a coarse quantizer — the
+    * [[ivfTopK]] deterministic id-ordered sample, over RAW vectors here —
+    * assigns every corpus vector a cell; each query probes its `nprobe`
+    * best cells and ADC-scores ONLY the codes living there. At
+    * `nprobe = centroids` every cell is probed, so the output equals plain
+    * [[pqTopK]] BIT-FOR-BIT (spec-pinned) — cell pruning is exact-by-
+    * construction over the same approximation, exactly like s03 over s01;
+    * partial probe trades recall for touching `~nprobe/centroids` of the
+    * code table. `centroids = 1` degenerates to plain PQ-ADC (every vector
+    * in the one cell — how [[pqTopK]] delegates here). This is the
+    * non-residual IVFADC variant: codes come from GLOBAL per-subspace
+    * codebooks; Jégou et al. §III's refinement (encode residuals
+    * `x − coarse(x)` per cell) drops in by training the codebooks on
+    * residuals — the machinery (cells, probes, tables, scan) is unchanged.
+    *
+    * Scale shape: s03's candidate pruning stacked on s04's 32× scan-volume
+    * cut — the cell equi-join broadcasts the (query, cell, tables) side, the
+    * corpus side stays in place, and the only corpus-sized exchange remains
+    * the per-query top-k window. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int, dim: Int,
+                m: Int = 8, ks: Int = 16,
+                centroids: Int = 16, nprobe: Int = 4,
+                excludeSelf: Boolean = true): DataFrame = {
     require(m >= 1 && dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     require(ks >= 1, s"pqTopK: ks=$ks")
+    require(centroids >= 1 && nprobe >= 1 && nprobe <= centroids,
+      s"ivfPqTopK: centroids=$centroids nprobe=$nprobe")
     val ds = dim / m
+    // --- coarse quantizer over RAW vectors: the ivfTopK id-ordered sample
+    // (clamped like ivfTopK when the corpus is smaller than `centroids`)
+    val coarse: Array[Array[Double]] =
+      if (centroids == 1) Array.empty
+      else corpus.orderBy(col(idCol)).limit(centroids)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    val nCells = if (centroids == 1) 1 else coarse.length
+    val nProbeEff = math.min(nprobe, nCells)
+    val coarseN2h: Array[Double] = coarse.map(c => c.map(x => x * x).sum / 2)
+    def cellExpr(vec: Column): Column =
+      if (nCells == 1) lit(0)
+      else {
+        val scores = transform(V.planeDots(vec, coarse),
+          (d, i) => d - get(lit(coarseN2h), i))
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }
+    // query side: the nProbeEff best cells by the same score, idx asc on
+    // ties (the ivfTopK probe contract)
+    def probeExpr(vec: Column): Column =
+      if (nCells == 1) array(lit(0))
+      else {
+        val dots = transform(V.planeDots(vec, coarse),
+          (d, i) => d - get(lit(coarseN2h), i))
+        slice(
+          transform(
+            array_sort(
+              transform(sequence(lit(0), lit(nCells - 1)), i =>
+                struct(element_at(dots, i + 1).as("d"), i.as("idx"))),
+              (l, r) => when(l.getField("d") > r.getField("d"), -1)
+                .when(l.getField("d") < r.getField("d"), 1)
+                .otherwise(l.getField("idx") - r.getField("idx"))),
+            z => z.getField("idx")),
+          1, nProbeEff)
+      }
     // --- train: one Lloyd step per subspace (bounded: m × ks × ds doubles)
     // codebook j: trained codewords in cluster-id order (empty clusters —
     // possible under duplicate seeds — simply don't exist in either engine)
@@ -253,9 +317,11 @@ object Similarity {
       transform(V.planeDots(subCol(vec, j), codebooks(j)),
         d => round(d, 9).cast("decimal(20,9)"))
     val coded = corpus.select(col(idCol).as("neighbor_id"),
+      cellExpr(col(vecCol)).as("cell"),
       array((0 until m).map(j => codeExpr(col(vecCol), j)): _*).as("_codes"))
     val qTables = queries.select(col(idCol).as("query_id"),
-      array((0 until m).map(j => tableExpr(col(vecCol), j)): _*).as("_dt"))
+        explode(probeExpr(col(vecCol))).as("cell"),
+        array((0 until m).map(j => tableExpr(col(vecCol), j)): _*).as("_dt"))
     // per-pair approximate dot: a fixed m-term decimal addition tree (exact,
     // order-independent — matches the oracle's SUM over m rows)
     val approx = (0 until m).map(j =>
@@ -264,8 +330,9 @@ object Similarity {
       .reduce(_ + _)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("_adot").desc, col("neighbor_id"))
-    coded.join(broadcast(qTables),
-        if (excludeSelf) col("neighbor_id") =!= col("query_id") else lit(true))
+    coded.join(broadcast(qTables), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
       .select(col("query_id"), col("neighbor_id"), approx.as("_adot"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -128,6 +128,39 @@ class SimilaritySpec extends SparkSpec {
       s"only the rank window may shuffle:\n$plan")
   }
 
+  test("ivfPqTopK at full probe equals plain pqTopK bit-for-bit; partial " +
+       "probe prunes the scan and keeps planted-cluster recall") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+    val plain = Similarity.pqTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16)
+      .collect().map(_.toString).sorted
+    val full = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16, centroids = 8, nprobe = 8)
+      .collect().map(_.toString).sorted
+    assert(full.sameElements(plain),
+      "probing every cell must reproduce plain PQ-ADC exactly")
+    // partial probe on planted clusters: the coarse cells align with the
+    // cluster structure, so rank-1 stays same-cluster for nearly all queries
+    val rnd = new scala.util.Random(43)
+    val vecs = for (c <- 0 until 8; i <- 0 until 12) yield {
+      val base = Array.fill(64)(0.05f)
+      (0 until 8).foreach(j => base(c * 8 + j) = 1.0f)
+      ((c * 100 + i).toLong,
+        base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f).toSeq)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopK(df, df.filter(col("vec_id") % 100 < 2),
+        "vec_id", "embedding", k = 1, dim = 64, m = 8, ks = 16,
+        centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val sameCluster = got.count { case (qid, n) => qid / 100 == n / 100 }
+    assert(got.length >= 15 && sameCluster >= got.length - 1,
+      s"partial-probe IVFADC must respect planted clusters: " +
+        s"$sameCluster/${got.length}")
+  }
+
   test("ivfTopK degrades gracefully on a corpus smaller than nprobe: " +
        "clamps to the available cells and stays exact") {
     val e = Lake.table(spark, sf0001, "embeddings")

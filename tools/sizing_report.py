@@ -36,7 +36,7 @@ DOMINANT = {
     "d09_cross_decontam": "documents", "d10_dup_spans": "documents",
     "t10_passage_dedup": "documents", "t13_weighted_sample": "documents",
     "s02_ann_lsh": "embeddings", "s03_ann_ivf": "embeddings",
-    "s04_ann_pq": "embeddings",
+    "s04_ann_pq": "embeddings", "s05_ann_ivfpq": "embeddings",
     "c01_contamination": "documents",
     "o04_interval_overlap": "orders", "o07_interval_pairs": "orders",
     "x01_tfidf": "documents", "x02_kmeans_step": "embeddings",
