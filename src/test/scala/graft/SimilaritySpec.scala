@@ -140,6 +140,13 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(full.sameElements(plain),
       "probing every cell must reproduce plain PQ-ADC exactly")
+    // plan: the (query, cell, tables) side broadcasts into the cell join;
+    // the corpus/code side never sort-merges, only the rank window shuffles
+    val plan = Similarity.ivfPqTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16, centroids = 16, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"cell join must broadcast the probe side:\n$plan")
     // partial probe on planted clusters: the coarse cells align with the
     // cluster structure, so rank-1 stays same-cluster for nearly all queries
     val rnd = new scala.util.Random(43)
