@@ -19,18 +19,28 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: the model is an aggregation — (lang, gram) counts whose
   * exchange is vocabulary-bounded (V is Heaps-bounded, the measured t15
-  * argument), never corpus-bounded, and the L-row language stats plus the
-  * L×V-row model BROADCAST to the scoring side. Scoring is a narrow gram
-  * explode × L joined against those broadcasts; the only corpus-sized
-  * exchange is the per-(doc, lang) partial-sum reduce — docs×L rows of
-  * `(id, lang, decimal)` after map-side combine, no text payload. The corpus
-  * itself is never shuffled.
+  * argument), never corpus-bounded. The model then pivots to a GRAM-KEYED
+  * relation of V rows whose payload is the L-length array of quantized
+  * log-probs (miss-floor where the lang never saw the gram), and that single
+  * relation BROADCASTS to the scoring side: each doc gram picks up its
+  * L-array in the map-side broadcast join, and the per-doc reduce sums the
+  * arrays element-wise as L bounded decimal aggregation columns. The only
+  * corpus-sized exchange is therefore docs rows of (id, L decimals) after
+  * map-side combine — NOT docs×L rows: at a production 100–200-language
+  * model the row multiplier that a per-(doc, lang) formulation pays on the
+  * biggest narrow stage simply never exists. The corpus itself is never
+  * shuffled. The one driver seam is the L-string language list (a distinct
+  * over the labeled seed's lang column — the kmeansStep bounded-collect
+  * precedent), needed so the L aggregation columns exist at plan time;
+  * priors and miss-floors stay lazy in a 1-row broadcast.
   *
   * Determinism (the t15 pattern): every log-probability is `ln` rounded
   * once at 9 decimals — per MODEL row, so last-ulp libm disagreement between
   * engines is confined to L×V+2L values independent of corpus size — then
   * per-doc sums run as exact decimals (order-independent) and the winning
-  * score rounds at 6. A DuckDB oracle reproduces the output bit-for-bit. */
+  * score rounds at 6. A DuckDB oracle reproduces the output bit-for-bit
+  * (and bit-identical to the pre-pivot per-(doc, lang) formulation this
+  * replaced: same quantized terms, same exact-decimal sums, same tie rule). */
 object LangId {
 
   private def norm(c: Column): Column =
@@ -68,30 +78,58 @@ object LangId {
           .cast("decimal(20,9)").as("_prior"),
         round(log(lit(1.0) / (col("_tot") + col("_v")).cast("double")), 9)
           .cast("decimal(20,9)").as("_miss"))
-    // L×V rows: smoothed per-(lang, gram) log-probability, quantized once
-    val model = counts.join(totals, Seq("_lang")).crossJoin(broadcast(vocab))
-      .select(col("_lang"), col("_g"),
+
+    // the one bounded driver seam: the language LIST (L strings), ordered by
+    // Spark's own comparator so index order agrees with the lazy sort below
+    val langs: Array[String] = lt.select(col("_lang")).distinct()
+      .orderBy(col("_lang")).collect().map(_.getString(0))
+    val L = langs.length
+    if (L == 0)
+      // no labeled doc has gram evidence — nothing is scorable
+      return docs.select(col(idCol), lit("").as("lang_pred"),
+        lit(0.0).as("score")).where(lit(false))
+
+    // 1 row, lazy: the lang-sorted (lang, prior, miss) array — priors and
+    // miss-floors never touch the driver
+    val langsArr = langStats.agg(sort_array(collect_list(
+      struct(col("_lang"), col("_prior"), col("_miss")))).as("_la"))
+
+    // V rows: gram -> L-array of quantized log-probs, miss-floor where the
+    // lang never saw the gram. THE broadcast model relation.
+    val present = counts.join(totals, Seq("_lang")).crossJoin(broadcast(vocab))
+      .select(col("_g"), col("_lang"),
         round(log((col("_c") + 1).cast("double") /
           (col("_tot") + col("_v")).cast("double")), 9)
           .cast("decimal(20,9)").as("_lp"))
+      .groupBy(col("_g"))
+      .agg(map_from_entries(collect_list(struct(col("_lang"), col("_lp"))))
+        .as("_m"))
+    val model = present.crossJoin(broadcast(langsArr))
+      .select(col("_g"), transform(col("_la"), s =>
+        coalesce(element_at(col("_m"), s.getField("_lang")),
+          s.getField("_miss"))).as("_terms"))
 
     val dg = explodeGrams(docs, col(idCol), col(textCol), n)
-    val scored = dg
-      .crossJoin(broadcast(langStats.select(col("_lang"), col("_miss"))))
-      .join(broadcast(model), Seq("_lang", "_g"), "left")
-      .select(col("_id"), col("_lang"),
-        coalesce(col("_lp"), col("_miss")).as("_term"))
-      .groupBy(col("_id"), col("_lang"))
-      .agg(sum(col("_term")).as("_gsum"))
-      .join(broadcast(langStats.select(col("_lang"), col("_prior"))),
-        Seq("_lang"))
-      .select(col("_id"), col("_lang"),
-        (col("_prior") + col("_gsum")).as("_s"))
-    // argmax by (score desc, lang asc): min of (-score, lang) structs — the
-    // decimal negation is exact, so the tie rule is bit-deterministic
-    scored.groupBy(col("_id"))
-      .agg(min(struct((-col("_s")).as("ns"), col("_lang").as("l"))).as("_b"))
-      .select(col("_id").as(idCol), col("_b.l").as("lang_pred"),
+    // per-doc element-wise sum: L bounded decimal columns — the exchange
+    // carries docs rows (map-side combined), never docs×L
+    val sums = dg.join(broadcast(model), Seq("_g"), "left")
+      .crossJoin(broadcast(langsArr))
+      .select(col("_id"), coalesce(col("_terms"),
+        transform(col("_la"), s => s.getField("_miss"))).as("_t"))
+      .groupBy(col("_id"))
+      .agg(sum(element_at(col("_t"), 1)).as("_s0"),
+        (1 until L).map(i =>
+          sum(element_at(col("_t"), i + 1)).as(s"_s$i")): _*)
+    // argmax by (score desc, lang asc): min over (-score, idx) structs — the
+    // decimal negation is exact and langs index order IS lex order, so the
+    // tie rule is bit-deterministic
+    val scoredStructs = array((0 until L).map(i =>
+      struct((-(element_at(col("_la"), i + 1).getField("_prior") +
+        col(s"_s$i"))).as("ns"), lit(i).as("idx"))): _*)
+    sums.crossJoin(broadcast(langsArr))
+      .select(col("_id"), array_min(scoredStructs).as("_b"))
+      .select(col("_id").as(idCol),
+        element_at(lit(langs), col("_b.idx") + 1).as("lang_pred"),
         round((-col("_b.ns")).cast("double"), 6).as("score"))
   }
 }

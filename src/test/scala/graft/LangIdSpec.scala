@@ -94,6 +94,43 @@ class LangIdSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("shuffle: the scoring exchange carries docs rows, not docs×L — " +
+       "record growth per extra doc is ~1, independent of L") {
+    // same model both runs (identical labeled set, L = 3); docs 1x vs 10x.
+    // The shuffle-record DELTA isolates the corpus-scaling exchange: model
+    // exchanges (counts/totals/present) are identical across runs, so the
+    // delta is the per-doc partial-sum rows. The replaced per-(doc, lang)
+    // formulation shuffled L rows per doc here — the delta pins ~1.
+    val train = (for (l <- vocabs.keys.toSeq.sorted; i <- 0 until 30)
+      yield (l, doc(l, i))).toDF("lang", "text")
+    def docsDf(m: Int) = (0 until m).map(i =>
+      (i.toLong, doc(vocabs.keys.toSeq.sorted.apply(i % 3), 5000 + i))).toDF("doc_id", "text")
+    def records(m: Int): Long = {
+      val sc = spark.sparkContext
+      @volatile var recs = 0L
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            recs += t.taskMetrics.shuffleWriteMetrics.recordsWritten
+      }
+      sc.addSparkListener(listener)
+      try {
+        LangId.classify(train, docsDf(m), "doc_id", "text", "lang")
+          .write.format("noop").mode("overwrite").save()
+        var last = -1L; var spins = 0
+        while (recs != last && spins < 50) { last = recs; Thread.sleep(100); spins += 1 }
+        recs
+      } finally sc.removeSparkListener(listener)
+    }
+    val base = 400
+    val delta = records(base * 10) - records(base)
+    val extraDocs = base * 9
+    assert(delta >= extraDocs / 2, s"delta $delta — expected ~$extraDocs")
+    assert(delta < extraDocs * 2,
+      s"scoring exchange grew $delta records for $extraDocs extra docs — " +
+        s"looks like docs×L (L = 3) is back")
+  }
+
   /** Independent NB reference: same smoothing, quantization (ln rounded at
     * 9, decimal sums, score rounded at 6), and tie rule. */
   private def nbRef(train: Seq[(String, String)], docs: Seq[(Long, String)],
