@@ -68,6 +68,10 @@ object Similarity {
     val cents2d: Array[Array[Double]] = c.orderBy(col("neighbor_id")).limit(centroids)
       .select(col("cv")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    // fail fast on a wrong `dim` (a silent mismatch would slice short
+    // subvectors downstream and rank plausibly but wrongly)
+    cents2d.foreach(v => require(v.length == dim,
+      s"ivfTopK: corpus vector has ${v.length} elements, expected dim=$dim"))
     // a corpus smaller than `centroids` yields fewer cells than asked for;
     // probing every available cell is the graceful (and exact) degradation,
     // so clamp rather than trip the explicit-codebook path's strict require
@@ -196,9 +200,12 @@ object Similarity {
     * compressed to `m` sub-codes (one byte each at `ks ≤ 256`), so the scan
     * side touches ~`m` bytes per vector instead of `4·dim` (8 vs 256 here,
     * a 32× scan-volume cut), and scoring is `m` table lookups instead of a
-    * `dim`-wide dot product. Codebooks are trained per subspace with one
-    * deterministic Lloyd step ([[Clustering.kmeansStep]] — the x02 chain;
-    * callers can iterate the step for better placement, the machinery is
+    * `dim`-wide dot product. Codebooks are one deterministic Lloyd step per
+    * subspace ([[Clustering.kmeansStep]]'s exact arithmetic — the x02
+    * chain), trained for ALL m subspaces in a single aggregation job, and
+    * `trainRows > 0` bounds training to a deterministic id-ordered sample
+    * (the standard PQ practice — at 100 TB training never full-scans;
+    * callers can iterate steps for better placement, the machinery is
     * placement-agnostic). Ranking is by APPROXIMATE inner product
     * `q · x̂ = Σ_j q_j · c_{code_j(x)}` (ADC in its inner-product form; feed
     * l2-normalized vectors for the cosine contract). No re-ranking against
@@ -212,7 +219,8 @@ object Similarity {
     * corpus-independent — and per-pair scores are exact decimal sums of m
     * entries, so a DuckDB oracle reproduces the ranking bit-for-bit.
     *
-    * Scale shape: training is m bounded aggregations; encoding is a narrow
+    * Scale shape: training is ONE bounded aggregation (optionally over a
+    * bounded id-ordered sample); encoding is a narrow
     * map against literal codebooks; queries (with their Q×m×ks tables)
     * broadcast; the only corpus-sized exchange is the per-query top-k
     * window over (query_id, neighbor_id, score) — s01's shape at a fraction
@@ -220,9 +228,10 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame,
              idCol: String, vecCol: String, k: Int, dim: Int,
              m: Int = 8, ks: Int = 16,
-             excludeSelf: Boolean = true): DataFrame =
+             excludeSelf: Boolean = true, trainRows: Int = 0): DataFrame =
     ivfPqTopK(corpus, queries, idCol, vecCol, k, dim, m, ks,
-      centroids = 1, nprobe = 1, excludeSelf = excludeSelf)
+      centroids = 1, nprobe = 1, excludeSelf = excludeSelf,
+      trainRows = trainRows)
 
   /** IVF + PQ composed (the scan-AND-memory story): a coarse quantizer — the
     * [[ivfTopK]] deterministic id-ordered sample, over RAW vectors here —
@@ -247,7 +256,7 @@ object Similarity {
                 idCol: String, vecCol: String, k: Int, dim: Int,
                 m: Int = 8, ks: Int = 16,
                 centroids: Int = 16, nprobe: Int = 4,
-                excludeSelf: Boolean = true): DataFrame = {
+                excludeSelf: Boolean = true, trainRows: Int = 0): DataFrame = {
     require(m >= 1 && dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
     require(ks >= 1, s"pqTopK: ks=$ks")
     require(centroids >= 1 && nprobe >= 1 && nprobe <= centroids,
@@ -260,6 +269,8 @@ object Similarity {
       else corpus.orderBy(col(idCol)).limit(centroids)
         .select(col(vecCol)).collect()
         .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    coarse.foreach(c => require(c.length == dim,
+      s"ivfPqTopK: corpus vector has ${c.length} elements, expected dim=$dim"))
     val nCells = if (centroids == 1) 1 else coarse.length
     val nProbeEff = math.min(nprobe, nCells)
     val coarseN2h: Array[Double] = coarse.map(c => c.map(x => x * x).sum / 2)
@@ -288,19 +299,59 @@ object Similarity {
             z => z.getField("idx")),
           1, nProbeEff)
       }
-    // --- train: one Lloyd step per subspace (bounded: m × ks × ds doubles)
+    // --- train: ALL m subspace codebooks in ONE aggregation job (bounded
+    // output: m × ks × ds doubles). Each training row explodes into its m
+    // (subspace, cluster, dim_idx, value) assignments against the per-
+    // subspace seed matrices, and one groupBy computes every codeword —
+    // exactly [[Clustering.kmeansStep]]'s arithmetic (argmax(a·c − |c|²/2)
+    // assignment, first max on ties; count + exact-decimal mean rounded at
+    // 6), so the codebooks are BIT-IDENTICAL to m per-subspace kmeansStep
+    // jobs while the corpus is read once instead of 2m times (m seed
+    // collects + m aggregations). Seeds per subspace are the ks lowest-id
+    // subvectors — the slices of the ks lowest-id training vectors, fetched
+    // in one TakeOrdered job.
+    //
+    // `trainRows > 0` bounds training to the `trainRows` lowest-id vectors
+    // (the ivfTopK/kmeansStep deterministic id-ordered sample contract) —
+    // the standard PQ practice: at 100 TB codebook training samples, never
+    // full-scans; encoding/scoring still cover the whole corpus. 0 trains
+    // on everything (the exact-oracle configuration).
+    val trainBase = if (trainRows > 0)
+      corpus.orderBy(col(idCol)).limit(trainRows) else corpus
+    val seedVecs: Array[Array[Double]] = trainBase.orderBy(col(idCol)).limit(ks)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    seedVecs.foreach(v => require(v.length == dim,
+      s"ivfPqTopK: corpus vector has ${v.length} elements, expected dim=$dim"))
+    val seeds: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map(j => seedVecs.map(_.slice(j * ds, (j + 1) * ds)))
+    def assignExpr(sub: Column, cents: Array[Array[Double]]): Column = {
+      val cn2h = cents.map(c => c.map(x => x * x).sum / 2)
+      val scores = transform(V.planeDots(sub, cents),
+        (d, i) => d - get(lit(cn2h), i))
+      (array_position(scores, array_max(scores)) - 1).cast("long")
+    }
+    val trained = trainBase.select(explode(array((0 until m).map { j =>
+        val sub = slice(col(vecCol), j * ds + 1, ds)
+        struct(lit(j).as("j"), assignExpr(sub, seeds(j)).as("cluster"),
+          sub.as("sv"))
+      }: _*)).as("s"))
+      .select(col("s.j").as("_j"), col("s.cluster").as("cluster"),
+        posexplode(col("s.sv")).as(Seq("dim_idx", "v")))
+      .groupBy(col("_j"), col("cluster"), col("dim_idx"))
+      .agg(round(sum(col("v").cast("decimal(27,10)")).cast("double") /
+        count(lit(1)), 6).as("centroid"))
+      .collect()
     // codebook j: trained codewords in cluster-id order (empty clusters —
     // possible under duplicate seeds — simply don't exist in either engine)
-    val codebooks: Array[Array[Array[Double]]] =
+    val codebooks: Array[Array[Array[Double]]] = {
+      val byJ = trained.map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).groupBy(_._1)
       (0 until m).toArray.map { j =>
-        val sub = corpus.select(col(idCol),
-          slice(col(vecCol), j * ds + 1, ds).as("_sv"))
-        Clustering.kmeansStep(sub, idCol, "_sv", ks)
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
-          .groupBy(_._1).toArray.sortBy(_._1)
-          .map(_._2.sortBy(_._2).map(_._3))
+        byJ(j).groupBy(_._2).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._4))
       }
+    }
     def subCol(vec: Column, j: Int): Column = slice(vec, j * ds + 1, ds)
     // nearest codeword by the kmeansStep contract: argmax(a·c − |c|²/2),
     // first max on ties; the code is the POSITION in the cluster-id-sorted

@@ -221,4 +221,61 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("ivfPqTopK trains all m codebooks in ONE aggregation job: plan " +
+       "construction fires <= 3 Spark jobs (was 1 + 2m)") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 4)
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    sc.addSparkListener(listener)
+    try {
+      Similarity.ivfPqTopK(e, q, "vec_id", "embedding", k = 5, dim = 64,
+        m = 8, ks = 16, centroids = 8, nprobe = 4)
+      var last = -1; var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+      // coarse-centroid TakeOrdered + seed TakeOrdered + the ONE training
+      // aggregation (2 jobs under AQE: shuffle-map stage + result) — the
+      // driver-side seams, nothing per-subspace. m sequential kmeansStep
+      // jobs measured 17+ here.
+      assert(jobs <= 4, s"codebook training fired $jobs jobs — " +
+        "per-subspace sequential training is back")
+    } finally sc.removeSparkListener(listener)
+  }
+
+  test("trainRows: sample-bounded codebook training — a sample covering the " +
+       "corpus is bit-identical to full training; a strict sample stays " +
+       "deterministic and well-formed") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val n = e.count().toInt
+    val q = e.filter(col("vec_id") < 8)
+    val full = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5, dim = 64)
+      .collect().map(_.toString).sorted
+    val covering = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5,
+        dim = 64, trainRows = n)
+      .collect().map(_.toString).sorted
+    assert(covering.sameElements(full),
+      "trainRows >= |corpus| must reproduce full training bit-for-bit")
+    val sampled = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5,
+        dim = 64, trainRows = 64)
+    val a = sampled.collect().map(_.toString).sorted
+    val b = Similarity.pqTopK(e, q, "vec_id", "embedding", k = 5, dim = 64,
+        trainRows = 64).collect().map(_.toString).sorted
+    assert(a.sameElements(b), "id-ordered sample training must be deterministic")
+    assert(a.length == 8 * 5)
+  }
+
+  test("wrong dim fails fast instead of silently slicing short subvectors") {
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val q = e.filter(col("vec_id") < 2)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(e, q, "vec_id", "embedding", k = 2, dim = 32, m = 8)
+    }
+    assert(err.getMessage.contains("expected dim=32"))
+  }
 }
