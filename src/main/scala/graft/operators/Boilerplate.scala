@@ -44,15 +44,19 @@ object Boilerplate {
   private def normWs(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
-  /** Per-doc extraction: `(idCol, content_blocks, boiler_blocks,
+  /** Per-doc extraction: `(idCol, carry..., content_blocks, boiler_blocks,
     * extracted_text)` — counts over NONEMPTY blocks (an empty string between
     * two adjacent tags is not a block), `extracted_text` the content blocks'
-    * tag-stripped text joined in document order. */
+    * tag-stripped text joined in document order. `carry` names metadata
+    * columns (source, labels, URLs) passed through unchanged — the pipeline
+    * composition seam: extraction is a narrow map, so carried columns cost
+    * nothing and downstream stages never re-join for them. */
   def extract(df: DataFrame, idCol: String, htmlCol: String,
-              minWords: Int = 5, wordsPerLine: Int = 7): DataFrame = {
+              minWords: Int = 5, wordsPerLine: Int = 7,
+              carry: Seq[String] = Nil): DataFrame = {
     require(minWords >= 1 && wordsPerLine >= 1,
       s"bad boilerplate params: minWords=$minWords wordsPerLine=$wordsPerLine")
-    val stats = df.select(col(idCol).as("_id"),
+    val stats = df.select(col(idCol).as("_id") +: carry.map(col) :+
       transform(split(col(htmlCol), blockTagPattern), raw => {
         val txt = normWs(regexp_replace(raw, "(?s)<[^>]*>", " "))
         val w = size(filter(split(txt, " "), t => t =!= ""))
@@ -63,7 +67,7 @@ object Boilerplate {
           t => t =!= ""))
         struct(txt.as("t"), w.cast("long").as("w"),
           length(txt).cast("long").as("c"), lw.cast("long").as("lw"))
-      }).as("_bs"))
+      }).as("_bs"): _*)
     val nonEmpty = filter(col("_bs"), s => s.getField("w") >= 1)
     def isContent(s: Column): Column =
       s.getField("w") >= minWords &&
@@ -71,11 +75,11 @@ object Boilerplate {
         s.getField("w") >=
           lit(wordsPerLine) * floor((s.getField("c") + 79) / lit(80)).cast("long")
     val content = filter(nonEmpty, isContent(_))
-    stats.select(col("_id").as(idCol),
-      size(content).cast("long").as("content_blocks"),
-      (size(nonEmpty) - size(content)).cast("long").as("boiler_blocks"),
+    stats.select(col("_id").as(idCol) +: carry.map(col) :+
+      size(content).cast("long").as("content_blocks") :+
+      (size(nonEmpty) - size(content)).cast("long").as("boiler_blocks") :+
       array_join(transform(content, s => s.getField("t")), " ")
-        .as("extracted_text"))
+        .as("extracted_text"): _*)
   }
 
   /** Per-block rows for inspection/tests: `(idCol, block_idx, words,

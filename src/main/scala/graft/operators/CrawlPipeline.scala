@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The crawl-curation pipeline composed END TO END in one DataFrame chain —
+  * the operating mode a real user runs, where every stage below exists as an
+  * individually oracle-gated operator:
+  *
+  *   raw HTML → [[Boilerplate.extract]] (t23) → [[LangId.classify]] (t22)
+  *   language gate → [[Quality.flags]] (t06) quality gate → exact
+  *   normalized-fingerprint dedup (d02) → [[Dsir]] importance-weight +
+  *   Gumbel-top-k resample (t16/t17) → sequence packing (t09).
+  *
+  * Composition is the point: each stage consumes the previous stage's
+  * columns directly (extraction carries metadata via its `carry` seam), no
+  * materialization barrier separates them, and the whole chain is ONE lazy
+  * plan — Catalyst fuses the narrow stages (extraction, quality flags,
+  * fingerprinting, token counts) into the scan pipelines around the
+  * stage-inherent exchanges.
+  *
+  * Scale shape (the exchanges, in order — everything else is narrow or
+  * broadcast):
+  *   - langid model aggregations: vocabulary-bounded (t22's shape);
+  *   - gram partial-sum reduce: docs rows of (id, L decimals);
+  *   - the prediction join: pred (id, lang_pred ~16 B/row) joins the
+  *     extracted relation on id — text crossing #1;
+  *   - dedup: one min_by-struct aggregation keyed on the 8-byte
+  *     fingerprint — text crossing #2, map-side combined so duplicate
+  *     copies collapse BEFORE the exchange (~÷duplication-factor volume).
+  *     Two crossings is the floor for this chain: the argmax gate and the
+  *     dedup group are keyed differently (id vs fp), so the text payload
+  *     must co-locate twice — spec-pinned: EXACTLY two text-bearing
+  *     shuffles in the whole plan, everything else narrow;
+  *   - DSIR: the SINGLE-PASS overload — target membership is a flag on the
+  *     gram stream and one bucket rollup computes both models, so the
+  *     survivors subtree is derived once, not once per model side; the
+  *     exchanges carry (id, meta, bucket, c) integer rows against a B-row
+  *     broadcast model;
+  *   - resample + packing: the Gumbel-top-k CARRIES the packing metadata
+  *     (source, token counts) through its per-partition heaps
+  *     (TakeOrderedAndProject — never a corpus sort, never a join back),
+  *     and the pack window runs over the k winners.
+  *
+  * Determinism: every stage is the already-oracle-gated formulation —
+  * integer-exact extraction and quality rules, 1e-9-quantized model
+  * log-probs with exact-decimal sums, content-keyed Gumbel draws — so the
+  * COMPOSITION is oracle-able end to end (bit-exact in DuckDB at all
+  * measured scales). The one driver seam is langid's L-string language
+  * list over the labeled seed. */
+object CrawlPipeline {
+
+  /** Run the full curation chain over `pages`.
+    *
+    * @param pages       raw crawl: `(idCol, htmlCol, langCol, sourceCol)` —
+    *                    `langCol` is the (partially trusted) label used only
+    *                    on the `labeledPred` training split
+    * @param labeledPred rows whose `langCol` label trains the langid model
+    * @param targetLangs keep docs whose PREDICTED language is in this set
+    * @param dsirTargetPred rows of the post-dedup survivors forming the
+    *                    DSIR target distribution
+    * @param sampleK     resample size (Gumbel-top-k without replacement)
+    * @param packBudget  token budget per training sequence
+    * @return `(idCol, sourceCol, lang_pred, log_w, n_tokens, pack_id,
+    *         pack_offset)` — the `sampleK` selected docs, packed */
+  def curate(pages: DataFrame, idCol: String, htmlCol: String,
+             langCol: String, sourceCol: String,
+             labeledPred: Column, targetLangs: Seq[String],
+             dsirTargetPred: Column, sampleK: Int = 100,
+             packBudget: Long = 512L,
+             rules: Quality.Rules = Quality.Rules()): DataFrame = {
+    require(targetLangs.nonEmpty, "crawl pipeline: empty target language set")
+    require(sampleK > 0 && packBudget > 0,
+      s"crawl pipeline: sampleK=$sampleK packBudget=$packBudget")
+    // 1. boilerplate extraction — narrow map, metadata carried through
+    val ext = Boilerplate.extract(pages, idCol, htmlCol,
+        carry = Seq(langCol, sourceCol))
+      .select(col(idCol), col(langCol), col(sourceCol), col("extracted_text"))
+    // 2. language ID over the EXTRACTED text: model from the labeled seed,
+    //    every doc scored, gate on the predicted language
+    val pred = LangId.classify(ext.where(labeledPred), ext,
+      idCol, "extracted_text", langCol)
+    val gated = ext.drop(langCol)
+      .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
+      .where(col("lang_pred").isin(targetLangs: _*))
+    // 3. quality gate — narrow flags over the gated relation; n_tokens is
+    //    already t09's token count, so carry it to the packer for free
+    val q = Quality.flags(gated, "extracted_text", rules)
+      .where(col("keep"))
+      .select(col(idCol), col(sourceCol), col("lang_pred"),
+        col("extracted_text"), col("n_tokens"))
+    // 4. exact normalized dedup, d02's key: min-id survivor per fingerprint
+    //    as ONE min_by aggregation — the gated relation is consumed once
+    //    (a keep-id + confirm-join formulation derives the upstream join
+    //    twice under column pruning), and the map-side combine collapses
+    //    duplicate copies BEFORE the exchange, so at crawl-typical 10×
+    //    duplication the fp shuffle carries ~a tenth of the gated rows.
+    val cols = Seq(idCol, sourceCol, "lang_pred", "extracted_text", "n_tokens")
+    val survivors = q
+      .withColumn("_fp", TextFunctions.fingerprint(col("extracted_text")))
+      .groupBy(col("_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
+    // 5. DSIR: single-pass importance weights (target membership rides the
+    //    gram stream as a flag — survivors is consumed ONCE, not three
+    //    times), metadata carried through the narrow aggregations, then the
+    //    payload-carrying Gumbel-top-k — no join back to the corpus
+    val weights = Dsir.importanceWeights(survivors, dsirTargetPred,
+      idCol, "extracted_text", buckets = 1024,
+      carry = Seq(sourceCol, "lang_pred", "n_tokens"))
+    val sel = Dsir.gumbelTopK(weights, idCol, "log_w", sampleK)
+    // 6. t09's per-source cumulative-token window over the k winners
+    val pw = Window.partitionBy(col(sourceCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sel
+      .select(col(idCol), col(sourceCol), col("lang_pred"), col("log_w"),
+        col("n_tokens").cast("long").as("n_tokens"))
+      .withColumn("_cum", sum(col("n_tokens")).over(pw) - col("n_tokens"))
+      .select(col(idCol), col(sourceCol), col("lang_pred"), col("log_w"),
+        col("n_tokens"),
+        floor(col("_cum") / packBudget).cast("long").as("pack_id"),
+        (col("_cum") % packBudget).as("pack_offset"))
+  }
+}

@@ -73,6 +73,69 @@ object Dsir {
         (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"))
   }
 
+  /** [[gramBuckets]] with extra columns carried through the explode —
+    * same tokenization, same bucketing. */
+  private def gramBucketsCarrying(df: DataFrame, idCol: String,
+                                  textCol: String, buckets: Int,
+                                  carry: Seq[String]): DataFrame = {
+    val ws = filter(split(col(textCol), " "), t => t =!= "")
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val grams = concat(col("ws"), bigrams)
+    df.select(col(idCol).as("id") +: carry.map(col) :+ ws.as("ws"): _*)
+      .where(size(col("ws")) >= 1)
+      .select(col("id") +: carry.map(col) :+ explode(grams).as("g"): _*)
+      .select(col("id") +: carry.map(col) :+
+        (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"): _*)
+  }
+
+  /** Single-pass variant for the common case where the target distribution
+    * IS a predicate over the raw corpus (a curated split, an eval-like
+    * slice): instead of two relations — whose twin gram explodes would
+    * re-derive the whole upstream pipeline twice when `raw` is the tail of
+    * a long lazy chain — the target membership rides the gram stream as a
+    * precomputed flag, and ONE bucket rollup computes both models via
+    * conditional sums (`ct = Σ c where flagged`, exactly the two-relation
+    * counts since target ⊆ raw). Output is bit-identical to
+    * `importanceWeights(raw, raw.where(targetPred), …)` (spec-pinned).
+    *
+    * `carry` names metadata columns (functionally dependent on `idCol`)
+    * passed through the per-doc aggregations — they ride the narrow
+    * `(id, bucket, c)` exchange, so downstream stages never join back to
+    * the corpus for them (the [[CrawlPipeline]] composition seam). */
+  def importanceWeights(raw: DataFrame, targetPred: Column, idCol: String,
+                        textCol: String, buckets: Int,
+                        carry: Seq[String]): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val gb = gramBucketsCarrying(raw.withColumn("_tgt", targetPred),
+      idCol, textCol, buckets, "_tgt" +: carry)
+    val docBuckets = gb
+      .groupBy(col("id") +: col("_tgt") +: carry.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("c"))
+    // B rows, one rollup for BOTH models: raw counts as plain sums, target
+    // counts as conditional sums over the same relation
+    val bucketCounts = docBuckets.groupBy(col("bucket"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("_tgt"), col("c")).otherwise(0L)).as("ct"))
+    val tot = bucketCounts.agg(sum(col("cr")).as("nr"), sum(col("ct")).as("nt"))
+    val model = bucketCounts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        round(
+          log((col("ct") + lit(1)).cast("double") /
+            (col("nt") + lit(buckets)).cast("double")) -
+          log((col("cr") + lit(1)).cast("double") /
+            (col("nr") + lit(buckets)).cast("double")), 9).as("lr"))
+    docBuckets.join(broadcast(model), Seq("bucket"))
+      .groupBy(col("id") +: carry.map(col): _*)
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c").cast("decimal(12,0)") * col("lr").cast("decimal(12,9)"))
+          .as("_wsum"))
+      .select(col("id").as(idCol) +: carry.map(col) :+ col("n_grams") :+
+        round(col("_wsum").cast("double"), 6).as("log_w"): _*)
+  }
+
   /** Per-document DSIR log-importance weight of every `raw` doc against the
     * `target` sample. See object scaladoc for the contract. */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
@@ -143,7 +206,10 @@ object Dsir {
     * model-bounded, so an engine whose `ln` differs in the last ulp exactly
     * at a 1e-9 half-way point could flip one key; ties on the quantized key
     * break by lowest id, so only a boundary collision (not key equality)
-    * can reorder. Output: `(id, log_w, key)`, the selected k docs. */
+    * can reorder. Output: `(weights' columns..., key)`, the selected k docs
+    * — input columns are PRESERVED so metadata carried into the weights
+    * relation (source, token counts) rides the per-partition top-k heaps
+    * instead of forcing a join back to the corpus after the draw. */
   def gumbelTopK(weights: DataFrame, idCol: String, logWCol: String,
                  k: Int, temperature: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
@@ -152,7 +218,7 @@ object Dsir {
     val u = (pmod(HashExpressions.md5Hash60(col(idCol).cast("string")),
         lit(twoTo52)).cast("double") + lit(0.5)) / lit(twoTo52.toDouble)
     val key = round(col(logWCol) / lit(temperature) - log(-log(u)), 9)
-    weights.select(col(idCol), col(logWCol), key.as("key"))
+    weights.withColumn("key", key)
       .orderBy(col("key").desc, col(idCol))
       .limit(k)
   }

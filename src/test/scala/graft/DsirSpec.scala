@@ -97,7 +97,8 @@ class DsirSpec extends SparkSpec {
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       (id, lw, key)
     }.sortBy { case (id, _, key) => (-key, id) }.take(3)
-    val got = picked.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+    val got = picked.select("doc_id", "log_w", "key").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
     assert(got.sortBy { case (id, _, key) => (-key, id) } == want)
     val plan = picked.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
@@ -118,5 +119,43 @@ class DsirSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
       s"expected a broadcast scoring join in:\n$plan")
+  }
+
+  test("single-pass predicate overload is bit-identical to the two-relation " +
+       "form, on the fixture and on the lake") {
+    import org.apache.spark.sql.functions.col
+    def norm(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    val pred = col("doc_id") % 3 === 0
+    val two = Dsir.importanceWeights(df, df.where(pred), "doc_id", "text",
+      buckets = B)
+    val one = Dsir.importanceWeights(df, pred, "doc_id", "text",
+        buckets = B, carry = Nil)
+      .select("doc_id", "n_grams", "log_w")
+    assert(norm(one) == norm(two))
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    val lp = col("doc_id") % 13 === 0
+    val lakeTwo = Dsir.importanceWeights(docs, docs.where(lp),
+      "doc_id", "text", buckets = 1024)
+    val lakeOne = Dsir.importanceWeights(docs, lp, "doc_id", "text",
+        buckets = 1024, carry = Nil)
+      .select("doc_id", "n_grams", "log_w")
+    assert(norm(lakeOne) == norm(lakeTwo))
+  }
+
+  test("carried metadata rides the aggregations and the draw — no join " +
+       "back needed, values correct") {
+    import org.apache.spark.sql.functions.{col, concat_ws, lit}
+    val meta = df.withColumn("src", concat_ws("_", lit("s"), col("doc_id") % 2))
+    val w = Dsir.importanceWeights(meta, col("doc_id") % 3 === 0,
+      "doc_id", "text", buckets = B, carry = Seq("src"))
+    val picked = Dsir.gumbelTopK(w, "doc_id", "log_w", k = 3)
+    val rows = picked.collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getAs[String]("src") == s"s_${r.getAs[Long]("doc_id") % 2}")
+    }
+    assert(picked.columns.contains("key") && picked.columns.contains("n_grams"))
   }
 }
