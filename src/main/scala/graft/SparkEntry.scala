@@ -964,6 +964,20 @@ object SparkEntry {
           bi(col("rank")).as("rank"))
     }),
 
+    // residual IVFADC (Jégou §III): codes quantize x − coarse(x) with
+    // codebooks TRAINED on residuals; scoring stays inner-product ADC —
+    // q·x̂ = q·centroid (one quantized scalar per probed cell) + the s04
+    // table sum — so the approximation is deterministic and the oracle is
+    // exact even at partial probe. See Similarity.ivfPqResidualTopK.
+    "s06_ann_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfPqResidualTopK(e, e.filter(col("vec_id") < 8), "vec_id",
+        "embedding", k = 5, dim = 64, m = 8, ks = 16,
+        centroids = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("approx_dot"),
+          bi(col("rank")).as("rank"))
+    }),
+
     // text analysis: language-ID + quality + token counts. (The xxhash64
     // fingerprint feature is exercised by d02's grouping and unit tests — it
     // has no DuckDB equivalent, so it stays out of the oracle-checked output.)
@@ -3639,6 +3653,103 @@ object SparkEntry {
         |  JOIN cells cl2 ON cl2.vec_id = x.vec_id
         |  JOIN qprobes p ON p.ccell = cl2.ccell
         |  JOIN dt d ON d.query_id = p.query_id AND d.m = x.m AND d.cl = x.cl
+        |  WHERE x.vec_id <> d.query_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id,
+        |  round(CAST(adot AS DOUBLE), 6) AS approx_dot,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY adot DESC, neighbor_id) AS rank FROM sc)
+        |WHERE rank <= 5""".stripMargin,
+    // s06: s05's coarse/cells/probes, then the residual pipeline — rv =
+    // double(x) − ccv of the assigned cell (exact IEEE subtraction),
+    // codebooks trained on residual subvectors with seeds OFFSET past the
+    // coarse prefix (whose own residuals are identically zero), ADC tables
+    // from the RAW query subvectors, plus one round(q·centroid, 9) scalar
+    // per probed cell: score = qcd + Σ_m e, an exact (m+1)-term decimal sum.
+    "s06_ann_ivfpq_residual" ->
+      """WITH coarse AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccell,
+        |         CAST(embedding AS DOUBLE[]) AS ccv
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY vec_id LIMIT 16)),
+        |cells AS (
+        |  SELECT vec_id, ccell FROM (
+        |    SELECT s.vec_id, c.ccell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_dot_product(CAST(s.embedding AS DOUBLE[]), c.ccv)
+        |               - list_dot_product(c.ccv, c.ccv) / 2 DESC, c.ccell)
+        |        AS rn
+        |    FROM embeddings s CROSS JOIN coarse c)
+        |  WHERE rn = 1),
+        |qprobes AS (
+        |  SELECT vec_id AS query_id, ccell FROM (
+        |    SELECT s.vec_id, c.ccell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |        ORDER BY list_dot_product(CAST(s.embedding AS DOUBLE[]), c.ccv)
+        |               - list_dot_product(c.ccv, c.ccv) / 2 DESC, c.ccell)
+        |        AS rn
+        |    FROM embeddings s CROSS JOIN coarse c WHERE s.vec_id < 8)
+        |  WHERE rn <= 4),
+        |resid AS (
+        |  SELECT e.vec_id, cl.ccell,
+        |    list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) - c.ccv[i]) AS rv
+        |  FROM embeddings e
+        |  JOIN cells cl ON cl.vec_id = e.vec_id
+        |  JOIN coarse c ON c.ccell = cl.ccell),
+        |rsub AS (
+        |  SELECT vec_id, m, rv[m * 8 + 1 : m * 8 + 8] AS sv
+        |  FROM resid, range(0, 8) t(m)),
+        |seeds AS (
+        |  SELECT m, row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1
+        |           AS cl, sv
+        |  FROM rsub WHERE vec_id IN
+        |    (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16 OFFSET 16)),
+        |assign AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.sv)
+        |                 - list_dot_product(c.sv, c.sv) / 2 DESC, c.cl) AS rn
+        |    FROM rsub s JOIN seeds c USING (m))
+        |  WHERE rn = 1),
+        |cb AS (
+        |  SELECT m, cl, list(centroid ORDER BY i) AS cv FROM (
+        |    SELECT a.m, a.cl, i,
+        |      round(CAST(sum(CAST(s.sv[i] AS DECIMAL(27,10))) AS DOUBLE)
+        |        / count(*), 6) AS centroid
+        |    FROM assign a JOIN rsub s ON s.vec_id = a.vec_id AND s.m = a.m,
+        |         unnest(range(1, 9)) t(i)
+        |    GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |codes AS (
+        |  SELECT vec_id, m, cl FROM (
+        |    SELECT s.vec_id, s.m, c.cl,
+        |      row_number() OVER (PARTITION BY s.vec_id, s.m
+        |        ORDER BY list_dot_product(s.sv, c.cv)
+        |                 - list_dot_product(c.cv, c.cv) / 2 DESC, c.cl) AS rn
+        |    FROM rsub s JOIN cb c USING (m))
+        |  WHERE rn = 1),
+        |dt AS (
+        |  SELECT q.vec_id AS query_id, c.m, c.cl,
+        |    CAST(round(list_dot_product(
+        |      CAST(q.embedding[c.m * 8 + 1 : c.m * 8 + 8] AS DOUBLE[]), c.cv),
+        |      9) AS DECIMAL(20,9)) AS e
+        |  FROM embeddings q CROSS JOIN cb c WHERE q.vec_id < 8),
+        |qc AS (
+        |  SELECT q.vec_id AS query_id, c.ccell,
+        |    CAST(round(list_dot_product(CAST(q.embedding AS DOUBLE[]), c.ccv),
+        |      9) AS DECIMAL(20,9)) AS qcd
+        |  FROM embeddings q CROSS JOIN coarse c WHERE q.vec_id < 8),
+        |sc AS (
+        |  SELECT d.query_id, x.vec_id AS neighbor_id,
+        |    max(q2.qcd) + sum(d.e) AS adot
+        |  FROM codes x
+        |  JOIN cells cl2 ON cl2.vec_id = x.vec_id
+        |  JOIN qprobes p ON p.ccell = cl2.ccell
+        |  JOIN dt d ON d.query_id = p.query_id AND d.m = x.m AND d.cl = x.cl
+        |  JOIN qc q2 ON q2.query_id = p.query_id AND q2.ccell = cl2.ccell
         |  WHERE x.vec_id <> d.query_id
         |  GROUP BY 1, 2)
         |SELECT query_id, neighbor_id,

@@ -252,6 +252,166 @@ object Similarity {
     * cut — the cell equi-join broadcasts the (query, cell, tables) side, the
     * corpus side stays in place, and the only corpus-sized exchange remains
     * the per-query top-k window. */
+  /** RESIDUAL IVFADC (Jégou, Douze & Schmid, TPAMI 2011 §III — the
+    * refinement the non-residual [[ivfPqTopK]] documents): every corpus
+    * vector is PQ-encoded as the residual `r = x − coarse(x)` against its
+    * cell centroid, with the m codebooks trained ON residuals. On clustered
+    * corpora this is most of PQ's quality: the coarse quantizer absorbs the
+    * between-cluster variance, so the `ks` codewords per subspace only have
+    * to cover the (much smaller) within-cell spread.
+    *
+    * Scoring keeps the inner-product ADC form, which makes residuals almost
+    * free on the query side: `q·x̂ = q·coarse(x) + q·r̂`, so the m distance
+    * tables are built from the RAW query subvectors against the residual
+    * codebooks — cell-independent, exactly s04's Q×m×ks table budget — and
+    * the only per-cell addition is the scalar `q·centroid`, quantized once
+    * per (query, probed cell) (Q×nprobe sites, model-bounded). The query is
+    * never residualized (that is an artifact of the L2 formulation).
+    *
+    * Determinism: same exact-decimal contract as [[ivfPqTopK]] — residuals
+    * are exact IEEE subtractions of identical doubles in both engines,
+    * training sums them as decimals, table entries and the cell scalar are
+    * round(·, 9) decimals, and each score is an exact (m+1)-term decimal
+    * sum — so even PARTIAL probe is oracle-EXACT. Scale shape is s05's:
+    * codes-only scan, broadcast (query, cell, tables) side, the top-k
+    * window as the one corpus exchange; training is one bounded
+    * aggregation over the residual relation (trainRows bounds it to an
+    * id-ordered sample). */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int, dim: Int,
+                        m: Int = 8, ks: Int = 16,
+                        centroids: Int = 16, nprobe: Int = 4,
+                        excludeSelf: Boolean = true,
+                        trainRows: Int = 0): DataFrame = {
+    require(m >= 1 && dim % m == 0,
+      s"ivfPqResidualTopK: dim=$dim not divisible by m=$m")
+    require(ks >= 1 && centroids >= 1 && nprobe >= 1 && nprobe <= centroids,
+      s"ivfPqResidualTopK: ks=$ks centroids=$centroids nprobe=$nprobe")
+    val ds = dim / m
+    // coarse quantizer: the ivfTopK id-ordered sample over raw vectors
+    val coarse: Array[Array[Double]] = corpus.orderBy(col(idCol))
+      .limit(centroids).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    coarse.foreach(c => require(c.length == dim,
+      s"ivfPqResidualTopK: corpus vector has ${c.length} elements, " +
+        s"expected dim=$dim"))
+    val nCells = coarse.length
+    val nProbeEff = math.min(nprobe, nCells)
+    val coarseN2h: Array[Double] = coarse.map(c => c.map(x => x * x).sum / 2)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    def cellExpr(vec: Column): Column =
+      if (nCells == 1) lit(0)
+      else {
+        val scores = transform(V.planeDots(vec, coarse),
+          (d, i) => d - get(lit(coarseN2h), i))
+        (array_position(scores, array_max(scores)) - 1).cast("int")
+      }
+    // residual against the assigned cell: exact IEEE double subtraction
+    def residExpr(vec: Column, cell: Column): Column =
+      zip_with(vec.cast("array<double>"), element_at(coarseLit, cell + 1),
+        (a, b) => a - b)
+    val resids = corpus.select(col(idCol).as("_id"),
+        cellExpr(col(vecCol)).as("cell"), col(vecCol).as("_v"))
+      .withColumn("_rv", residExpr(col("_v"), col("cell")))
+    // --- train m residual codebooks in ONE aggregation (the ivfPqTopK
+    // one-pass shape). Seeds are the ks lowest-id residuals AFTER the
+    // coarse prefix: the coarse centroids are themselves the `centroids`
+    // lowest-id vectors, so their own residuals are exactly zero — seeding
+    // from them collapses every codebook to one codeword. Offsetting past
+    // the prefix is the same deterministic id-order contract (and the
+    // oracle's `OFFSET centroids`); if the corpus is no bigger than the
+    // prefix, every residual is zero and the prefix seeds are as good as
+    // any.
+    val trainBase = if (trainRows > 0)
+      resids.orderBy(col("_id")).limit(trainRows) else resids
+    val offsetSeeds: Array[Array[Double]] = trainBase.orderBy(col("_id"))
+      .offset(nCells).limit(ks).select(col("_rv")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    val seedVecs: Array[Array[Double]] =
+      if (offsetSeeds.nonEmpty) offsetSeeds
+      else trainBase.orderBy(col("_id")).limit(ks).select(col("_rv"))
+        .collect().map(_.getSeq[Double](0).toArray)
+    val seeds: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map(j => seedVecs.map(_.slice(j * ds, (j + 1) * ds)))
+    def assignExpr(sub: Column, cents: Array[Array[Double]]): Column = {
+      val cn2h = cents.map(c => c.map(x => x * x).sum / 2)
+      val scores = transform(V.planeDots(sub, cents),
+        (d, i) => d - get(lit(cn2h), i))
+      (array_position(scores, array_max(scores)) - 1).cast("long")
+    }
+    val trained = trainBase.select(explode(array((0 until m).map { j =>
+        val sub = slice(col("_rv"), j * ds + 1, ds)
+        struct(lit(j).as("j"), assignExpr(sub, seeds(j)).as("cluster"),
+          sub.as("sv"))
+      }: _*)).as("s"))
+      .select(col("s.j").as("_j"), col("s.cluster").as("cluster"),
+        posexplode(col("s.sv")).as(Seq("dim_idx", "v")))
+      .groupBy(col("_j"), col("cluster"), col("dim_idx"))
+      .agg(round(sum(col("v").cast("decimal(27,10)")).cast("double") /
+        count(lit(1)), 6).as("centroid"))
+      .collect()
+    val codebooks: Array[Array[Array[Double]]] = {
+      val byJ = trained.map(r => (r.getInt(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).groupBy(_._1)
+      (0 until m).toArray.map { j =>
+        byJ(j).groupBy(_._2).toArray.sortBy(_._1)
+          .map(_._2.sortBy(_._3).map(_._4))
+      }
+    }
+    // encode: nearest residual codeword per subspace (first-max contract)
+    def codeExpr(rv: Column, j: Int): Column = {
+      val cents = codebooks(j)
+      val cn2h = cents.map(c => c.map(x => x * x).sum / 2)
+      val scores = transform(V.planeDots(slice(rv, j * ds + 1, ds), cents),
+        (d, i) => d - get(lit(cn2h), i))
+      (array_position(scores, array_max(scores)) - 1).cast("int")
+    }
+    val coded = resids.select(col("_id").as("neighbor_id"), col("cell"),
+      array((0 until m).map(j => codeExpr(col("_rv"), j)): _*).as("_codes"))
+    // query side: nprobe best cells (ivfTopK contract), the per-cell scalar
+    // round(q·centroid, 9), and the RAW-subvector ADC tables
+    def probeExpr(vec: Column): Column =
+      if (nCells == 1) array(lit(0))
+      else {
+        val dots = transform(V.planeDots(vec, coarse),
+          (d, i) => d - get(lit(coarseN2h), i))
+        slice(
+          transform(
+            array_sort(
+              transform(sequence(lit(0), lit(nCells - 1)), i =>
+                struct(element_at(dots, i + 1).as("d"), i.as("idx"))),
+              (l, r) => when(l.getField("d") > r.getField("d"), -1)
+                .when(l.getField("d") < r.getField("d"), 1)
+                .otherwise(l.getField("idx") - r.getField("idx"))),
+            z => z.getField("idx")),
+          1, nProbeEff)
+      }
+    def tableExpr(vec: Column, j: Int): Column =
+      transform(V.planeDots(slice(vec, j * ds + 1, ds), codebooks(j)),
+        d => round(d, 9).cast("decimal(20,9)"))
+    val qcScalar = round(element_at(V.planeDots(col("_qv"), coarse),
+      col("cell") + 1), 9).cast("decimal(20,9)")
+    val qTables = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probeExpr(col(vecCol))).as("cell"))
+      .select(col("query_id"), col("cell"), qcScalar.as("_qc"),
+        array((0 until m).map(j => tableExpr(col("_qv"), j)): _*).as("_dt"))
+    val approx = (0 until m).map(j =>
+        element_at(element_at(col("_dt"), j + 1),
+          element_at(col("_codes"), j + 1) + 1))
+      .reduce(_ + _) + col("_qc")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("_adot").desc, col("neighbor_id"))
+    coded.join(broadcast(qTables), Seq("cell"))
+      .filter(if (excludeSelf) col("neighbor_id") =!= col("query_id")
+              else lit(true))
+      .select(col("query_id"), col("neighbor_id"), approx.as("_adot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("_adot").cast("double"), 6).as("approx_dot"), col("rank"))
+  }
+
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
                 idCol: String, vecCol: String, k: Int, dim: Int,
                 m: Int = 8, ks: Int = 16,

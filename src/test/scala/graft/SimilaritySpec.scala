@@ -270,6 +270,80 @@ class SimilaritySpec extends SparkSpec {
     assert(a.length == 8 * 5)
   }
 
+  test("residual IVFADC: resolves within-cluster structure that global " +
+       "codebooks quantize away — twin recall >= non-residual's, " +
+       "deterministic, codes-only scan") {
+    // The textbook residual demonstration (Jégou §III): clusters at scale
+    // 10 (absorbed by the coarse quantizer), a fine "sub-pattern" at scale
+    // 1 that defines each vector's true twin, noise at 0.05. Ids
+    // INTERLEAVE clusters (i % 16) so the deterministic lowest-id seeds
+    // span all clusters — an id order correlated with the clusters would
+    // starve ANY id-ordered quantizer, which is a seed pathology, not a
+    // codebook property. Vector i's designed twin is i + 256 (same
+    // cluster, same sub-pattern): global codebooks spend their 16
+    // codewords on the scale-10 cluster spread and merge the scale-1 twin
+    // signal; residual codebooks see only the within-cell spread and keep
+    // it.
+    // Fixture geometry: clusters live on EVEN dims (dims 2c and 2c+32 at
+    // scale 10), sub-patterns on ODD dims (2s+1, 2s+33 at scale 1) —
+    // disjoint, so the twin margin is uncontaminated, yet every 8-dim PQ
+    // subspace contains both scales, so a global codebook must spend its
+    // codewords on the scale-10 cluster spread and merges the scale-1 twin
+    // signal, while residual codebooks see only the within-cell spread.
+    // Ids 0..15 are PURE cluster prototypes (the coarse prefix — cell
+    // centroids carry no sub-pattern, residuals are exactly sub + noise);
+    // from id 16 on, cluster = i mod 16 and subpat = (i/16 + i) mod 16 —
+    // independent coordinates that BOTH cycle fully within any contiguous
+    // 16-id block, so the deterministic id-ordered seed prefixes span
+    // clusters and sub-patterns alike. Twin i+256 keeps both coordinates
+    // (256 ≡ 0 mod 16, and 256/16 + 256 ≡ 0 mod 16).
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 512).map { i =>
+      val cluster = i % 16
+      val subpat = if (i < 16) -1 else (i / 16 + i) % 16
+      val v = Array.tabulate(64) { d =>
+        (if (d == 2 * cluster || d == 2 * cluster + 32) 10.0f else 0.0f) +
+          (if (subpat >= 0 && (d == 2 * subpat + 1 || d == 2 * subpat + 33))
+             1.0f else 0.0f) +
+          (rnd.nextFloat() - 0.5f) * 0.05f
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id").between(16, 31))
+    def twinHits(out: Array[(Long, Long)]): Int =
+      out.count { case (qq, n) => n == qq + 256 }
+    val res = Similarity.ivfPqResidualTopK(df, q, "vec_id", "embedding",
+        k = 1, dim = 64, m = 8, ks = 16, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val plain = Similarity.ivfPqTopK(df, q, "vec_id", "embedding",
+        k = 1, dim = 64, m = 8, ks = 16, centroids = 16, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(res.length == 16)
+    assert(twinHits(res) >= twinHits(plain),
+      s"residual codebooks must not lose twin recall: " +
+        s"${twinHits(res)} vs non-residual ${twinHits(plain)}")
+    assert(twinHits(res) >= 14, s"twin recall ${twinHits(res)}/16")
+    // determinism + plan shape: broadcast cell join, only the rank window
+    // shuffles, no vector past the scan projection
+    val e = Lake.table(spark, sf0001, "embeddings")
+    val qe = e.filter(col("vec_id") < 8)
+    val d1 = Similarity.ivfPqResidualTopK(e, qe, "vec_id", "embedding",
+      k = 5, dim = 64, m = 8, ks = 16, centroids = 8, nprobe = 3)
+    val a = d1.collect().map(_.toString).sorted
+    val b = Similarity.ivfPqResidualTopK(e, qe, "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16, centroids = 8, nprobe = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    val plan = d1.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"cell join must broadcast the probe side:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges.forall(_.contains("query_id")),
+      s"only the rank window may shuffle:\n$plan")
+  }
+
   test("wrong dim fails fast instead of silently slicing short subvectors") {
     val e = Lake.table(spark, sf0001, "embeddings")
     val q = e.filter(col("vec_id") < 2)
