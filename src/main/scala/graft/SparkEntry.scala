@@ -1108,6 +1108,16 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text")),
 
+    // interpolated Kneser-Ney trigram LM (Kneser & Ney 1995) — the
+    // production form of t15's add-one bigram toy (CCNet's KenLM is KN at
+    // heart): absolute discounting with continuation-count backoff, all
+    // model relations TYPE-bounded aggregations of the distinct-trigram
+    // relation — see operators.Quality.knTrigramScore.
+    "t24_kn_trigram_lm" -> ((s, dir) =>
+      graft.operators.Quality.knTrigramScore(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram bag
     // features (portable md5 buckets), add-one-smoothed target-vs-raw bucket
     // models, per-doc log-likelihood ratio. Target split reuses d09's
@@ -2592,6 +2602,51 @@ object SparkEntry {
         |      AS avg_logprob
         |  FROM bigrams JOIN model USING (w1, w2) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 3) AS ppl
+        |FROM scored""".stripMargin,
+    // t24: the KN recursion evaluated with the IDENTICAL expression tree as
+    // the engine (same parenthesization, same integer->double promotions,
+    // D = 0.75 binary-exact), ln quantized once per distinct trigram.
+    "t24_kn_trigram_lm" ->
+      """WITH docs3 AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(text, ' '), t -> t <> '') AS ws
+        |    FROM documents)
+        |  WHERE len(ws) >= 3),
+        |tris AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 2)) AS i
+        |    FROM docs3)),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tris GROUP BY 1, 2, 3),
+        |ctx AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n3
+        |        FROM c3 GROUP BY 1, 2),
+        |t2 AS (SELECT w2, w3, count(*) AS t23 FROM c3 GROUP BY 1, 2),
+        |mid AS (SELECT w2, count(*) AS midc FROM c3 GROUP BY 1),
+        |ty2 AS (SELECT w2, count(*) AS ty2 FROM t2 GROUP BY 1),
+        |uni AS (SELECT w3, count(*) AS u FROM t2 GROUP BY 1),
+        |tot AS (SELECT count(*) AS tt FROM t2),
+        |model AS (
+        |  SELECT c.w1, c.w2, c.w3,
+        |    CAST(round(ln(
+        |      (greatest(CAST(c.c3 AS DOUBLE) - 0.75, 0.0) +
+        |       0.75 * x.n3 *
+        |         ((greatest(CAST(b.t23 AS DOUBLE) - 0.75, 0.0) +
+        |           0.75 * y.ty2 * (CAST(un.u AS DOUBLE) / t.tt)) / m.midc))
+        |      / x.c2), 9) AS DECIMAL(20,9)) AS lp
+        |  FROM c3 c
+        |  JOIN ctx x ON x.w1 = c.w1 AND x.w2 = c.w2
+        |  JOIN t2 b ON b.w2 = c.w2 AND b.w3 = c.w3
+        |  JOIN mid m ON m.w2 = c.w2
+        |  JOIN ty2 y ON y.w2 = c.w2
+        |  JOIN uni un ON un.w3 = c.w3
+        |  CROSS JOIN tot t),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS avg_logprob
+        |  FROM tris JOIN model USING (w1, w2, w3) GROUP BY doc_id)
+        |SELECT doc_id, n_trigrams, avg_logprob,
+        |  round(exp(-avg_logprob), 3) AS ppl
         |FROM scored""".stripMargin,
     // same tokenization as t15; gram buckets via the portable 60-bit md5 hash
     // (d04's oracle convention); per-DISTINCT-bucket log-ratio quantized at

@@ -105,4 +105,82 @@ object Quality {
         round(col("_lpsum").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
       .withColumn("ppl", round(exp(-col("avg_logprob")), 3))
   }
+
+  /** Interpolated Kneser-Ney trigram LM quality scoring (Kneser & Ney,
+    * ICASSP 1995; the interpolated formulation of Chen & Goodman, 1999 §2.7)
+    * — the production version of [[lmScore]]'s add-one bigram toy: CCNet's
+    * actual filter is a 5-gram KenLM, which is KN smoothing at heart.
+    * Trained on the corpus in the same pass that scores it (the t15
+    * contract), so every scored trigram has a model row.
+    *
+    *   P(w3|w1w2) = [max(c(w1w2w3) − D, 0) + D·N1+(w1w2•)·P(w3|w2)] / c(w1w2)
+    *   P(w3|w2)   = [max(N1+(•w2w3) − D, 0) + D·N1+(w2•)·P(w3)] / N1+(•w2•)
+    *   P(w3)      = N1+(•w3) / N1+(••)          (continuation counts)
+    *
+    * where N1+ are TYPE counts over the distinct-trigram relation — the
+    * Kneser-Ney insight that lower-order models should measure how many
+    * contexts a word continues, not how often it occurs — and `D` is the
+    * fixed discount (default 0.75 = 3/4, exactly representable).
+    *
+    * Scale shape: every model relation is an aggregation of the distinct-
+    * trigram relation, so all model exchanges are TYPE-bounded (Heaps'
+    * law, the t15 argument, one power higher); the corpus-sized exchanges
+    * are the trigram-count partial aggregation (map-side combined to
+    * distinct types per partition) and the per-doc `(id, decimal)` reduce.
+    * No document text crosses any exchange — trigram keys are three words.
+    *
+    * Determinism: all N1+/count inputs are exact integers and D is binary-
+    * exact, so P evaluates identically in any IEEE engine when the
+    * expression tree matches; each distinct trigram's ln P is rounded once
+    * at 9 (type-bounded sites), per-doc sums are exact decimals, the mean
+    * rounds at 6, ppl at 3 — [[lmScore]]'s contract, verbatim.
+    *
+    * Output: `(id, n_trigrams, avg_logprob, ppl)` for docs with ≥ 3
+    * tokens. */
+  def knTrigramScore(df: DataFrame, idCol: String, textCol: String,
+                     discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, s"kn discount out of (0,1): $discount")
+    val toks = df.select(col(idCol).as("id"),
+        filter(split(col(textCol), " "), t => t =!= "").as("ws"))
+      .where(size(col("ws")) >= 3)
+    val tris = toks.select(col("id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2"),
+            element_at(col("ws"), i + 2).as("w3")))).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    // context totals + distinct-continuation counts, all from the
+    // distinct-trigram relation (c3 rows are unique by construction)
+    val ctx = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3"))
+    val t2 = c3.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("t23"))
+    val mid = c3.groupBy(col("w2")).agg(count(lit(1)).as("midc"))
+    val ty2 = t2.groupBy(col("w2")).agg(count(lit(1)).as("ty2"))
+    val uni = t2.groupBy(col("w3")).agg(count(lit(1)).as("u"))
+    val tot = t2.agg(count(lit(1)).as("tt"))                    // 1 row
+    val d = lit(discount)
+    val p1 = col("u").cast("double") / col("tt")
+    val p2 = (greatest(col("t23").cast("double") - d, lit(0.0)) +
+      d * col("ty2") * p1) / col("midc")
+    val p3 = (greatest(col("c3").cast("double") - d, lit(0.0)) +
+      d * col("n3") * p2) / col("c2")
+    val model = c3
+      .join(ctx, Seq("w1", "w2"))
+      .join(t2, Seq("w2", "w3"))
+      .join(mid, Seq("w2")).join(ty2, Seq("w2")).join(uni, Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("w3"),
+        round(log(p3), 9).cast("decimal(20,9)").as("lp"))
+    tris.join(model, Seq("w1", "w2", "w3"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(col("lp")).as("_lpsum"))
+      .select(col("id").as(idCol), col("n_trigrams"),
+        round(col("_lpsum").cast("double") / col("n_trigrams"), 6)
+          .as("avg_logprob"))
+      .withColumn("ppl", round(exp(-col("avg_logprob")), 3))
+  }
 }

@@ -61,6 +61,61 @@ class TrainingOpsSpec extends SparkSpec {
       s"corpus-like doc must score below the outlier: $scored")
   }
 
+  test("KN trigram LM separates trigram-violating text that the add-one " +
+       "bigram model cannot see at all") {
+    // Planted structure: every template is 's_i mid e_i' — all share the
+    // middle word, so CROSSED chains 's_i mid e_j' (i != j) use only
+    // high-frequency SEEN bigrams but rare trigrams. The bigram model is
+    // blind to the crossing by construction; KN's trigram counts +
+    // continuation backoff punish it.
+    val rnd = new scala.util.Random(3)
+    def triple(i: Int, j: Int) = s"s$i mid e$j"
+    val high = (1L to 30L).map(id =>
+      (id, Seq.fill(8)({ val i = rnd.nextInt(10); triple(i, i) }).mkString(" ")))
+    val low = (101L to 110L).map(id =>
+      (id, Seq.fill(8)({
+        val i = rnd.nextInt(10)
+        triple(i, (i + 1 + rnd.nextInt(9)) % 10)
+      }).mkString(" ")))
+    val docs = (high ++ low).toDF("doc_id", "text")
+    def ratio(scored: Map[Long, Double]): Double = {
+      val lo = low.map(d => scored(d._1)); val hi = high.map(d => scored(d._1))
+      (lo.sum / lo.size) / (hi.sum / hi.size)
+    }
+    val kn = ratio(Quality.knTrigramScore(docs, "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap)
+    val bigram = ratio(Quality.lmScore(docs, "doc_id", "text")
+      .select("doc_id", "ppl").as[(Long, Double)].collect().toMap)
+    assert(kn > bigram,
+      s"KN must separate crossed trigrams better: KN ratio $kn vs bigram $bigram")
+    assert(kn > 1.5, s"KN low/high perplexity ratio only $kn")
+  }
+
+  test("KN trigram LM: deterministic across runs; no document text crosses " +
+       "an exchange") {
+    val docs = graft.sources.Lake.table(spark, sf0001, "documents")
+      .select($"doc_id", $"text")
+    val a = Quality.knTrigramScore(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    val b = Quality.knTrigramScore(docs, "doc_id", "text")
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // every exchange carries words/counts/decimals — never the doc text
+    val plan = Quality.knTrigramScore(docs, "doc_id", "text")
+      .queryExecution.executedPlan
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+      (p match {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          Seq(s)
+        case _ => Seq.empty
+      }) ++ p.children.flatMap(shuffles)
+    val textBearing = shuffles(plan).filter(_.child.output.exists(a =>
+      a.name == "text" || a.dataType.catalogString.contains("text")))
+    assert(textBearing.isEmpty,
+      s"document text must not shuffle:\n${textBearing.mkString("\n")}")
+  }
+
   test("stratified sample takes exactly ceil(f*n) per stratum, deterministically") {
     val df = (1L to 100L).map(i => (i, s"s${i % 3}")).toDF("id", "g")
     val s1 = Sampling.stratifiedExact(df, "g", "id", 0.3)
