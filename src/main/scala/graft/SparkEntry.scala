@@ -1118,6 +1118,36 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text")),
 
+    // URL/domain rule filtering (RefinedWeb §3.1 / FineWeb blocklist
+    // stage): deterministic per-doc URLs (host from source + id, TLD and
+    // path planted by id residues), an exact-host blocklist RELATION
+    // self-derived from the % 97 split ("previously flagged hosts"),
+    // plus suffix/TLD/path literal rules. Broadcast blocklist join —
+    // zero corpus shuffle (UrlFilterSpec pin). block_reason = first
+    // matching rule (host → host_suffix → tld → path), null when kept.
+    "t25_url_filter" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("https://www."), col("source"), lit("-"),
+          (col("doc_id") % 50).cast("string"), lit("."),
+          element_at(lit(Array("com", "org", "net", "xyz")),
+            (col("doc_id") % 4 + 1).cast("int")),
+          when(col("doc_id") % 11 === 0, lit("/private"))
+            .otherwise(lit("/docs")),
+          lit("/page-"), col("doc_id").cast("string")).as("url"))
+      val blocked = graft.operators.UrlFilter.parse(
+          urls.where(col("doc_id") % 97 === 0), "doc_id", "url")
+        .select(col("host")).distinct()
+      graft.operators.UrlFilter.flags(urls, "doc_id", "url",
+        graft.operators.UrlFilter.Rules(
+          blockedTlds = Seq("xyz"),
+          blockedHostSuffixes = Seq("-22.net"),
+          blockedPathPatterns = Seq("^/private(/|$)")),
+        blockedHosts = Some(blocked))
+        .select(col("doc_id"), col("host"), col("tld"),
+          col("kept").cast("int").as("kept"), col("block_reason"))
+    }),
+
     // DSIR importance weights (Xie et al. 2023): hashed unigram+bigram bag
     // features (portable md5 buckets), add-one-smoothed target-vs-raw bucket
     // models, per-doc log-likelihood ratio. Target split reuses d09's
@@ -2603,6 +2633,39 @@ object SparkEntry {
         |  FROM bigrams JOIN model USING (w1, w2) GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, avg_logprob, round(exp(-avg_logprob), 3) AS ppl
         |FROM scored""".stripMargin,
+    // t25: the same URL construction, the same three anchored regexes
+    // (Java∩RE2), the same rule precedence in a CASE.
+    "t25_url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '-' || CAST(doc_id % 50 AS VARCHAR)
+        |    || '.' ||
+        |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |          WHEN 2 THEN 'net' ELSE 'xyz' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '/private' ELSE '/docs' END) ||
+        |    '/page-' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1) AS path
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, host, path,
+        |    regexp_extract(host, '\.([a-z]+)$', 1) AS tld
+        |  FROM p),
+        |bl AS (SELECT DISTINCT host FROM p2 WHERE doc_id % 97 = 0),
+        |f AS (
+        |  SELECT p2.doc_id, p2.host, p2.tld,
+        |    CASE WHEN b.host IS NOT NULL THEN 'host'
+        |         WHEN p2.host LIKE '%-22.net' THEN 'host_suffix'
+        |         WHEN p2.tld = 'xyz' THEN 'tld'
+        |         WHEN regexp_matches(p2.path, '^/private(/|$)') THEN 'path'
+        |    END AS block_reason
+        |  FROM p2 LEFT JOIN bl b ON b.host = p2.host)
+        |SELECT doc_id, host, tld,
+        |  CAST(block_reason IS NULL AS INT) AS kept, block_reason
+        |FROM f""".stripMargin,
     // t24: the KN recursion evaluated with the IDENTICAL expression tree as
     // the engine (same parenthesization, same integer->double promotions,
     // D = 0.75 binary-exact), ln quantized once per distinct trigram.
