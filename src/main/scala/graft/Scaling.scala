@@ -254,16 +254,19 @@ object Scaling {
       () => graft.operators.Winnowing.overlapPairs(
         docs100Affine, "doc_id", "text",
         k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
-      "x100 docs (25 Caesar shifts x 4 digit rotations, all injective) at " +
-        "constant dup density: copies 16-gram-disjoint up to letter-and-" +
-        "digit-free grams, so pairs ~100x (planted density), wall ~linear " +
+      "x100 docs (100 affine ciphers a*x+b mod 26, 4 unit multipliers x 25 " +
+        "offsets — all alphabet permutations, any two agreeing on <= 2 " +
+        "letters) at constant dup density: copies 16-gram-disjoint up to " +
+        "letter-free grams, so pairs ~100x (planted density), wall ~linear " +
         "in docs one decade past the x10 row",
       scaleLabel = "x100")
 
     // d13 hot-fingerprint stress: EVERY doc (both scales) ends with the same
     // boilerplate sentence, so its fingerprints' doc frequency is the whole
-    // corpus — 40x maxDocFreq at 1x, 400x at 10x. The two-pass prune counts
-    // and drops them map-side; wall must stay ~linear in docs (the r10
+    // corpus — 40x maxDocFreq at 1x, 400x at 10x. The cap-bounded set
+    // aggregate (CollectSetBoundedLong, buffers <= 8*(maxDocFreq+1) bytes in
+    // every partial and merged state) detects the overflow without ever
+    // materializing the id sets; wall must stay ~linear in docs (the r10
     // collect_set formulation buffered the full corpus-sized id array in
     // single aggregation buffers BEFORE size-checking it).
     val boiler = lit(" all rights reserved contact us terms of service " +
@@ -279,9 +282,10 @@ object Scaling {
         withBoiler(docs10Caesar), "doc_id", "text",
         k = 16, w = 8, minShared = 8, maxDocFreq = 1000),
       "ubiquitous boilerplate planted in EVERY doc (df = corpus size >> " +
-        "maxDocFreq = 1000 at both scales): the count-first prune drops the " +
-        "hot fingerprints without materializing their id sets, so wall " +
-        "tracks docs ~linearly and no aggregation buffer holds df elements",
+        "maxDocFreq = 1000 at both scales): the cap-bounded set aggregate " +
+        "(<= 8*(maxDocFreq+1)-byte buffers) overflows and drops the hot " +
+        "fingerprints without materializing their id sets, so wall tracks " +
+        "docs ~linearly and no aggregation buffer holds df elements",
       scaleLabel = "x10hot")
 
     // t21 selection decades: a zero-exchange narrow map — wall must track

@@ -53,20 +53,28 @@ object HistoryDedup {
     * undersized filter raising fpp) could push an unconditional broadcast
     * past the executor/driver broadcast limits and FAIL the job instead of
     * degrading. Both broadcast sets are subsets of the batch's DISTINCT
-    * fingerprints (maybe ⊆ batch fps, confirmed ⊆ maybe), so one map-side
-    * `approx_count_distinct` over the batch alone — no history scan, no
-    * second Bloom build — upper-bounds them; the broadcast hints apply only
-    * when that bound (with HLL-error slack) sits under the cap, and above
-    * it the confirm and anti joins fall back to shuffle joins on the 8-byte
-    * fingerprint key — slower, never fatal, output-identical (pinned in
-    * HistoryDedupSpec). */
+    * fingerprints (maybe ⊆ batch fps, confirmed ⊆ maybe), so any upper
+    * bound on the batch bounds them. `expectedBatchRows ≥ 0` supplies that
+    * bound for free (ingest batches carry manifest counts — the CTL
+    * contract — and row count ≥ distinct fingerprints), keeping the API a
+    * pure transformation; when absent (< 0) the bound comes from one
+    * map-side `approx_count_distinct` over the batch — an eager
+    * plan-construction-time scan (the kmeansStep bounded-seam trade), no
+    * history scan, no second Bloom build. The HLL-backed guard is
+    * PROBABILISTIC: 2% rsd with 25% slack means tripping the cap from an
+    * underestimate needs a ~12σ HLL error — and the failure mode if it
+    * ever did is an over-cap broadcast attempt (a resource error), never a
+    * wrong result. Above the cap the confirm and anti joins fall back to
+    * shuffle joins on the 8-byte fingerprint key — slower, never fatal,
+    * output-identical (pinned in HistoryDedupSpec). */
   def newAgainstHistory(newBatch: DataFrame, history: DataFrame,
                         textCol: String,
                         expectedHistoryRows: Long,
-                        maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame =
+                        maxBroadcastRows: Long = 50L * 1000 * 1000,
+                        expectedBatchRows: Long = -1L): DataFrame =
     newAgainstFingerprints(newBatch,
       history.select(T.fingerprint(col(textCol)).as("_fp")), textCol,
-      expectedHistoryRows, maxBroadcastRows)
+      expectedHistoryRows, maxBroadcastRows, expectedBatchRows)
 
   /** Same contract with history given as its FINGERPRINT relation (one
     * `_fp: long` column) — the production path: both history reads hit a
@@ -75,16 +83,20 @@ object HistoryDedup {
   def newAgainstFingerprints(newBatch: DataFrame, histFp: DataFrame,
                              textCol: String,
                              expectedHistoryRows: Long,
-                             maxBroadcastRows: Long = 50L * 1000 * 1000): DataFrame = {
+                             maxBroadcastRows: Long = 50L * 1000 * 1000,
+                             expectedBatchRows: Long = -1L): DataFrame = {
     val newFp = newBatch.withColumn("_fp", T.fingerprint(col(textCol)))
     // bloom-maybe fingerprints from the new batch: every true dup is here
     val maybe = BloomJoin.prune(newFp.select(col("_fp")), histFp,
       "_fp", "_fp", expectedHistoryRows).distinct()
-    // upper bound on BOTH broadcast sets from the batch side only (2% HLL
-    // error, 10% slack), so the guard never rebuilds the history Bloom
-    val bound = newFp.agg(approx_count_distinct(col("_fp"), 0.02))
-      .head().getLong(0)
-    val small = bound * 1.1 <= maxBroadcastRows
+    // upper bound on BOTH broadcast sets from the batch side only: the
+    // caller's manifest count when given (free, keeps this a pure
+    // transformation), else one eager map-side HLL over the batch (2% rsd,
+    // 25% slack — see scaladoc on the probabilistic guard)
+    val small =
+      if (expectedBatchRows >= 0) expectedBatchRows <= maxBroadcastRows
+      else newFp.agg(approx_count_distinct(col("_fp"), 0.02))
+        .head().getLong(0) * 1.25 <= maxBroadcastRows
     def hint(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // exact confirm: the maybe-fps that REALLY occur in history. maybe is
     // batch-bounded, so it normally broadcasts and history streams through

@@ -93,4 +93,33 @@ class HistoryDedupSpec extends SparkSpec {
     val got = shuffled.select("doc_id").collect().map(_.getLong(0)).sorted
     assert(got.toSeq === Seq(12L, 14L, 15L), "fallback path changed output")
   }
+
+  test("expectedBatchRows: a caller-supplied manifest bound replaces the " +
+       "eager HLL scan — hint follows the bound, output identical") {
+    val sc = spark.sparkContext
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = jobs += 1
+    }
+    // under the cap: hint present; the only plan-time job is the Bloom build
+    sc.addSparkListener(listener)
+    val bounded = try {
+      val d = HistoryDedup.newAgainstHistory(batch, history, "text", 1000L,
+        expectedBatchRows = 10L)
+      var last = -1; var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+      d
+    } finally sc.removeSparkListener(listener)
+    assert(jobs <= 1, s"manifest bound must not add an eager scan: $jobs jobs")
+    assert(bounded.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // over the cap via the bound alone: hints dropped, output unchanged
+    val over = HistoryDedup.newAgainstHistory(batch, history, "text", 1000L,
+      maxBroadcastRows = 5L, expectedBatchRows = 10L)
+    assert(!over.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(over.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(12L, 14L, 15L))
+    assert(bounded.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(12L, 14L, 15L))
+  }
 }
