@@ -50,7 +50,9 @@ object Sizing {
     "t19_temperature_mix", "d12_incremental_dedup", "v02_drift_psi",
     "e04_transitions", "t20_source_curation", "x03_random_projection",
     "t21_winnow_fingerprints", "d13_winnow_overlap", "t22_language_id",
-    "t23_boilerplate", "i03_fingerprint_index")
+    "t23_boilerplate", "i03_fingerprint_index",
+    "c02_crawl_pipeline", "s06_ann_ivfpq_residual", "t24_kn_trigram_lm",
+    "t25_url_filter")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

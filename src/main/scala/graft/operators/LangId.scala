@@ -29,10 +29,13 @@ import org.apache.spark.sql.functions._
   * map-side combine — NOT docs×L rows: at a production 100–200-language
   * model the row multiplier that a per-(doc, lang) formulation pays on the
   * biggest narrow stage simply never exists. The corpus itself is never
-  * shuffled. The one driver seam is the L-string language list (a distinct
-  * over the labeled seed's lang column — the kmeansStep bounded-collect
-  * precedent), needed so the L aggregation columns exist at plan time;
-  * priors and miss-floors stay lazy in a 1-row broadcast.
+  * shuffled. The one driver seam is the L-ROW language stats relation
+  * (lang, prior, miss — the kmeansStep bounded-collect precedent), needed
+  * so the L aggregation columns exist at plan time; collecting the
+  * already-quantized decimals makes every prior/miss-floor a literal, so
+  * scoring branches never re-derive the labeled-corpus aggregations (at
+  * composition depth each re-derivation recomputes the whole upstream
+  * pipeline).
   *
   * Determinism (the t15 pattern): every log-probability is `ln` rounded
   * once at 9 decimals — per MODEL row, so last-ulp libm disagreement between
@@ -65,11 +68,19 @@ object LangId {
     val lg = lt.select(col("_lang"), explode(transform(
         sequence(lit(1), length(col("_t")) - (n - 1)),
         i => col("_t").substr(i, lit(n)))).as("_g"))
+    // one gram pass builds counts; totals and vocab ROLL UP from the counts
+    // relation (Σ of per-(lang, gram) counts ≡ per-lang gram totals;
+    // distinct grams of counts ≡ distinct grams of the stream — exactly),
+    // and nDocs rolls up from docsPerLang: the labeled corpus is derived
+    // twice (grams + doc counts), not five times — at composition depth
+    // (c02: extraction feeding this relation) each avoided derivation is a
+    // full upstream recompute, and the shared counts exchange is reused
+    // across its three consumers
     val counts = lg.groupBy(col("_lang"), col("_g")).agg(count(lit(1)).as("_c"))
-    val totals = lg.groupBy(col("_lang")).agg(count(lit(1)).as("_tot"))
-    val vocab = lg.agg(countDistinct(col("_g")).as("_v"))        // 1 row
+    val totals = counts.groupBy(col("_lang")).agg(sum(col("_c")).as("_tot"))
+    val vocab = counts.agg(countDistinct(col("_g")).as("_v"))    // 1 row
     val docsPerLang = lt.groupBy(col("_lang")).agg(count(lit(1)).as("_nl"))
-    val nDocs = lt.agg(count(lit(1)).as("_n"))                   // 1 row
+    val nDocs = docsPerLang.agg(sum(col("_nl")).as("_n"))        // 1 row
     // L rows: prior and the unseen-gram floor, each quantized once
     val langStats = totals.join(docsPerLang, Seq("_lang"))
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
@@ -79,24 +90,28 @@ object LangId {
         round(log(lit(1.0) / (col("_tot") + col("_v")).cast("double")), 9)
           .cast("decimal(20,9)").as("_miss"))
 
-    // the one bounded driver seam: the language LIST (L strings), ordered by
-    // Spark's own comparator so index order agrees with the lazy sort below
-    val langs: Array[String] = lt.select(col("_lang")).distinct()
-      .orderBy(col("_lang")).collect().map(_.getString(0))
+    // the one bounded driver seam (the kmeansStep precedent): the L-ROW
+    // stats relation — langs in Spark's own sort order plus their
+    // already-quantized prior/miss decimals. Collecting all L rows (not
+    // just the language list) turns every downstream use of a prior or a
+    // miss-floor into a LITERAL, so no scoring branch ever re-derives the
+    // labeled-corpus aggregations — at composition depth (c02) each such
+    // branch would recompute the upstream pipeline.
+    val statsRows = langStats.orderBy(col("_lang")).collect()
+    val langs: Array[String] = statsRows.map(_.getString(0))
     val L = langs.length
     if (L == 0)
       // no labeled doc has gram evidence — nothing is scorable
       return docs.select(col(idCol), lit("").as("lang_pred"),
         lit(0.0).as("score")).where(lit(false))
-
-    // 1 row, lazy: the lang-sorted (lang, prior, miss) array — priors and
-    // miss-floors never touch the driver
-    val langsArr = langStats.agg(sort_array(collect_list(
-      struct(col("_lang"), col("_prior"), col("_miss")))).as("_la"))
+    def decLit(b: java.math.BigDecimal): Column = lit(b).cast("decimal(20,9)")
+    val priors: Array[Column] = statsRows.map(r => decLit(r.getDecimal(1)))
+    val misses: Array[Column] = statsRows.map(r => decLit(r.getDecimal(2)))
+    val missArr = array(misses: _*)
 
     // V rows: gram -> L-array of quantized log-probs, miss-floor where the
     // lang never saw the gram. THE broadcast model relation.
-    val present = counts.join(totals, Seq("_lang")).crossJoin(broadcast(vocab))
+    val model = counts.join(totals, Seq("_lang")).crossJoin(broadcast(vocab))
       .select(col("_g"), col("_lang"),
         round(log((col("_c") + 1).cast("double") /
           (col("_tot") + col("_v")).cast("double")), 9)
@@ -104,18 +119,15 @@ object LangId {
       .groupBy(col("_g"))
       .agg(map_from_entries(collect_list(struct(col("_lang"), col("_lp"))))
         .as("_m"))
-    val model = present.crossJoin(broadcast(langsArr))
-      .select(col("_g"), transform(col("_la"), s =>
-        coalesce(element_at(col("_m"), s.getField("_lang")),
-          s.getField("_miss"))).as("_terms"))
+      .select(col("_g"), array((0 until L).map(i =>
+        coalesce(element_at(col("_m"), lit(langs(i))), misses(i))): _*)
+        .as("_terms"))
 
     val dg = explodeGrams(docs, col(idCol), col(textCol), n)
     // per-doc element-wise sum: L bounded decimal columns — the exchange
     // carries docs rows (map-side combined), never docs×L
     val sums = dg.join(broadcast(model), Seq("_g"), "left")
-      .crossJoin(broadcast(langsArr))
-      .select(col("_id"), coalesce(col("_terms"),
-        transform(col("_la"), s => s.getField("_miss"))).as("_t"))
+      .select(col("_id"), coalesce(col("_terms"), missArr).as("_t"))
       .groupBy(col("_id"))
       .agg(sum(element_at(col("_t"), 1)).as("_s0"),
         (1 until L).map(i =>
@@ -124,9 +136,8 @@ object LangId {
     // decimal negation is exact and langs index order IS lex order, so the
     // tie rule is bit-deterministic
     val scoredStructs = array((0 until L).map(i =>
-      struct((-(element_at(col("_la"), i + 1).getField("_prior") +
-        col(s"_s$i"))).as("ns"), lit(i).as("idx"))): _*)
-    sums.crossJoin(broadcast(langsArr))
+      struct((-(priors(i) + col(s"_s$i"))).as("ns"), lit(i).as("idx"))): _*)
+    sums
       .select(col("_id"), array_min(scoredStructs).as("_b"))
       .select(col("_id").as(idCol),
         element_at(lit(langs), col("_b.idx") + 1).as("lang_pred"),

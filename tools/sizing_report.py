@@ -50,6 +50,8 @@ DOMINANT = {
     "t21_winnow_fingerprints": "documents", "d13_winnow_overlap": "documents",
     "t22_language_id": "documents",
     "t23_boilerplate": "documents", "i03_fingerprint_index": "documents",
+    "c02_crawl_pipeline": "documents", "s06_ann_ivfpq_residual": "embeddings",
+    "t24_kn_trigram_lm": "documents", "t25_url_filter": "documents",
 }
 
 
@@ -152,12 +154,43 @@ FLAG_NOTES = {
         "bit-identical on both paths (property-pinned). Budget the pair "
         "term from YOUR corpus's dup density, not corpus size.",
     "t22_language_id":
-        "the L x V-row NB model and the L-row stats BROADCAST; training is "
-        "a vocabulary-bounded (lang, gram) count exchange (Heaps-bounded "
-        "like t15's model), and scoring's only corpus-sized exchange is the "
-        "per-(doc, lang) partial-sum reduce — docs x L rows of (id, lang, "
-        "decimal) after map-side combine, no text payload. Budget scoring "
-        "as L x one fingerprint-dedup-shaped pass.",
+        "the model BROADCASTS as V gram-keyed rows with an L-array decimal "
+        "payload (since r12 — the per-(doc, lang) formulation's docs x L "
+        "replication is gone); training is a vocabulary-bounded (lang, "
+        "gram) count exchange (Heaps-bounded like t15's model), and "
+        "scoring's only corpus-sized exchange is the per-doc reduce — docs "
+        "rows of (id, L decimals) after map-side combine, no text payload, "
+        "L-independent row count. Budget scoring as one fingerprint-dedup-"
+        "shaped pass regardless of the language count.",
+    "c02_crawl_pipeline":
+        "the COMPOSED crawl chain (t23 -> t22 -> t06 -> d02 -> t16/t17 -> "
+        "t09) as one plan: document text crosses exactly TWO exchanges "
+        "(the language-gate join by id and the dedup min_by aggregation by "
+        "fingerprint, map-side combined so duplicate copies collapse "
+        "before the wire — CrawlPipelineSpec pin); everything else is the "
+        "stages' own narrow/broadcast shapes. Budget ~= t22 scoring + two "
+        "text-bearing passes + the DSIR integer-row exchanges; the stages "
+        "do NOT add up independently because extraction, quality, "
+        "fingerprinting and token counts fuse into the same scans.",
+    "s06_ann_ivfpq_residual":
+        "s05's exchange shape exactly (codes-only scan, broadcast (query, "
+        "cell, tables) side, top-k window as the only corpus exchange); "
+        "residuals add one narrow double-subtraction map on the scan side "
+        "and Q x nprobe quantized scalars to the broadcast. Budget as s05; "
+        "the win is recall per code byte on clustered corpora, not bytes.",
+    "t24_kn_trigram_lm":
+        "t15's shape one order higher: all model relations are TYPE-"
+        "bounded aggregations of the distinct-trigram relation (Heaps-"
+        "bounded), the corpus-sized exchanges are the map-side-combined "
+        "trigram counts and the per-doc (id, decimal) reduce; no document "
+        "text crosses any exchange (spec pin). Trigram type count is the "
+        "sizing knob — budget the model join as broadcast while types x "
+        "~40 B fit, hash-partitioned both sides beyond.",
+    "t25_url_filter":
+        "ZERO shuffle bytes by construction and spec pin: parsing and "
+        "literal rules compile into the row, the host blocklist is a "
+        "bounded relation joined broadcast-left-outer. The 100 TB cost is "
+        "scan + regex CPU only — the t23/x03 shape.",
     "t23_boilerplate":
         "ZERO shuffle bytes at both scales: block split, tag strip, anchor "
         "extraction, density rules, and reassembly all run inside per-row "
