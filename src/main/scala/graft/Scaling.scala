@@ -921,6 +921,97 @@ object Scaling {
       stateRows,
       scaleLabel = "x100")
 
+    // ---- round-12 operators: t24 KN LM, t25 URL filter, s06 residual
+    // IVFADC, c02 composed crawl pipeline ----
+    // t24: the t15 shape one order up — the model grows with TRIGRAM TYPES
+    // (Heaps-bounded; rotations multiply types far below x10), scoring and
+    // the per-doc reduce track docs, so wall must stay ~linear in docs.
+    record("t24_kn_trigram_lm",
+      () => graft.operators.Quality.knTrigramScore(
+        docs.select(col("doc_id"), col("text")), "doc_id", "text"),
+      () => graft.operators.Quality.knTrigramScore(
+        docs10.select(col("doc_id"), col("text")), "doc_id", "text"),
+      "10x vowel-rotated docs: every KN model relation is a type-bounded " +
+        "aggregation of the distinct-trigram relation, so wall must track " +
+        "docs ~linearly while the model grows only with trigram types")
+
+    // t25: zero-exchange narrow map + broadcast blocklist — wall ~linear in
+    // docs at any scale, the t23/x03 shape.
+    def urlsOn(d: DataFrame): DataFrame = d.select(col("doc_id"),
+      concat(lit("https://www."), col("source"), lit("-"),
+        (col("doc_id") % 50).cast("string"), lit("."),
+        element_at(lit(Array("com", "org", "net", "xyz")),
+          (col("doc_id") % 4 + 1).cast("int")),
+        when(col("doc_id") % 11 === 0, lit("/private")).otherwise(lit("/docs")),
+        lit("/page-"), col("doc_id").cast("string")).as("url"))
+    val docsSrc = tbl("documents").select(col("doc_id"), col("source"))
+    def docsSrc10: DataFrame = (0 until 10).map(i => docsSrc
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionAll _)
+    def t25On(d: DataFrame): DataFrame = {
+      val u = urlsOn(d)
+      graft.operators.UrlFilter.flags(u, "doc_id", "url",
+        graft.operators.UrlFilter.Rules(
+          blockedTlds = Seq("xyz"), blockedHostSuffixes = Seq("-22.net"),
+          blockedPathPatterns = Seq("^/private(/|$)")),
+        blockedHosts = Some(graft.operators.UrlFilter.parse(
+          u.where(col("doc_id") % 97 === 0), "doc_id", "url")
+          .select(col("host")).distinct()))
+    }
+    record("t25_url_filter",
+      () => t25On(docsSrc),
+      () => t25On(docsSrc10),
+      "10x docs through parse + broadcast blocklist + literal rules: the " +
+        "whole pass is exchange-free (spec pin), so wall must track docs " +
+        "~linearly — pure scan + regex CPU")
+
+    // s06: the s04 fixture/contract for the residual variant — training on
+    // residuals, narrow encode, broadcast tables + per-cell scalars; wall
+    // ~linear in corpus at constant queries.
+    record("s06_ann_ivfpq_residual",
+      () => graft.operators.Similarity.ivfPqResidualTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16, centroids = 8, nprobe = 8),
+      () => graft.operators.Similarity.ivfPqResidualTopK(emb10,
+        emb10.filter(col("vec_id") < 8), "vec_id", "embedding",
+        k = 5, dim = 64, m = 8, ks = 16, centroids = 8, nprobe = 8),
+      "10x sign-decorrelated vectors, constant 8 queries, full probe: " +
+        "residual computation is a narrow map, codebook training is one " +
+        "corpus-linear aggregation, the ADC scan tracks codes — wall " +
+        "~linear in corpus; tables/codebooks/cell scalars scale-invariant")
+
+    // c02: the COMPOSED pipeline end to end — labels and sources preserved
+    // per copy, text vowel-rotated (fresh dedup groups), constant k = 100
+    // resample. Every stage is individually ~linear; the composition must
+    // be too (its exchanges are the stages' own, no multiplicative seam).
+    val docsFull = tbl("documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    def docsFull10: DataFrame = (0 until 10).map(i => docsFull
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
+        .withColumn("text", translate(col("text"), "aeiou", vowelRot(i))))
+      .reduce(_ unionAll _)
+    def c02On(d: DataFrame): DataFrame =
+      graft.operators.CrawlPipeline.curate(
+        d.select(col("doc_id"), col("lang"), col("source"),
+          concat(lit("<html><body><nav><a href=\"/\">home</a> " +
+            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+            col("text"),
+            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+              "</body></html>")).as("html")),
+        "doc_id", "html", "lang", "source",
+        labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+        dsirTargetPred = col("doc_id") % 13 === 0,
+        sampleK = 100, packBudget = 512L)
+    record("c02_crawl_pipeline",
+      () => c02On(docsFull),
+      () => c02On(docsFull10),
+      "10x docs through the WHOLE composed chain (extraction -> langid -> " +
+        "quality -> dedup -> DSIR -> pack), labels/sources preserved, " +
+        "constant k = 100 resample (rows_ratio 1.0 by construction): wall " +
+        "must track docs ~linearly — the composition adds no " +
+        "multiplicative seam over its stages")
+
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",
       ",", "}}")
