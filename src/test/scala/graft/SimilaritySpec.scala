@@ -268,6 +268,15 @@ class SimilaritySpec extends SparkSpec {
         trainRows = 64).collect().map(_.toString).sorted
     assert(a.sameElements(b), "id-ordered sample training must be deterministic")
     assert(a.length == 8 * 5)
+    // same contract for the residual variant
+    val rFull = Similarity.ivfPqResidualTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64, centroids = 8, nprobe = 8)
+      .collect().map(_.toString).sorted
+    val rCovering = Similarity.ivfPqResidualTopK(e, q, "vec_id", "embedding",
+        k = 5, dim = 64, centroids = 8, nprobe = 8, trainRows = n)
+      .collect().map(_.toString).sorted
+    assert(rCovering.sameElements(rFull),
+      "residual: trainRows >= |corpus| must reproduce full training")
   }
 
   test("residual IVFADC: resolves within-cluster structure that global " +
