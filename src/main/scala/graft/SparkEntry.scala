@@ -2647,8 +2647,8 @@ object SparkEntry {
         |  FROM documents),
         |p AS (
         |  SELECT doc_id,
-        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
-        |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1) AS path
+        |    regexp_extract(lower(url), '^[a-z]+://([^/]+)', 1) AS host,
+        |    regexp_extract(lower(url), '^[a-z]+://[^/]+(/.*)?$', 1) AS path
         |  FROM u),
         |p2 AS (
         |  SELECT doc_id, host, path,
@@ -2657,7 +2657,8 @@ object SparkEntry {
         |bl AS (SELECT DISTINCT host FROM p2 WHERE doc_id % 97 = 0),
         |f AS (
         |  SELECT p2.doc_id, p2.host, p2.tld,
-        |    CASE WHEN b.host IS NOT NULL THEN 'host'
+        |    CASE WHEN p2.host = '' THEN 'unparseable'
+        |         WHEN b.host IS NOT NULL THEN 'host'
         |         WHEN p2.host LIKE '%-22.net' THEN 'host_suffix'
         |         WHEN p2.tld = 'xyz' THEN 'tld'
         |         WHEN regexp_matches(p2.path, '^/private(/|$)') THEN 'path'

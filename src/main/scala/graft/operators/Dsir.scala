@@ -214,6 +214,11 @@ object Dsir {
                  k: Int, temperature: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
     require(temperature > 0, "temperature must be positive")
+    // the perturbed key lands in the output as `key`; a caller column of
+    // that name would be silently overwritten by withColumn — fail fast
+    require(!weights.columns.contains("key"),
+      "gumbelTopK: weights already has a 'key' column (the output claims " +
+        "that name for the perturbed draw key) — rename it first")
     val twoTo52 = 4503599627370496L // 2^52
     val u = (pmod(HashExpressions.md5Hash60(col(idCol).cast("string")),
         lit(twoTo52)).cast("double") + lit(0.5)) / lit(twoTo52.toDouble)

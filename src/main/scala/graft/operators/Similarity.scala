@@ -287,6 +287,13 @@ object Similarity {
       s"ivfPqResidualTopK: dim=$dim not divisible by m=$m")
     require(ks >= 1 && centroids >= 1 && nprobe >= 1 && nprobe <= centroids,
       s"ivfPqResidualTopK: ks=$ks centroids=$centroids nprobe=$nprobe")
+    // a bound INSIDE the coarse prefix would make the offset-seed fetch
+    // empty and silently fall back to the prefix's all-zero residuals,
+    // collapsing every codebook to one codeword — fail fast instead
+    require(trainRows <= 0 || trainRows > centroids,
+      s"ivfPqResidualTopK: trainRows=$trainRows must exceed " +
+        s"centroids=$centroids (the seed offset skips the coarse prefix, " +
+        s"whose residuals are identically zero)")
     val ds = dim / m
     // coarse quantizer: the ivfTopK id-ordered sample over raw vectors
     val coarse: Array[Array[Double]] = corpus.orderBy(col(idCol))
