@@ -40,10 +40,13 @@ import org.apache.spark.sql.functions._
   * Determinism (the t15 pattern): every log-probability is `ln` rounded
   * once at 9 decimals — per MODEL row, so last-ulp libm disagreement between
   * engines is confined to L×V+2L values independent of corpus size — then
-  * per-doc sums run as exact decimals (order-independent) and the winning
-  * score rounds at 6. A DuckDB oracle reproduces the output bit-for-bit
-  * (and bit-identical to the pre-pivot per-(doc, lang) formulation this
-  * replaced: same quantized terms, same exact-decimal sums, same tie rule). */
+  * per-doc sums run as exact SCALED LONGS (the quantized value × 1e9:
+  * order-independent integer sums, primitive in the hash aggregate where
+  * wide-decimal sums box per gram) and the winning score re-expands through
+  * one exact decimal multiply before the single round-at-6. A DuckDB oracle
+  * summing decimals reproduces the output bit-for-bit (and bit-identical to
+  * the pre-pivot per-(doc, lang) formulation this replaced: same quantized
+  * terms, same exact sums, same tie rule). */
 object LangId {
 
   private def norm(c: Column): Column =
@@ -81,66 +84,104 @@ object LangId {
     val vocab = counts.agg(countDistinct(col("_g")).as("_v"))    // 1 row
     val docsPerLang = lt.groupBy(col("_lang")).agg(count(lit(1)).as("_nl"))
     val nDocs = docsPerLang.agg(sum(col("_nl")).as("_n"))        // 1 row
-    // L rows: prior and the unseen-gram floor, each quantized once
-    val langStats = totals.join(docsPerLang, Seq("_lang"))
+    // all per-gram/per-doc arithmetic runs on SCALED LONGS (the quantized
+    // log-prob × 1e9, an exact integer because every model value is
+    // round(·, 9)): long sums are primitive codegen arithmetic in the hash
+    // aggregate where decimal(20,9) sums (precision > 18) box to BigDecimal
+    // per gram. Exactness is unchanged: Σ scaled-longs ≡ 1e9 × the
+    // exact-decimal sum, the argmax compares exact integers, and the final
+    // score re-expands the integer through ONE exact decimal multiply per
+    // doc, so the double is the same correctly-rounded value the decimal
+    // path produced (bit-identical to the NB reference, spec-pinned).
+    // Overflow bound: |Σ| < 2^63 needs per-doc gram mass × max|lp| <
+    // 9.2e18, i.e. a single document of ~10^8+ grams — far past any real
+    // row.
+    val toScaledLong: Column => Column = d =>
+      (d.cast("decimal(20,9)") *
+        lit(java.math.BigDecimal.valueOf(1000000000L)).cast("decimal(10,0)"))
+        .cast("long")
+    // ONE training job (the kmeansStep bounded-collect precedent, widened
+    // to the whole model): the per-(lang, gram) scaled log-probs plus each
+    // lang's prior/miss stats collect together, so the labeled corpus is
+    // gram-exploded EXACTLY ONCE per classify() call. Collecting the model
+    // is not a new scale concession — the scoring side broadcasts it, and
+    // anything broadcast must fit the driver by definition (V is
+    // Heaps-bounded, L fixed). The L-row-only collect this replaces ran
+    // the same counts subtree at plan time and then AGAIN inside the
+    // scoring action, because exchange reuse never crosses separate jobs —
+    // the measured r12→r13 t22 constant-factor regression.
+    val trained = counts.join(totals, Seq("_lang"))
+      .join(docsPerLang, Seq("_lang"))
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(nDocs))
-      .select(col("_lang"),
-        round(log(col("_nl").cast("double") / col("_n")), 9)
-          .cast("decimal(20,9)").as("_prior"),
-        round(log(lit(1.0) / (col("_tot") + col("_v")).cast("double")), 9)
-          .cast("decimal(20,9)").as("_miss"))
-
-    // the one bounded driver seam (the kmeansStep precedent): the L-ROW
-    // stats relation — langs in Spark's own sort order plus their
-    // already-quantized prior/miss decimals. Collecting all L rows (not
-    // just the language list) turns every downstream use of a prior or a
-    // miss-floor into a LITERAL, so no scoring branch ever re-derives the
-    // labeled-corpus aggregations — at composition depth (c02) each such
-    // branch would recompute the upstream pipeline.
-    val statsRows = langStats.orderBy(col("_lang")).collect()
-    val langs: Array[String] = statsRows.map(_.getString(0))
+      .select(col("_lang"), col("_g"),
+        toScaledLong(round(log((col("_c") + 1).cast("double") /
+          (col("_tot") + col("_v")).cast("double")), 9)).as("_lp"),
+        toScaledLong(round(log(col("_nl").cast("double") / col("_n")), 9))
+          .as("_prior"),
+        toScaledLong(round(log(lit(1.0) /
+          (col("_tot") + col("_v")).cast("double")), 9)).as("_miss"))
+      .collect()
+    // langs in UTF-8 byte (= code point) order — the same lex order the
+    // engine-side sort and the oracle's VARCHAR comparison use, so the
+    // argmax tie rule stays bit-deterministic across engines
+    val langs: Array[String] = trained.map(_.getString(0)).distinct
+      .sortWith((a, b) => java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0)
     val L = langs.length
     if (L == 0)
       // no labeled doc has gram evidence — nothing is scorable
       return docs.select(col(idCol), lit("").as("lang_pred"),
         lit(0.0).as("score")).where(lit(false))
-    def decLit(b: java.math.BigDecimal): Column = lit(b).cast("decimal(20,9)")
-    val priors: Array[Column] = statsRows.map(r => decLit(r.getDecimal(1)))
-    val misses: Array[Column] = statsRows.map(r => decLit(r.getDecimal(2)))
-    val missArr = array(misses: _*)
-
-    // V rows: gram -> L-array of quantized log-probs, miss-floor where the
-    // lang never saw the gram. THE broadcast model relation.
-    val model = counts.join(totals, Seq("_lang")).crossJoin(broadcast(vocab))
-      .select(col("_g"), col("_lang"),
-        round(log((col("_c") + 1).cast("double") /
-          (col("_tot") + col("_v")).cast("double")), 9)
-          .cast("decimal(20,9)").as("_lp"))
-      .groupBy(col("_g"))
-      .agg(map_from_entries(collect_list(struct(col("_lang"), col("_lp"))))
-        .as("_m"))
-      .select(col("_g"), array((0 until L).map(i =>
-        coalesce(element_at(col("_m"), lit(langs(i))), misses(i))): _*)
-        .as("_terms"))
+    val idx: Map[String, Int] = langs.zipWithIndex.toMap
+    val priorsScaled = new Array[Long](L)
+    val missScaled = new Array[Long](L)
+    trained.foreach { r =>
+      val i = idx(r.getString(0))
+      priorsScaled(i) = r.getLong(3)
+      missScaled(i) = r.getLong(4)
+    }
+    // V rows: gram -> L-array of scaled-long log-probs, miss-floor where
+    // the lang never saw the gram — THE broadcast model relation, built
+    // from the collected rows as a LocalRelation (no second job, no
+    // re-derivation of the counts subtree)
+    val termsByGram = new scala.collection.mutable.HashMap[String, Array[Long]]
+    trained.foreach { r =>
+      val arr = termsByGram.getOrElseUpdate(r.getString(1), missScaled.clone())
+      arr(idx(r.getString(0))) = r.getLong(2)
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val model = termsByGram.iterator
+      .map { case (g, arr) => (g, arr.toSeq) }.toSeq
+      .toDF("_g", "_terms")
 
     val dg = explodeGrams(docs, col(idCol), col(textCol), n)
-    // per-doc element-wise sum: L bounded decimal columns — the exchange
-    // carries docs rows (map-side combined), never docs×L
+    // per-doc element-wise sum: L long columns — the exchange carries docs
+    // rows (map-side combined), never docs×L. element_at on the (possibly
+    // null — unseen gram) broadcast array plus a literal miss-floor
+    // coalesce per element: no per-gram array materialization.
     val sums = dg.join(broadcast(model), Seq("_g"), "left")
-      .select(col("_id"), coalesce(col("_terms"), missArr).as("_t"))
       .groupBy(col("_id"))
-      .agg(sum(element_at(col("_t"), 1)).as("_s0"),
+      .agg(
+        sum(coalesce(element_at(col("_terms"), 1), lit(missScaled(0))))
+          .as("_s0"),
         (1 until L).map(i =>
-          sum(element_at(col("_t"), i + 1)).as(s"_s$i")): _*)
+          sum(coalesce(element_at(col("_terms"), i + 1), lit(missScaled(i))))
+            .as(s"_s$i")): _*)
     // argmax by (score desc, lang asc): min over (-score, idx) structs — the
-    // decimal negation is exact and langs index order IS lex order, so the
+    // long negation is exact and langs index order IS lex order, so the
     // tie rule is bit-deterministic
     val scoredStructs = array((0 until L).map(i =>
-      struct((-(priors(i) + col(s"_s$i"))).as("ns"), lit(i).as("idx"))): _*)
+      struct((-(lit(priorsScaled(i)) + col(s"_s$i"))).as("ns"),
+        lit(i).as("idx"))): _*)
     sums
       .select(col("_id"), array_min(scoredStructs).as("_b"))
       .select(col("_id").as(idCol),
         element_at(lit(langs), col("_b.idx") + 1).as("lang_pred"),
-        round((-col("_b.ns")).cast("double"), 6).as("score"))
+        // one exact decimal multiply per doc re-expands the scaled integer:
+        // (20,0) × (10,9) -> (31,9) exact, then ONE correctly-rounded cast
+        round((col("_b.ns").cast("decimal(20,0)") *
+          lit(new java.math.BigDecimal("-0.000000001")).cast("decimal(10,9)"))
+          .cast("double"), 6).as("score"))
   }
 }
