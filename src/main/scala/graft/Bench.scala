@@ -35,6 +35,10 @@ object Bench {
       // recorded as null in the JSON and fails the whole bench run (rc != 0)
       // so a regression can never read as a speedup.
       def once(): Either[Throwable, Double] = {
+        // queries with an internal persist seam (c02/c03 extraction) must
+        // not serve later runs from an earlier run's cache: every timed
+        // run pays its own full execution
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -28,6 +28,7 @@ object TimeQuery {
       val fn = SparkEntry.queries(name)
       if (explain) fn(spark, sfDir).explain("formatted")
       val times = (1 to reps).map { _ =>
+        spark.catalog.clearCache() // no cross-run cache serving (persist seams)
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9

@@ -70,14 +70,45 @@ object CrawlPipeline {
              labeledPred: Column, targetLangs: Seq[String],
              dsirTargetPred: Column, sampleK: Int = 100,
              packBudget: Long = 512L,
-             rules: Quality.Rules = Quality.Rules()): DataFrame = {
+             rules: Quality.Rules = Quality.Rules(),
+             persistExtracted: Boolean = false): DataFrame = {
     require(targetLangs.nonEmpty, "crawl pipeline: empty target language set")
     require(sampleK > 0 && packBudget > 0,
       s"crawl pipeline: sampleK=$sampleK packBudget=$packBudget")
-    // 1. boilerplate extraction — narrow map, metadata carried through
-    val ext = Boilerplate.extract(pages, idCol, htmlCol,
+    // 1. boilerplate extraction — narrow map, metadata carried through.
+    //    `persistExtracted` is the single-materialization seam: the static
+    //    plan derives the extracted relation in every text-bearing scan
+    //    pipeline (runtime exchange reuse dedups the identical subtrees,
+    //    but extraction itself re-runs in each remaining pipeline);
+    //    persisting trades one cached copy of the EXTRACTED relation
+    //    (~5-20× smaller than the raw HTML) for those recomputes. At
+    //    100 TB of raw crawl this is the standard materialize-once point —
+    //    extraction is the most expensive narrow stage and everything
+    //    downstream consumes only its output. The caller owns the
+    //    lifecycle (unpersist after the terminal action); output is
+    //    bit-identical either way.
+    val ext0 = Boilerplate.extract(pages, idCol, htmlCol,
         carry = Seq(langCol, sourceCol))
       .select(col(idCol), col(langCol), col(sourceCol), col("extracted_text"))
+    val ext = if (persistExtracted)
+      ext0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else ext0
+    chainFromExtracted(ext, idCol, langCol, sourceCol, labeledPred,
+      targetLangs, dsirTargetPred, sampleK, packBudget, rules,
+      postDedup = identity)
+  }
+
+  /** The curation chain from an already-extracted relation
+    * `(idCol, langCol, sourceCol, extracted_text)` — the shared core of
+    * [[curate]] (batch) and [[curateIncrement]] (continuous): langid gate →
+    * quality gate → in-batch fingerprint dedup → `postDedup` seam →
+    * DSIR resample → packing. */
+  private[operators] def chainFromExtracted(
+      ext: DataFrame, idCol: String, langCol: String, sourceCol: String,
+      labeledPred: Column, targetLangs: Seq[String],
+      dsirTargetPred: Column, sampleK: Int, packBudget: Long,
+      rules: Quality.Rules,
+      postDedup: DataFrame => DataFrame): DataFrame = {
     // 2. language ID over the EXTRACTED text: model from the labeled seed,
     //    every doc scored, gate on the predicted language
     val pred = LangId.classify(ext.where(labeledPred), ext,
@@ -98,11 +129,11 @@ object CrawlPipeline {
     //    duplicate copies BEFORE the exchange, so at crawl-typical 10×
     //    duplication the fp shuffle carries ~a tenth of the gated rows.
     val cols = Seq(idCol, sourceCol, "lang_pred", "extracted_text", "n_tokens")
-    val survivors = q
+    val survivors = postDedup(q
       .withColumn("_fp", TextFunctions.fingerprint(col("extracted_text")))
       .groupBy(col("_fp"))
       .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_row"))
-      .select(cols.map(c => col(s"_row.$c").as(c)): _*)
+      .select(cols.map(c => col(s"_row.$c").as(c)): _*))
     // 5. DSIR: single-pass importance weights (target membership rides the
     //    gram stream as a flag — survivors is consumed ONCE, not three
     //    times), metadata carried through the narrow aggregations, then the
