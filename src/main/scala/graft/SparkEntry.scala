@@ -1267,6 +1267,53 @@ object SparkEntry {
         persistExtracted = true)
     }),
 
+    // the INCREMENTAL crawl pipeline — the production operating mode: three
+    // ingest batches (doc_id % 3 = 0, 1, 2, processed in order), each t25
+    // URL-gated (planted URLs + blocklist), curated through the full c02
+    // chain, deduped against the FINGERPRINT INDEX of earlier batches'
+    // extracted sets (~8 B/doc of history, never the raw text), landed as
+    // one parquet + CTL manifest per batch, then appended to the index.
+    "c03_incremental_crawl" -> ((s, dir) => {
+      val run = java.util.UUID.randomUUID().toString.take(8)
+      val base = graft.util.Scratch.dir(s"graft-c03-$run")
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(
+            lit("<html><body><nav><a href=\"/\">home</a> " +
+              "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+            col("text"),
+            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+              "</body></html>")).as("html"),
+          concat(
+            lit("https://www."), col("source"), lit("-"),
+            (col("doc_id") % 50).cast("string"), lit("."),
+            element_at(lit(Array("com", "org", "net", "xyz")),
+              (col("doc_id") % 4 + 1).cast("int")),
+            when(col("doc_id") % 11 === 0, lit("/private"))
+              .otherwise(lit("/docs")),
+            lit("/page-"), col("doc_id").cast("string")).as("url"))
+      val blocked = graft.operators.UrlFilter.parse(
+          pages.where(col("doc_id") % 97 === 0), "doc_id", "url")
+        .select(col("host")).distinct()
+      val urlRules = graft.operators.UrlFilter.Rules(
+        blockedTlds = Seq("xyz"),
+        blockedHostSuffixes = Seq("-22.net"),
+        blockedPathPatterns = Seq("^/private(/|$)"))
+      (0L to 2L).map { b =>
+        graft.operators.CrawlPipeline.curateIncrement(
+          pages.where(col("doc_id") % 3 === b), "doc_id", "html", "url",
+          "lang", "source", urlRules, Some(blocked),
+          labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+          dsirTargetPred = col("doc_id") % 13 === 0,
+          indexDir = s"$base/fpindex", batchId = b,
+          expectedHistoryRows = 1000000L, sampleK = 40,
+          expectedBatchRows = 1000000L,
+          outDir = Some(s"$base/out"))
+          .withColumn("batch", lit(b))
+      }.reduce(_ unionAll _)
+    }),
+
     // point-in-interval range join via the binning rewrite (equi-join on bin,
     // exact BETWEEN on candidates — no BroadcastNestedLoop): March-1995
     // shipments against 4-day order windows, aggregated per order.
@@ -3279,6 +3326,246 @@ object SparkEntry {
         |FROM (
         |  SELECT doc_id, source, lang_pred, log_w, n_tokens,
         |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM win)""".stripMargin,
+    // c03: the c02 chain replayed per batch (batch = doc_id % 3, processed
+    // in order) behind the t25 URL gate, with the history rule — a doc
+    // survives its batch only if no EARLIER batch's post-URL-gate extracted
+    // set contains its normalized text (the i03 anti-join contract over the
+    // materialized fingerprint index). Every model CTE gains `batch` as a
+    // grouping/join key; selection and packing partition per batch.
+    "c03_incremental_crawl" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source, doc_id % 3 AS batch,
+        |    '<html><body><nav><a href="/">home</a> <a href="/a">about</a> ' ||
+        |    '<a href="/c">contact</a></nav><p>' || text ||
+        |    '</p><div class="foot"><a href="/t">terms</a> ' ||
+        |    '<a href="/p">privacy</a> all rights reserved</div>' ||
+        |    '</body></html>' AS html,
+        |    lower('https://www.' || source || '-' ||
+        |    CAST(doc_id % 50 AS VARCHAR) || '.' ||
+        |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |          WHEN 2 THEN 'net' ELSE 'xyz' END) ||
+        |    (CASE WHEN doc_id % 11 = 0 THEN '/private' ELSE '/docs' END) ||
+        |    '/page-' || CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents),
+        |pp AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |    regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1) AS path
+        |  FROM h),
+        |pt AS (
+        |  SELECT doc_id, host, path,
+        |    regexp_extract(host, '\.([a-z]+)$', 1) AS tld
+        |  FROM pp),
+        |ubl AS (SELECT DISTINCT host FROM pt WHERE doc_id % 97 = 0),
+        |adm AS (
+        |  SELECT h.doc_id, h.lang, h.source, h.batch, h.html
+        |  FROM h JOIN pt USING (doc_id) LEFT JOIN ubl ON pt.host = ubl.host
+        |  WHERE pt.host <> '' AND ubl.host IS NULL
+        |    AND NOT pt.host LIKE '%-22.net'
+        |    AND pt.tld <> 'xyz'
+        |    AND NOT regexp_matches(pt.path, '^/private(/|$)')),
+        |b AS (
+        |  SELECT doc_id, lang, source, batch, string_split_regex(html,
+        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|blockquote|pre|section|article|header|footer|nav|aside|main|form|html|body|head|title)[^>]*>')
+        |    AS arr
+        |  FROM adm),
+        |blk AS (
+        |  SELECT doc_id, lang, source, batch, i, arr[i] AS raw
+        |  FROM (SELECT doc_id, lang, source, batch, arr,
+        |          unnest(range(1, len(arr) + 1)) AS i FROM b)),
+        |stb AS (
+        |  SELECT doc_id, lang, source, batch, i,
+        |    trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
+        |                        '\s+', ' ', 'g')) AS txt,
+        |    trim(regexp_replace(regexp_replace(
+        |      coalesce(array_to_string(
+        |        regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+        |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS ltxt
+        |  FROM blk),
+        |wb AS (
+        |  SELECT doc_id, lang, source, batch, i, txt,
+        |    CASE WHEN txt = '' THEN 0
+        |         ELSE len(string_split(txt, ' ')) END AS w,
+        |    CAST(length(txt) AS BIGINT) AS c,
+        |    CASE WHEN ltxt = '' THEN 0
+        |         ELSE len(string_split(ltxt, ' ')) END AS lw
+        |  FROM stb),
+        |kb AS (
+        |  SELECT doc_id, lang, source, batch, i, txt,
+        |    (w >= 5 AND 3 * lw <= w
+        |       AND w >= 7 * CAST(floor((c + 79) / 80.0) AS BIGINT)) AS kept
+        |  FROM wb WHERE w >= 1),
+        |ext AS (
+        |  SELECT doc_id, lang, source, batch,
+        |    coalesce(string_agg(CASE WHEN kept THEN txt END, ' ' ORDER BY i),
+        |             '') AS et
+        |  FROM kb GROUP BY doc_id, lang, source, batch),
+        |ltg AS (
+        |  SELECT batch, lang, t FROM (
+        |    SELECT batch, lang,
+        |      regexp_replace(lower(trim(et)), '\s+', ' ', 'g') AS t
+        |    FROM ext WHERE doc_id % 5 <> 0)
+        |  WHERE length(t) >= 3),
+        |lgr AS (
+        |  SELECT batch, lang, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT batch, lang, t, unnest(range(1, length(t) - 1)) AS i
+        |        FROM ltg)),
+        |lcnt AS (SELECT batch, lang, g, count(*) AS c FROM lgr GROUP BY 1, 2, 3),
+        |ltot AS (SELECT batch, lang, count(*) AS tot FROM lgr GROUP BY 1, 2),
+        |lvcb AS (SELECT batch, count(DISTINCT g) AS v FROM lgr GROUP BY 1),
+        |ldpl AS (SELECT batch, lang, count(*) AS nl FROM ltg GROUP BY 1, 2),
+        |lnd AS (SELECT batch, count(*) AS n FROM ltg GROUP BY 1),
+        |lstats AS (
+        |  SELECT t.batch, t.lang,
+        |    CAST(round(ln(CAST(d.nl AS DOUBLE) / n.n), 9)
+        |      AS DECIMAL(20,9)) AS prior,
+        |    CAST(round(ln(1.0 / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS miss
+        |  FROM ltot t
+        |  JOIN ldpl d ON t.batch = d.batch AND t.lang = d.lang
+        |  JOIN lvcb v ON t.batch = v.batch
+        |  JOIN lnd n ON t.batch = n.batch),
+        |lmodel AS (
+        |  SELECT c.batch, c.lang, c.g,
+        |    CAST(round(ln((c.c + 1.0) / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS lp
+        |  FROM lcnt c
+        |  JOIN ltot t ON c.batch = t.batch AND c.lang = t.lang
+        |  JOIN lvcb v ON c.batch = v.batch),
+        |dg AS (
+        |  SELECT doc_id, batch, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT doc_id, batch, t,
+        |          unnest(range(1, length(t) - 1)) AS i
+        |        FROM (SELECT doc_id, batch,
+        |                regexp_replace(lower(trim(et)), '\s+', ' ', 'g') AS t
+        |              FROM ext)
+        |        WHERE length(t) >= 3)),
+        |lsum AS (
+        |  SELECT dg.doc_id, s.lang, sum(coalesce(m.lp, s.miss)) AS gsum
+        |  FROM dg JOIN lstats s ON s.batch = dg.batch
+        |  LEFT JOIN lmodel m ON m.batch = dg.batch AND m.lang = s.lang
+        |    AND m.g = dg.g
+        |  GROUP BY 1, 2),
+        |lfin AS (
+        |  SELECT s.doc_id, s.lang,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY st.prior + s.gsum DESC, s.lang ASC)
+        |      AS rn
+        |  FROM lsum s
+        |  JOIN ext e ON e.doc_id = s.doc_id
+        |  JOIN lstats st ON st.batch = e.batch AND st.lang = s.lang),
+        |pred AS (SELECT doc_id, lang AS lang_pred FROM lfin WHERE rn = 1),
+        |gated AS (
+        |  SELECT e.doc_id, e.source, e.batch, e.et, p.lang_pred
+        |  FROM ext e JOIN pred p USING (doc_id)
+        |  WHERE p.lang_pred IN ('en')),
+        |qf AS (
+        |  SELECT doc_id, source, batch, et, lang_pred,
+        |    list_filter(string_split_regex(lower(trim(et)), '\s+'),
+        |      t -> t <> '') AS tk,
+        |    list_filter(string_split_regex(lower(et), '\s+'),
+        |      w -> w <> '') AS words,
+        |    length(et) AS n_chars
+        |  FROM gated),
+        |qg AS (
+        |  SELECT doc_id, source, batch, et, lang_pred,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(tk, t -> length(t)))
+        |           AS DOUBLE) / len(tk) END AS mean_token_len,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(et, '[^A-Za-z0-9\s]'))
+        |           AS DOUBLE) / n_chars END AS symbol_ratio,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','an',
+        |           'and','or','of','to','in','is','are','was','on','for',
+        |           'with','as','at','by','it','this','that')))
+        |           AS DOUBLE) / len(tk) END AS stopword_ratio,
+        |    CASE WHEN len(words) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(
+        |                list_transform(range(1, len(words)),
+        |                  i -> words[i] || ' ' || words[i+1]))) AS DOUBLE)
+        |              / (len(words) - 1) END AS dup_bigram_frac
+        |  FROM qf),
+        |qkeep AS (
+        |  SELECT doc_id, source, batch, et, lang_pred FROM qg
+        |  WHERE n_tokens BETWEEN 5 AND 100000
+        |    AND mean_token_len BETWEEN 2.0 AND 12.0
+        |    AND symbol_ratio <= 0.20 AND stopword_ratio >= 0.02
+        |    AND dup_bigram_frac <= 0.60),
+        |surv AS (
+        |  SELECT doc_id, source, batch, et, lang_pred FROM (
+        |    SELECT doc_id, source, batch, et, lang_pred,
+        |      row_number() OVER (
+        |        PARTITION BY batch,
+        |          regexp_replace(lower(trim(et)), '\s+', ' ', 'g')
+        |        ORDER BY doc_id) AS rn
+        |    FROM qkeep q
+        |    WHERE NOT EXISTS (
+        |      SELECT 1 FROM ext hh
+        |      WHERE hh.batch < q.batch
+        |        AND regexp_replace(lower(trim(hh.et)), '\s+', ' ', 'g') =
+        |            regexp_replace(lower(trim(q.et)), '\s+', ' ', 'g'))
+        |  ) WHERE rn = 1),
+        |dtoks AS (
+        |  SELECT doc_id, batch, ws FROM (
+        |    SELECT doc_id, batch,
+        |      list_filter(string_split(et, ' '), t -> t <> '') AS ws
+        |    FROM surv)
+        |  WHERE len(ws) >= 1),
+        |dgrams AS (
+        |  SELECT doc_id, batch, unnest(ws) AS g FROM dtoks
+        |  UNION ALL
+        |  SELECT doc_id, batch, ws[i] || ' ' || ws[i + 1] AS g FROM (
+        |    SELECT doc_id, batch, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM dtoks WHERE len(ws) >= 2)),
+        |dgb AS (
+        |  SELECT doc_id, batch,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM dgrams),
+        |draw AS (SELECT batch, bucket, count(*) AS cr,
+        |           count(*) FILTER (WHERE doc_id % 13 = 0) AS ct
+        |         FROM dgb GROUP BY 1, 2),
+        |dtot AS (SELECT batch, count(*) AS nr,
+        |           count(*) FILTER (WHERE doc_id % 13 = 0) AS nt
+        |         FROM dgb GROUP BY 1),
+        |dmodel AS (
+        |  SELECT r.batch, r.bucket,
+        |    round(ln((ct + 1.0) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln((cr + 1.0) / CAST(nr + 1024 AS DOUBLE)), 9) AS lr
+        |  FROM draw r JOIN dtot USING (batch)),
+        |ddb AS (SELECT doc_id, batch, bucket, count(*) AS c
+        |        FROM dgb GROUP BY 1, 2, 3),
+        |dw AS (
+        |  SELECT doc_id, ddb.batch,
+        |    round(CAST(sum(CAST(c AS DECIMAL(12,0)) *
+        |                   CAST(lr AS DECIMAL(12,9))) AS DOUBLE), 6) AS log_w
+        |  FROM ddb JOIN dmodel USING (batch, bucket) GROUP BY 1, 2),
+        |sel AS (
+        |  SELECT doc_id, log_w FROM (
+        |    SELECT doc_id, log_w,
+        |      row_number() OVER (PARTITION BY batch ORDER BY
+        |        round(log_w - ln(-ln(
+        |          (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |             AS BIGINT) % 4503599627370496 + 0.5)
+        |          / 4503599627370496.0)), 9) DESC, doc_id) AS rn
+        |    FROM dw)
+        |  WHERE rn <= 40),
+        |win AS (
+        |  SELECT s.doc_id, s.source, s.batch, s.lang_pred, sel.log_w,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(s.et)),
+        |      '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM surv s JOIN sel USING (doc_id))
+        |SELECT doc_id, source, lang_pred, log_w, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+        |  cum_before % 512 AS pack_offset, batch
+        |FROM (
+        |  SELECT doc_id, source, batch, lang_pred, log_w, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY batch, source
+        |      ORDER BY doc_id
         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
         |  FROM win)""".stripMargin,
     // identical integer bit arithmetic: col j of the Morton code owns bits 2i+j.

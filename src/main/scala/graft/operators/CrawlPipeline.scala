@@ -154,4 +154,110 @@ object CrawlPipeline {
         floor(col("_cum") / packBudget).cast("long").as("pack_id"),
         (col("_cum") % packBudget).as("pack_offset"))
   }
+
+  /** ONE INCREMENT of the continuous crawl — the production operating mode
+    * the reference itself embodies (cron-scheduled incremental extraction:
+    * `/root/reference/src/Core/Services/JobSchedulingService.cs:61-66`
+    * re-fires the pipeline per schedule and
+    * `DataIngestionJob.cs:36-159` lands each run as parquet + CTL):
+    * batch N arrives and is curated AGAINST THE ACCUMULATED LAKE, not in
+    * isolation.
+    *
+    *   batch → [[UrlFilter.filterDocs]] (t25) gate → [[Boilerplate]]
+    *   extraction → [[chainFromExtracted]] (langid gate → quality →
+    *   in-batch dedup → HISTORY dedup → DSIR resample → packing) →
+    *   land parquet + CTL → append the batch's fingerprints to the index.
+    *
+    * History semantics (the i03 first-sighting convention): a batch doc is
+    * new iff its extracted-text fingerprint is absent from every EARLIER
+    * batch's post-URL-gate extracted set — the WHOLE extracted batch is
+    * appended (quality- and resample-dropped docs included), so a recrawl
+    * of a previously-seen page never re-enters curation, exactly the
+    * FineWeb-style dedup-against-everything-seen discipline.
+    *
+    * Scale shape per batch, the parts beyond [[curate]]'s:
+    *   - the URL gate is narrow + a (capped) broadcast blocklist join —
+    *     blocked pages never reach extraction;
+    *   - extraction persists ONCE (the [[curate]] seam, mandatory here:
+    *     the curation chain and the index append both consume it);
+    *   - history dedup reads the materialized [[FingerprintIndex]] —
+    *     ~8 B/doc of history, NEVER the historical text corpus — through
+    *     [[HistoryDedup]]'s bloom + bounded-broadcast confirm, so neither
+    *     the history nor the batch shuffles (spec-pinned); the caller's
+    *     manifest count (`expectedBatchRows`, the CTL contract) bounds the
+    *     confirm broadcast with no extra scan;
+    *   - the landed batch is one parquet file + CTL manifest (the
+    *     reference's output contract, `CtlGenerationHandler.cs:27-126`),
+    *     written BEFORE the index mutates so a failed batch never
+    *     poisons the index (replaying it is idempotent: same curated
+    *     content, `FingerprintIndex.append` overwrites by batch id).
+    *
+    * Determinism: every stage is the oracle-gated formulation, so a
+    * multi-batch replay is oracle-able end to end (the c03 gate replays
+    * three batches against one giant SQL chain at three scales).
+    *
+    * @return the landed curated batch (read back from the sink when
+    *         `outDir` is given; local-checkpointed otherwise — either way
+    *         evaluation is forced before the index append) */
+  def curateIncrement(batch: DataFrame, idCol: String, htmlCol: String,
+                      urlCol: String, langCol: String, sourceCol: String,
+                      urlRules: UrlFilter.Rules,
+                      blockedHosts: Option[DataFrame],
+                      labeledPred: Column, targetLangs: Seq[String],
+                      dsirTargetPred: Column,
+                      indexDir: String, batchId: Long,
+                      expectedHistoryRows: Long,
+                      sampleK: Int = 100, packBudget: Long = 512L,
+                      rules: Quality.Rules = Quality.Rules(),
+                      expectedBatchRows: Long = -1L,
+                      outDir: Option[String] = None): DataFrame = {
+    require(sampleK > 0 && packBudget > 0,
+      s"crawl increment: sampleK=$sampleK packBudget=$packBudget")
+    val spark = batch.sparkSession
+    // 0. URL gate — blocked pages never reach the (expensive) extraction
+    val admitted = UrlFilter.filterDocs(batch, idCol, urlCol, urlRules,
+      blockedHosts)
+    // 1. extraction, persisted once: the curation chain and the index
+    //    append both read the cached copy
+    val ext = Boilerplate.extract(admitted, idCol, htmlCol,
+        carry = Seq(langCol, sourceCol))
+      .select(col(idCol), col(langCol), col(sourceCol), col("extracted_text"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // 2. the c02 curation chain with the history-dedup seam after the
+      //    in-batch dedup: survivors' fingerprints absent from the index
+      val curated = chainFromExtracted(ext, idCol, langCol, sourceCol,
+        labeledPred, targetLangs, dsirTargetPred, sampleK, packBudget, rules,
+        postDedup = df => HistoryDedup.newAgainstFingerprints(df,
+          FingerprintIndex.read(spark, indexDir), "extracted_text",
+          expectedHistoryRows, expectedBatchRows = expectedBatchRows))
+      // 3. land the batch (forcing evaluation) BEFORE the index mutates —
+      //    a failure here leaves the index untouched and the batch
+      //    replayable
+      val landed = outDir match {
+        case Some(d) =>
+          val res = sinks.writeBatch(curated, d, batchId)
+          spark.read.parquet(res)
+        case None => curated.localCheckpoint()
+      }
+      // 4. only now does this batch's extracted set join the index
+      FingerprintIndex.append(ext, "extracted_text", indexDir, batchId)
+      landed
+    } finally ext.unpersist()
+  }
+
+  private object sinks {
+    /** One parquet file + CTL manifest per batch (the reference's output
+      * contract); returns the parquet path. */
+    def writeBatch(curated: DataFrame, dir: String, batchId: Long): String = {
+      val spark = curated.sparkSession
+      val res = graft.sinks.ParquetSink.writeSingleFile(curated, dir,
+        f"batch_$batchId%05d.parquet")
+      val n = spark.read.parquet(res.path).count()
+      val ctl = graft.sinks.CtlManifest.forFile(spark, res.path, n,
+        s"crawl_increment_$batchId", "crawl")
+      graft.sinks.CtlManifest.write(spark, dir, f"batch_$batchId%05d.ctl", ctl)
+      res.path
+    }
+  }
 }
