@@ -1267,6 +1267,30 @@ object SparkEntry {
         persistExtracted = true)
     }),
 
+    // c02 with the PRODUCTION quality gate composed in: CCNet's LM filter
+    // (t24's self-trained interpolated Kneser-Ney trigram LM) keeps the
+    // lowest-perplexity 80% of scored docs (head-fraction bucketing —
+    // scale-robust where an absolute cutoff is not) IN ADDITION to the t06
+    // rules. The (id, ppl) relation joins at the same id key as the
+    // language gate, so the chain still co-locates text exactly twice.
+    "c04_crawl_kn_gate" -> ((s, dir) => {
+      val pages = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(
+            lit("<html><body><nav><a href=\"/\">home</a> " +
+              "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+            col("text"),
+            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+              "</body></html>")).as("html"))
+      graft.operators.CrawlPipeline.curate(pages, "doc_id", "html",
+        "lang", "source",
+        labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+        dsirTargetPred = col("doc_id") % 13 === 0,
+        sampleK = 100, packBudget = 512L,
+        persistExtracted = true, knHeadFrac = Some(0.8))
+    }),
+
     // the INCREMENTAL crawl pipeline — the production operating mode: three
     // ingest batches (doc_id % 3 = 0, 1, 2, processed in order), each t25
     // URL-gated (planted URLs + blocklist), curated through the full c02
@@ -3300,6 +3324,247 @@ object SparkEntry {
         |      AS lr
         |  FROM dtgt t FULL OUTER JOIN draw r ON t.bucket = r.bucket
         |  CROSS JOIN dnt CROSS JOIN dnr),
+        |ddb AS (SELECT doc_id, bucket, count(*) AS c FROM dgb GROUP BY 1, 2),
+        |dw AS (
+        |  SELECT doc_id,
+        |    round(CAST(sum(CAST(c AS DECIMAL(12,0)) *
+        |                   CAST(lr AS DECIMAL(12,9))) AS DOUBLE), 6) AS log_w
+        |  FROM ddb JOIN dmodel USING (bucket) GROUP BY doc_id),
+        |sel AS (
+        |  SELECT doc_id, log_w FROM (
+        |    SELECT doc_id, log_w,
+        |      round(log_w - ln(-ln(
+        |        (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |           AS BIGINT) % 4503599627370496 + 0.5)
+        |        / 4503599627370496.0)), 9) AS key
+        |    FROM dw)
+        |  ORDER BY key DESC, doc_id LIMIT 100),
+        |win AS (
+        |  SELECT s.doc_id, s.source, s.lang_pred, sel.log_w,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(s.et)),
+        |      '\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+        |  FROM surv s JOIN sel USING (doc_id))
+        |SELECT doc_id, source, lang_pred, log_w, n_tokens,
+        |  CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+        |  cum_before % 512 AS pack_offset
+        |FROM (
+        |  SELECT doc_id, source, lang_pred, log_w, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS cum_before
+        |  FROM win)""".stripMargin,
+    // c04: c02's oracle with the t24 KN CTEs spliced in over the extracted
+    // relation and the ppl gate conjoined at the language-gate join.
+    "c04_crawl_kn_gate" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, source,
+        |    '<html><body><nav><a href="/">home</a> <a href="/a">about</a> ' ||
+        |    '<a href="/c">contact</a></nav><p>' || text ||
+        |    '</p><div class="foot"><a href="/t">terms</a> ' ||
+        |    '<a href="/p">privacy</a> all rights reserved</div>' ||
+        |    '</body></html>' AS html
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, lang, source, string_split_regex(html,
+        |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|br|hr|blockquote|pre|section|article|header|footer|nav|aside|main|form|html|body|head|title)[^>]*>')
+        |    AS arr
+        |  FROM h),
+        |blk AS (
+        |  SELECT doc_id, lang, source, i, arr[i] AS raw
+        |  FROM (SELECT doc_id, lang, source, arr,
+        |          unnest(range(1, len(arr) + 1)) AS i FROM b)),
+        |stb AS (
+        |  SELECT doc_id, lang, source, i,
+        |    trim(regexp_replace(regexp_replace(raw, '(?s)<[^>]*>', ' ', 'g'),
+        |                        '\s+', ' ', 'g')) AS txt,
+        |    trim(regexp_replace(regexp_replace(
+        |      coalesce(array_to_string(
+        |        regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),
+        |      '(?s)<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS ltxt
+        |  FROM blk),
+        |wb AS (
+        |  SELECT doc_id, lang, source, i, txt,
+        |    CASE WHEN txt = '' THEN 0
+        |         ELSE len(string_split(txt, ' ')) END AS w,
+        |    CAST(length(txt) AS BIGINT) AS c,
+        |    CASE WHEN ltxt = '' THEN 0
+        |         ELSE len(string_split(ltxt, ' ')) END AS lw
+        |  FROM stb),
+        |kb AS (
+        |  SELECT doc_id, lang, source, i, txt,
+        |    (w >= 5 AND 3 * lw <= w
+        |       AND w >= 7 * CAST(floor((c + 79) / 80.0) AS BIGINT)) AS kept
+        |  FROM wb WHERE w >= 1),
+        |ext AS (
+        |  SELECT doc_id, lang, source,
+        |    coalesce(string_agg(CASE WHEN kept THEN txt END, ' ' ORDER BY i),
+        |             '') AS et
+        |  FROM kb GROUP BY doc_id, lang, source),
+        |kdocs3 AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(et, ' '), t -> t <> '') AS ws
+        |    FROM ext)
+        |  WHERE len(ws) >= 3),
+        |ktris AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3 FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 2)) AS i
+        |    FROM kdocs3)),
+        |kc3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM ktris GROUP BY 1, 2, 3),
+        |kctx AS (SELECT w1, w2, sum(c3) AS c2, count(*) AS n3
+        |         FROM kc3 GROUP BY 1, 2),
+        |kt2 AS (SELECT w2, w3, count(*) AS t23 FROM kc3 GROUP BY 1, 2),
+        |kmid AS (SELECT w2, count(*) AS midc FROM kc3 GROUP BY 1),
+        |kty2 AS (SELECT w2, count(*) AS ty2 FROM kt2 GROUP BY 1),
+        |kuni AS (SELECT w3, count(*) AS u FROM kt2 GROUP BY 1),
+        |ktot AS (SELECT count(*) AS tt FROM kt2),
+        |kmodel AS (
+        |  SELECT c.w1, c.w2, c.w3,
+        |    CAST(round(ln(
+        |      (greatest(CAST(c.c3 AS DOUBLE) - 0.75, 0.0) +
+        |       0.75 * x.n3 *
+        |         ((greatest(CAST(b2.t23 AS DOUBLE) - 0.75, 0.0) +
+        |           0.75 * y.ty2 * (CAST(un.u AS DOUBLE) / t.tt)) / m.midc))
+        |      / x.c2), 9) AS DECIMAL(20,9)) AS lp
+        |  FROM kc3 c
+        |  JOIN kctx x ON x.w1 = c.w1 AND x.w2 = c.w2
+        |  JOIN kt2 b2 ON b2.w2 = c.w2 AND b2.w3 = c.w3
+        |  JOIN kmid m ON m.w2 = c.w2
+        |  JOIN kty2 y ON y.w2 = c.w2
+        |  JOIN kuni un ON un.w3 = c.w3
+        |  CROSS JOIN ktot t),
+        |knsc AS (
+        |  SELECT doc_id,
+        |    round(exp(-(round(CAST(sum(lp) AS DOUBLE) / count(*), 6))), 3)
+        |      AS ppl
+        |  FROM ktris JOIN kmodel USING (w1, w2, w3) GROUP BY doc_id),
+        |kcut AS (
+        |  SELECT min(ppl) AS cut FROM (
+        |    SELECT ppl, sum(cnt) OVER (ORDER BY ppl) AS cum,
+        |           sum(cnt) OVER () AS n
+        |    FROM (SELECT ppl, count(*) AS cnt FROM knsc GROUP BY 1))
+        |  WHERE cum >= greatest(1, CAST(floor(0.8 * n) AS BIGINT))),
+        |ltg AS (
+        |  SELECT lang, t FROM (
+        |    SELECT lang, regexp_replace(lower(trim(et)), '\s+', ' ', 'g') AS t
+        |    FROM ext WHERE doc_id % 5 <> 0)
+        |  WHERE length(t) >= 3),
+        |lgr AS (
+        |  SELECT lang, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT lang, t, unnest(range(1, length(t) - 1)) AS i
+        |        FROM ltg)),
+        |lcnt AS (SELECT lang, g, count(*) AS c FROM lgr GROUP BY 1, 2),
+        |ltot AS (SELECT lang, count(*) AS tot FROM lgr GROUP BY 1),
+        |lvcb AS (SELECT count(DISTINCT g) AS v FROM lgr),
+        |ldpl AS (SELECT lang, count(*) AS nl FROM ltg GROUP BY 1),
+        |lnd AS (SELECT count(*) AS n FROM ltg),
+        |lstats AS (
+        |  SELECT t.lang,
+        |    CAST(round(ln(CAST(d.nl AS DOUBLE) / n.n), 9)
+        |      AS DECIMAL(20,9)) AS prior,
+        |    CAST(round(ln(1.0 / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS miss
+        |  FROM ltot t JOIN ldpl d ON t.lang = d.lang
+        |  CROSS JOIN lvcb v CROSS JOIN lnd n),
+        |lmodel AS (
+        |  SELECT c.lang, c.g,
+        |    CAST(round(ln((c.c + 1.0) / CAST(t.tot + v.v AS DOUBLE)), 9)
+        |      AS DECIMAL(20,9)) AS lp
+        |  FROM lcnt c JOIN ltot t ON c.lang = t.lang CROSS JOIN lvcb v),
+        |dg AS (
+        |  SELECT doc_id, substr(t, CAST(i AS INT), 3) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 1)) AS i
+        |        FROM (SELECT doc_id,
+        |                regexp_replace(lower(trim(et)), '\s+', ' ', 'g') AS t
+        |              FROM ext)
+        |        WHERE length(t) >= 3)),
+        |lsum AS (
+        |  SELECT dg.doc_id, s.lang, sum(coalesce(m.lp, s.miss)) AS gsum
+        |  FROM dg CROSS JOIN lstats s
+        |  LEFT JOIN lmodel m ON m.lang = s.lang AND m.g = dg.g
+        |  GROUP BY 1, 2),
+        |lfin AS (
+        |  SELECT s.doc_id, s.lang,
+        |    row_number() OVER (PARTITION BY s.doc_id
+        |                       ORDER BY st.prior + s.gsum DESC, s.lang ASC)
+        |      AS rn
+        |  FROM lsum s JOIN lstats st ON s.lang = st.lang),
+        |pred AS (SELECT doc_id, lang AS lang_pred FROM lfin WHERE rn = 1),
+        |gated AS (
+        |  SELECT e.doc_id, e.source, e.et, p.lang_pred
+        |  FROM ext e JOIN pred p USING (doc_id)
+        |  JOIN knsc k USING (doc_id)
+        |  WHERE p.lang_pred IN ('en')
+        |    AND k.ppl <= (SELECT cut FROM kcut)),
+        |qf AS (
+        |  SELECT doc_id, source, et, lang_pred,
+        |    list_filter(string_split_regex(lower(trim(et)), '\s+'),
+        |      t -> t <> '') AS tk,
+        |    list_filter(string_split_regex(lower(et), '\s+'),
+        |      w -> w <> '') AS words,
+        |    length(et) AS n_chars
+        |  FROM gated),
+        |qg AS (
+        |  SELECT doc_id, source, et, lang_pred,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(list_sum(list_transform(tk, t -> length(t)))
+        |           AS DOUBLE) / len(tk) END AS mean_token_len,
+        |    CASE WHEN n_chars = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_extract_all(et, '[^A-Za-z0-9\s]'))
+        |           AS DOUBLE) / n_chars END AS symbol_ratio,
+        |    CASE WHEN len(tk) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(tk, t -> t IN ('the','a','an',
+        |           'and','or','of','to','in','is','are','was','on','for',
+        |           'with','as','at','by','it','this','that')))
+        |           AS DOUBLE) / len(tk) END AS stopword_ratio,
+        |    CASE WHEN len(words) < 2 THEN 0.0
+        |         ELSE 1.0 - CAST(len(list_distinct(
+        |                list_transform(range(1, len(words)),
+        |                  i -> words[i] || ' ' || words[i+1]))) AS DOUBLE)
+        |              / (len(words) - 1) END AS dup_bigram_frac
+        |  FROM qf),
+        |qkeep AS (
+        |  SELECT doc_id, source, et, lang_pred FROM qg
+        |  WHERE n_tokens BETWEEN 5 AND 100000
+        |    AND mean_token_len BETWEEN 2.0 AND 12.0
+        |    AND symbol_ratio <= 0.20 AND stopword_ratio >= 0.02
+        |    AND dup_bigram_frac <= 0.60),
+        |surv AS (
+        |  SELECT doc_id, source, et, lang_pred FROM (
+        |    SELECT doc_id, source, et, lang_pred,
+        |      row_number() OVER (
+        |        PARTITION BY regexp_replace(lower(trim(et)), '\s+', ' ', 'g')
+        |        ORDER BY doc_id) AS rn
+        |    FROM qkeep) WHERE rn = 1),
+        |dtoks AS (
+        |  SELECT doc_id, ws FROM (
+        |    SELECT doc_id,
+        |      list_filter(string_split(et, ' '), t -> t <> '') AS ws
+        |    FROM surv)
+        |  WHERE len(ws) >= 1),
+        |dgrams AS (
+        |  SELECT doc_id, unnest(ws) AS g FROM dtoks
+        |  UNION ALL
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g FROM (
+        |    SELECT doc_id, ws,
+        |      unnest(generate_series(1, len(ws) - 1)) AS i
+        |    FROM dtoks WHERE len(ws) >= 2)),
+        |dgb AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 1024 AS bucket
+        |  FROM dgrams),
+        |draw AS (SELECT bucket, count(*) AS cr,
+        |           count(*) FILTER (WHERE doc_id % 13 = 0) AS ct
+        |         FROM dgb GROUP BY 1),
+        |dtot AS (SELECT count(*) AS nr,
+        |           count(*) FILTER (WHERE doc_id % 13 = 0) AS nt
+        |         FROM dgb),
+        |dmodel AS (
+        |  SELECT bucket,
+        |    round(ln((ct + 1.0) / CAST(nt + 1024 AS DOUBLE)) -
+        |          ln((cr + 1.0) / CAST(nr + 1024 AS DOUBLE)), 9) AS lr
+        |  FROM draw CROSS JOIN dtot),
         |ddb AS (SELECT doc_id, bucket, count(*) AS c FROM dgb GROUP BY 1, 2),
         |dw AS (
         |  SELECT doc_id,

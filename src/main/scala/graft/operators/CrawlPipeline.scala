@@ -71,7 +71,8 @@ object CrawlPipeline {
              dsirTargetPred: Column, sampleK: Int = 100,
              packBudget: Long = 512L,
              rules: Quality.Rules = Quality.Rules(),
-             persistExtracted: Boolean = false): DataFrame = {
+             persistExtracted: Boolean = false,
+             knHeadFrac: Option[Double] = None): DataFrame = {
     require(targetLangs.nonEmpty, "crawl pipeline: empty target language set")
     require(sampleK > 0 && packBudget > 0,
       s"crawl pipeline: sampleK=$sampleK packBudget=$packBudget")
@@ -95,7 +96,7 @@ object CrawlPipeline {
     else ext0
     chainFromExtracted(ext, idCol, langCol, sourceCol, labeledPred,
       targetLangs, dsirTargetPred, sampleK, packBudget, rules,
-      postDedup = identity)
+      knHeadFrac = knHeadFrac, postDedup = identity)
   }
 
   /** The curation chain from an already-extracted relation
@@ -108,14 +109,53 @@ object CrawlPipeline {
       labeledPred: Column, targetLangs: Seq[String],
       dsirTargetPred: Column, sampleK: Int, packBudget: Long,
       rules: Quality.Rules,
+      knHeadFrac: Option[Double] = None,
       postDedup: DataFrame => DataFrame): DataFrame = {
     // 2. language ID over the EXTRACTED text: model from the labeled seed,
     //    every doc scored, gate on the predicted language
     val pred = LangId.classify(ext.where(labeledPred), ext,
       idCol, "extracted_text", langCol)
-    val gated = ext.drop(langCol)
+    val langGated = ext.drop(langCol)
       .join(pred.select(col(idCol), col("lang_pred")), Seq(idCol))
       .where(col("lang_pred").isin(targetLangs: _*))
+    // 2b. optional KN-perplexity HEAD gate (CCNet's production filter,
+    //     Wenzek et al. 2020 §4.3: perplexity-bucket the corpus and keep
+    //     the head) with t24's self-trained interpolated KN trigram LM:
+    //     keep the lowest-ppl `frac` of scored docs. A fixed absolute
+    //     cutoff is NOT scale-robust (self-trained ppl grows with corpus
+    //     diversity — measured: lake median 20.6 at sf0.01 → 28.5 at
+    //     sf0.1); the head-fraction contract is. The discrete cutoff (the
+    //     smallest ppl whose cumulative count reaches ⌊frac·n⌋) comes from
+    //     a (quantized-ppl, count) histogram — value-bounded, the
+    //     kmeansStep driver-seam precedent — so the gate is pure integer
+    //     rank arithmetic on 3-decimal-quantized values: bit-exact in any
+    //     engine, no interpolation. Ties at the cutoff are kept (both
+    //     engines identically). The (id, ppl) relation then joins on the
+    //     SAME id key as the language gate, so the extracted text
+    //     co-locates once for both gates — no third text crossing
+    //     (spec-pinned). Docs too short to score (< 3 tokens) have no
+    //     certificate and are dropped — t06's minTokens would drop them
+    //     anyway.
+    val gated = knHeadFrac match {
+      case Some(frac) =>
+        require(frac > 0 && frac <= 1, s"knHeadFrac out of (0,1]: $frac")
+        val kn = Quality.knTrigramScore(ext, idCol, "extracted_text")
+          .select(col(idCol), col("ppl"))
+        val hist = kn.groupBy(col("ppl")).agg(count(lit(1)).as("c"))
+          .orderBy(col("ppl")).collect()
+        val n = hist.iterator.map(_.getLong(1)).sum
+        // IEEE frac*n then floor — the oracle evaluates the identical
+        // double expression, so the rank is the same integer
+        val need = math.max(1L, math.floor(frac * n).toLong)
+        var cum = 0L
+        val cut = hist.iterator
+          .map { r => cum += r.getLong(1); (r.getDouble(0), cum) }
+          .collectFirst { case (p, c) if c >= need => p }
+          .getOrElse(Double.NegativeInfinity) // no scored docs -> empty gate
+        langGated.join(kn, Seq(idCol))
+          .where(col("ppl") <= cut).drop("ppl")
+      case None => langGated
+    }
     // 3. quality gate — narrow flags over the gated relation; n_tokens is
     //    already t09's token count, so carry it to the packer for free
     val q = Quality.flags(gated, "extracted_text", rules)

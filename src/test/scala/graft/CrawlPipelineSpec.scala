@@ -89,6 +89,76 @@ class CrawlPipelineSpec extends SparkSpec {
     }
   }
 
+  test("KN head gate drops crossed-trigram junk that t06's rule battery " +
+       "passes — the composed gate separates what the rules alone cannot") {
+    // the TrainingOpsSpec planting, rule-proofed: every template is
+    // 'the s_i mid e_i and' — stopwords present, sane token lengths, low
+    // bigram dup — so t06 passes BOTH populations; crossed chains
+    // 'the s_i mid e_j and' (i != j) use only high-frequency bigrams but
+    // rare trigrams, which only the KN LM can see
+    val rnd = new scala.util.Random(7)
+    def triple(i: Int, j: Int) = s"the s$i mid e$j and"
+    val aligned = (1L to 30L).map { id =>
+      (id, Seq.fill(6)({ val i = rnd.nextInt(20); triple(i, i) })
+        .mkString(" "))
+    }
+    val crossed = (101L to 108L).map { id =>
+      (id, Seq.fill(6)({
+        val i = rnd.nextInt(20)
+        triple(i, (i + 1 + rnd.nextInt(19)) % 20)
+      }).mkString(" "))
+    }
+    val pages = (aligned ++ crossed).map { case (id, text) =>
+      (id, "en", "srcA",
+        "<html><body><nav><a href=\"/\">home</a> <a href=\"/a\">x</a> " +
+          "<a href=\"/c\">y</a></nav><p>" + text +
+          "</p><div><a href=\"/t\">terms</a> all rights reserved</div>" +
+          "</body></html>")
+    }.toDF("doc_id", "lang", "source", "html")
+    def ids(knHeadFrac: Option[Double]): Set[Long] =
+      CrawlPipeline.curate(pages, "doc_id", "html", "lang", "source",
+        labeledPred = lit(true), targetLangs = Seq("en"),
+        dsirTargetPred = col("doc_id") % 2 === 0, sampleK = 50,
+        knHeadFrac = knHeadFrac)
+        .select("doc_id").as[Long].collect().toSet
+    val plain = ids(None)
+    val gatedIds = ids(Some(0.75))
+    val junk = crossed.map(_._1).toSet
+    assert((plain & junk) == junk,
+      s"t06 alone must pass the crossed docs: ${(plain & junk).size}/8 kept")
+    assert((gatedIds & junk).isEmpty,
+      s"KN head gate must drop all crossed docs, kept ${gatedIds & junk}")
+    assert((gatedIds & aligned.map(_._1).toSet).size >= 25,
+      s"KN head gate must keep most aligned docs: $gatedIds")
+  }
+
+  test("KN-gated composition plan: still exactly TWO text-bearing " +
+       "exchanges — the ppl gate joins at the same id key as the language " +
+       "gate, adding no third crossing") {
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = CrawlPipeline.curate(pages(sf0001), "doc_id", "html",
+        "lang", "source",
+        labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+        dsirTargetPred = col("doc_id") % 13 === 0, sampleK = 20,
+        knHeadFrac = Some(0.8))
+      val plan = df.queryExecution.executedPlan
+      def shuffles(p: SparkPlan): Seq[ShuffleExchangeExec] =
+        (p match {
+          case s: ShuffleExchangeExec => Seq(s)
+          case _ => Seq.empty
+        }) ++ p.children.flatMap(shuffles)
+      val textShuffles = shuffles(plan).filter(_.child.output.exists(a =>
+        a.name.contains("extracted_text") || a.name == "html" ||
+          a.name == "text" ||
+          a.dataType.catalogString.contains("extracted_text")))
+      assert(textShuffles.length == 2,
+        s"expected exactly two text-bearing exchanges, found " +
+          s"${textShuffles.length}:\n${textShuffles.mkString("\n")}")
+      assert(!plan.toString.contains("CartesianProduct"), plan.toString)
+    }
+  }
+
   private def withSQLConf(kvs: (String, String)*)(f: => Unit): Unit = {
     val old = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
     kvs.foreach { case (k, v) => spark.conf.set(k, v) }
