@@ -660,9 +660,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val idx = s"$base/fpindex"
       (0L to 2L).map { b =>
+        // expectedBatchRows = the ingest manifest's count (the CTL
+        // contract): bounds the confirm broadcast with no eager HLL scan
         graft.operators.FingerprintIndex.step(
           docs.where(col("doc_id") % 3 === b), "text", idx, b,
-          expectedHistoryRows = 1000000L)
+          expectedHistoryRows = 1000000L, expectedBatchRows = 1000000L)
           .select(col("doc_id"), lit(b).as("batch"))
       }.reduce(_ unionAll _)
     }),

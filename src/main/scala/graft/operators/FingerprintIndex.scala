@@ -49,11 +49,19 @@ object FingerprintIndex {
     * batch's fingerprints as increment `batchId`. Returns the survivors
     * (rows whose fingerprint was absent from the index). Note the whole
     * batch's fingerprints are appended — a recrawl of a dropped doc in a
-    * later batch still dedups against the first sighting. */
+    * later batch still dedups against the first sighting.
+    *
+    * `expectedBatchRows ≥ 0` is the ingest manifest's row count (the CTL
+    * contract carries one per batch): it bounds [[HistoryDedup]]'s confirm
+    * broadcast for free, so NO eager HLL scan of the batch runs at plan
+    * construction — the step stays a pure transformation until its
+    * checkpoint (job-count spec-pinned). */
   def step(batch: DataFrame, textCol: String, indexDir: String,
-           batchId: Long, expectedHistoryRows: Long): DataFrame = {
+           batchId: Long, expectedHistoryRows: Long,
+           expectedBatchRows: Long = -1L): DataFrame = {
     val survivors = HistoryDedup.newAgainstFingerprints(batch,
-      read(batch.sparkSession, indexDir), textCol, expectedHistoryRows)
+      read(batch.sparkSession, indexDir), textCol, expectedHistoryRows,
+      expectedBatchRows = expectedBatchRows)
       .localCheckpoint()
     append(batch, textCol, indexDir, batchId)
     survivors
