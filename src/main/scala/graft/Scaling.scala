@@ -990,27 +990,148 @@ object Scaling {
         .withColumn("doc_id", col("doc_id") + lit(i * 1000000L))
         .withColumn("text", translate(col("text"), "aeiou", vowelRot(i))))
       .reduce(_ unionAll _)
+    def pagesOf(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), col("lang"), col("source"),
+        concat(lit("<html><body><nav><a href=\"/\">home</a> " +
+          "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
+          col("text"),
+          lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
+            "<a href=\"/p\">privacy</a> all rights reserved</div>" +
+            "</body></html>")).as("html"))
     def c02On(d: DataFrame): DataFrame =
-      graft.operators.CrawlPipeline.curate(
-        d.select(col("doc_id"), col("lang"), col("source"),
-          concat(lit("<html><body><nav><a href=\"/\">home</a> " +
-            "<a href=\"/a\">about</a> <a href=\"/c\">contact</a></nav><p>"),
-            col("text"),
-            lit("</p><div class=\"foot\"><a href=\"/t\">terms</a> " +
-              "<a href=\"/p\">privacy</a> all rights reserved</div>" +
-              "</body></html>")).as("html")),
+      graft.operators.CrawlPipeline.curate(pagesOf(d),
         "doc_id", "html", "lang", "source",
         labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
         dsirTargetPred = col("doc_id") % 13 === 0,
-        sampleK = 100, packBudget = 512L)
+        sampleK = 100, packBudget = 512L,
+        persistExtracted = true) // the shipped r13 configuration
     record("c02_crawl_pipeline",
       () => c02On(docsFull),
       () => c02On(docsFull10),
       "10x docs through the WHOLE composed chain (extraction -> langid -> " +
-        "quality -> dedup -> DSIR -> pack), labels/sources preserved, " +
-        "constant k = 100 resample (rows_ratio 1.0 by construction): wall " +
-        "must track docs ~linearly — the composition adds no " +
-        "multiplicative seam over its stages")
+        "quality -> dedup -> DSIR -> pack) with the r13 extraction persist " +
+        "seam on, labels/sources preserved, constant k = 100 resample " +
+        "(rows_ratio 1.0 by construction): wall must track docs ~linearly " +
+        "— the composition adds no multiplicative seam over its stages")
+
+    // ---- round-13: t25 capped blocklist at production cardinality, the
+    // c03 incremental pipeline, the c04 KN-gated chain ----
+
+    // t25 at FineWeb cardinality: a 4.6M-host planted blocklist against a
+    // CONSTANT 2M-URL corpus. Base = broadcast regime (the default 10M-host
+    // cap), "fallback" = the hint withheld (cap forced below the list) so
+    // both sides hash-partition on host. Output identical by construction
+    // (and spec-pinned), so the row measures exactly the fallback's price.
+    val bigBl = mat("t25-bigbl") {
+      spark.range(4600000L).select(
+        concat(lit("www.h"), col("id").cast("string"), lit(".com")).as("host"))
+    }
+    val bigUrls = mat("t25-bigurls") {
+      spark.range(2000000L).select(col("id").as("doc_id"),
+        concat(lit("https://www.h"),
+          ((col("id") * 7L) % 20000000L).cast("string"),
+          lit(".com/docs/page-"), col("id").cast("string")).as("url"))
+    }
+    def t25Big(cap: Long): DataFrame =
+      graft.operators.UrlFilter.flags(bigUrls, "doc_id", "url",
+        graft.operators.UrlFilter.Rules(blockedTlds = Seq("xyz")),
+        blockedHosts = Some(bigBl), maxBroadcastHosts = cap,
+        expectedHosts = 4600000L)
+    record("t25_bigbl_fallback",
+      () => t25Big(10000000L),
+      () => t25Big(1000000L),
+      "SAME 4.6M-host blocklist and 2M-URL corpus on both sides: base " +
+        "broadcasts the deduped list (default 10M-host cap, FineWeb's " +
+        "4.6M fits), the scaled side withholds the hint (cap 1M) so the " +
+        "corpus hash-partitions on host — the measured price of the " +
+        "over-cap fallback; rows identical by construction",
+      scaleLabel = "fallback")
+
+    // c03's increment invariant: CONSTANT 100k-doc batch against a history
+    // fingerprint index grown x10/x100 — the shuffle is batch-bounded and
+    // history is only ever an 8 B/doc index scan (bloom build + confirm
+    // semi-join), so wall must grow far sub-linearly in history.
+    val histCache = scala.collection.mutable.HashMap.empty[Long, String]
+    def histIdxDir(h: Long): String = histCache.getOrElseUpdate(h, {
+      val d = graft.util.Scratch.dir(s"graft-scale-c03hist-$h").toString
+      spark.range(50000L, 50000L + h)
+        .select(graft.functions.TextFunctions.fingerprint(
+          concat(lit("doc "), col("id").cast("string"))).as("_fp"))
+        .write.mode("overwrite").parquet(s"$d/batch=0")
+      d
+    })
+    val batch100k = mat("c03-batch") {
+      spark.range(100000L).select(col("id").as("doc_id"),
+        concat(lit("doc "), col("id").cast("string")).as("text"))
+    }
+    def c03Hist(h: Long): DataFrame =
+      graft.operators.HistoryDedup.newAgainstFingerprints(batch100k,
+        graft.operators.FingerprintIndex.read(spark, histIdxDir(h)), "text",
+        expectedHistoryRows = h, expectedBatchRows = 100000L)
+    record("c03_history_dedup",
+      () => c03Hist(1000000L),
+      () => c03Hist(10000000L),
+      "constant 100k-doc batch (50k planted dups) vs history index 1M -> " +
+        "10M fps: history is scanned as 8 B/doc fingerprints (bloom build " +
+        "+ confirm semi-join, both ending broadcast-sized), the batch " +
+        "never shuffles — wall must grow far below the x10 history growth")
+    record("c03_history_dedup_x100",
+      () => c03Hist(1000000L),
+      () => c03Hist(100000000L),
+      "one decade deeper: the same constant batch vs 100M history fps " +
+        "(100 TB-lake territory for the index) — survivors unchanged, " +
+        "wall still dominated by the fp-only history scan",
+      scaleLabel = "x100")
+
+    // c03 whole-chain decade: three ordered batches through the FULL
+    // increment (URL gate -> extraction -> langid -> quality -> in-batch
+    // dedup -> history dedup -> index append -> DSIR -> pack), docs x10.
+    def c03Pages(d: DataFrame): DataFrame = pagesOf(d)
+      .join(urlsOn(d.select(col("doc_id"),
+        lit("srcx").as("source"))).select(col("doc_id"), col("url")),
+        Seq("doc_id"))
+    def c03On(d: DataFrame): DataFrame = {
+      val idx = graft.util.Scratch.dir("graft-scale-c03-" +
+        java.util.UUID.randomUUID().toString.take(8)).toString + "/idx"
+      val p = c03Pages(d)
+      (0L to 2L).map { b =>
+        graft.operators.CrawlPipeline.curateIncrement(
+          p.where(col("doc_id") % 3 === b), "doc_id", "html", "url",
+          "lang", "source",
+          graft.operators.UrlFilter.Rules(blockedTlds = Seq("xyz")),
+          blockedHosts = None,
+          labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+          dsirTargetPred = col("doc_id") % 13 === 0,
+          indexDir = idx, batchId = b,
+          expectedHistoryRows = 1000000L, sampleK = 40,
+          expectedBatchRows = 1000000L)
+      }.reduce(_ unionAll _)
+    }
+    record("c03_incremental_crawl",
+      () => c03On(docsFull),
+      () => c03On(docsFull10),
+      "10x docs through the FULL three-batch increment replay (fresh index " +
+        "per run, URL gate, per-batch curation, history dedup, index " +
+        "appends): wall must track docs ~linearly — the increment adds " +
+        "batch-bounded work only on top of c02's composed shape")
+
+    // c04: c02 plus the KN head gate — the KN model relations are
+    // type-bounded, the ppl reduce is per-doc, the histogram seam is
+    // value-bounded, so the gated chain must stay ~linear too.
+    def c04On(d: DataFrame): DataFrame =
+      graft.operators.CrawlPipeline.curate(pagesOf(d),
+        "doc_id", "html", "lang", "source",
+        labeledPred = col("doc_id") % 5 =!= 0, targetLangs = Seq("en"),
+        dsirTargetPred = col("doc_id") % 13 === 0,
+        sampleK = 100, packBudget = 512L,
+        persistExtracted = true, knHeadFrac = Some(0.8))
+    record("c04_crawl_kn_gate",
+      () => c04On(docsFull),
+      () => c04On(docsFull10),
+      "10x docs through the KN-gated chain: the KN model is type-bounded " +
+        "(Heaps), scoring is a per-doc (id, ppl) reduce joined at the same " +
+        "id key as the language gate, and the cutoff histogram is " +
+        "value-bounded — wall must track docs ~linearly like c02")
 
     val json = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString(
       s"""{"metric":"scaling","sf":${jstr(sfDir)},"runs_per_case":$runs,"ops":{""",

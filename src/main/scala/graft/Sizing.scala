@@ -52,7 +52,7 @@ object Sizing {
     "t21_winnow_fingerprints", "d13_winnow_overlap", "t22_language_id",
     "t23_boilerplate", "i03_fingerprint_index",
     "c02_crawl_pipeline", "s06_ann_ivfpq_residual", "t24_kn_trigram_lm",
-    "t25_url_filter")
+    "t25_url_filter", "c03_incremental_crawl", "c04_crawl_kn_gate")
 
   /** Measurement-only variants that are NOT part of the oracle-gated suite:
     * d05 at a production threshold (t = 0.8) — the prefix filter's lossless

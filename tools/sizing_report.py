@@ -52,6 +52,7 @@ DOMINANT = {
     "t23_boilerplate": "documents", "i03_fingerprint_index": "documents",
     "c02_crawl_pipeline": "documents", "s06_ann_ivfpq_residual": "embeddings",
     "t24_kn_trigram_lm": "documents", "t25_url_filter": "documents",
+    "c03_incremental_crawl": "documents", "c04_crawl_kn_gate": "documents",
 }
 
 
@@ -154,12 +155,13 @@ FLAG_NOTES = {
         "bit-identical on both paths (property-pinned). Budget the pair "
         "term from YOUR corpus's dup density, not corpus size.",
     "t22_language_id":
-        "the model BROADCASTS as V gram-keyed rows with an L-array decimal "
-        "payload (since r12 — the per-(doc, lang) formulation's docs x L "
-        "replication is gone); training is a vocabulary-bounded (lang, "
-        "gram) count exchange (Heaps-bounded like t15's model), and "
-        "scoring's only corpus-sized exchange is the per-doc reduce — docs "
-        "rows of (id, L decimals) after map-side combine, no text payload, "
+        "the model BROADCASTS as V gram-keyed rows with an L-array "
+        "scaled-long payload (since r13 — one training job collects model "
+        "+ stats together, and per-gram sums are primitive longs, not "
+        "boxed decimals); training is a vocabulary-bounded (lang, gram) "
+        "count exchange (Heaps-bounded like t15's model), and scoring's "
+        "only corpus-sized exchange is the per-doc reduce — docs rows of "
+        "(id, L longs) after map-side combine, no text payload, "
         "L-independent row count. Budget scoring as one fingerprint-dedup-"
         "shaped pass regardless of the language count.",
     "c02_crawl_pipeline":
@@ -187,10 +189,31 @@ FLAG_NOTES = {
         "sizing knob — budget the model join as broadcast while types x "
         "~40 B fit, hash-partitioned both sides beyond.",
     "t25_url_filter":
-        "ZERO shuffle bytes by construction and spec pin: parsing and "
-        "literal rules compile into the row, the host blocklist is a "
-        "bounded relation joined broadcast-left-outer. The 100 TB cost is "
-        "scan + regex CPU only — the t23/x03 shape.",
+        "corpus-side shuffle is ZERO by construction and spec pin: parsing "
+        "and literal rules compile into the row, the host blocklist is "
+        "deduplicated (one BLOCKLIST-bounded exchange — the only shuffle "
+        "bytes in this row) and joined broadcast-left-outer while its "
+        "cardinality fits the cap; past the cap (FineWeb's 4.6M hosts) the "
+        "hint is withheld and both sides hash-partition on host "
+        "(output-identical, spec-pinned; SCALING t25_bigbl measures the "
+        "fallback). The 100 TB cost below the cap is scan + regex CPU — "
+        "the t23/x03 shape.",
+    "c03_incremental_crawl":
+        "c02's composed shape per batch PLUS the increment mechanics: the "
+        "URL gate is narrow + a capped broadcast, history dedup reads the "
+        "8 B/doc fingerprint index (never history text — plan-pinned "
+        "struct<_fp:bigint>) through bloom + batch-bounded confirm "
+        "broadcasts, and the landing sink is one coalesced file + CTL per "
+        "batch. Shuffle volume is BATCH-bounded at any history size — the "
+        "whole point of the incremental mode; the three-batch replay here "
+        "therefore measures ~c02's volume split three ways plus the "
+        "8 B/doc index reads.",
+    "c04_crawl_kn_gate":
+        "c02 plus the t24 KN model relations (TYPE-bounded exchanges) and "
+        "a per-doc (id, ppl) reduce that joins at the SAME id key as the "
+        "language gate — text still crosses exactly two exchanges "
+        "(spec-pinned). Budget = c02 + one t24 pass; the ppl-histogram "
+        "cutoff seam is value-bounded (quantized 3-decimal ppls).",
     "t23_boilerplate":
         "ZERO shuffle bytes at both scales: block split, tag strip, anchor "
         "extraction, density rules, and reassembly all run inside per-row "
