@@ -1319,8 +1319,13 @@ object SparkEntry {
             when(col("doc_id") % 11 === 0, lit("/private"))
               .otherwise(lit("/docs")),
             lit("/page-"), col("doc_id").cast("string")).as("url"))
+      // the planted URL space has exactly lcm(20, 50, 4) = 100 distinct
+      // hosts (source/id-residue construction), so the blocklist must be a
+      // FIXED host-residue slice — a doc-residue split like % 97 covers
+      // every host once ids outgrow the residue lattice (measured: it
+      // blocked all 100 hosts at sf1, emptying the whole pipeline)
       val blocked = graft.operators.UrlFilter.parse(
-          pages.where(col("doc_id") % 97 === 0), "doc_id", "url")
+          pages.where(col("doc_id") % 100 < 5), "doc_id", "url")
         .select(col("host")).distinct()
       val urlRules = graft.operators.UrlFilter.Rules(
         blockedTlds = Seq("xyz"),
@@ -3625,7 +3630,7 @@ object SparkEntry {
         |  SELECT doc_id, host, path,
         |    regexp_extract(host, '\.([a-z]+)$', 1) AS tld
         |  FROM pp),
-        |ubl AS (SELECT DISTINCT host FROM pt WHERE doc_id % 97 = 0),
+        |ubl AS (SELECT DISTINCT host FROM pt WHERE doc_id % 100 < 5),
         |adm AS (
         |  SELECT h.doc_id, h.lang, h.source, h.batch, h.html
         |  FROM h JOIN pt USING (doc_id) LEFT JOIN ubl ON pt.host = ubl.host
