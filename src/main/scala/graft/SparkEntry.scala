@@ -1324,9 +1324,13 @@ object SparkEntry {
       // FIXED host-residue slice — a doc-residue split like % 97 covers
       // every host once ids outgrow the residue lattice (measured: it
       // blocked all 100 hosts at sf1, emptying the whole pipeline)
+      // persisted: the blocklist RELATION is consumed once per batch (the
+      // broadcast build) — without the persist each of the three increments
+      // re-derives it from a full pages scan + URL parse + distinct
       val blocked = graft.operators.UrlFilter.parse(
           pages.where(col("doc_id") % 100 < 5), "doc_id", "url")
         .select(col("host")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val urlRules = graft.operators.UrlFilter.Rules(
         blockedTlds = Seq("xyz"),
         blockedHostSuffixes = Seq("-22.net"),
@@ -1340,6 +1344,10 @@ object SparkEntry {
           indexDir = s"$base/fpindex", batchId = b,
           expectedHistoryRows = 1000000L, sampleK = 40,
           expectedBatchRows = 1000000L,
+          // blocklist manifest bound (the planted URL space is exactly 100
+          // hosts): skips the per-increment plan-time HLL job — same
+          // CTL-manifest seam as expectedBatchRows
+          expectedHosts = 100L,
           outDir = Some(s"$base/out"))
           .withColumn("batch", lit(b))
       }.reduce(_ unionAll _)

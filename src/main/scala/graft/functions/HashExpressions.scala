@@ -317,15 +317,151 @@ object HashExpressions {
     override def prettyName: String = "winnow_select"
   }
 
+  /** Thread-local MD5 digest: `MessageDigest.getInstance` per evaluation is
+    * a measurable JCA lookup, and digest instances are not thread-safe, so
+    * the compiled md5 expressions below share one instance per thread. */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @inline private def md5Digest(): java.security.MessageDigest = {
+    val m = md5Local.get(); m.reset(); m
+  }
+
+  /** First 60 bits of an MD5 digest as a long — EXACTLY the value of
+    * `conv(substr(md5(x), 1, 15), 16, 10)`: the first 15 hex chars are the
+    * first 15 nibbles, i.e. the big-endian first 8 bytes shifted right one
+    * nibble. */
+  @inline private def md5First60(d: Array[Byte]): Long = {
+    val hi =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    hi >>> 4
+  }
+
+  /** Compiled [[md5Hash60]]: one digest over the UTF-8 bytes, no hex-string
+    * materialization, no radix-conversion parse. Value-identical to the
+    * declarative idiom (pinned in Md5ExprSpec); the SQL formulation remains
+    * the documented portable contract for external oracles. */
+  case class Md5Hash60Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    private lazy val isBinary = child.dataType match {
+      case BinaryType => true
+      case StringType => false
+      case t => throw new IllegalArgumentException(s"md5_hash60 over $t")
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val bytes =
+        if (isBinary) input.asInstanceOf[Array[Byte]]
+        else input.asInstanceOf[UTF8String].getBytes
+      java.lang.Long.valueOf(md5First60(md5Digest().digest(bytes)))
+    }
+    override protected def withNewChildInternal(c: Expression): Md5Hash60Expr =
+      copy(child = c)
+    override def prettyName: String = "md5_hash60"
+  }
+
+  /** All code-point `k`-gram [[md5Hash60]] hashes of a string in ONE compiled
+    * pass — value-identical to
+    * `transform(sequence(1, length(s) - k + 1), i => md5Hash60(substr(s, i, k)))`
+    * for strings of ≥ k code points (pinned in Md5ExprSpec), but O(len)
+    * instead of O(len²) (each `substr(i, k)` re-scans from the string start
+    * to find code point i) and with zero per-gram string/hex allocations.
+    * Strings shorter than k code points return an EMPTY array — callers
+    * filter them out first (the declarative form's `sequence(1, len-k+1)`
+    * is a descending-sequence trap there). */
+  case class Md5CharGramHashes(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1, s"md5_char_gram_hashes: k = $k")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val offs = codePointOffsets(bytes)
+      val n = offs.length - 1 - k + 1 // grams = code points - k + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](n)
+      val md = md5Local.get()
+      var i = 0
+      while (i < n) {
+        md.reset()
+        md.update(bytes, offs(i), offs(i + k) - offs(i))
+        out(i) = md5First60(md.digest())
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Md5CharGramHashes =
+      copy(child = c)
+    override def prettyName: String = "md5_char_gram_hashes"
+  }
+
+  /** All code-point `n`-gram substrings of a string in ONE compiled pass —
+    * value-identical to
+    * `transform(sequence(1, length(s) - n + 1), i => substr(s, i, n))` for
+    * strings of ≥ n code points (pinned in Md5ExprSpec), but O(len): the
+    * byte offsets of all code points are computed once and each gram is a
+    * zero-copy slice of the input's byte buffer. Shorter strings return an
+    * empty array (callers filter them first). */
+  case class CharGrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"char_grams: n = $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val bytes = s.getBytes
+      val offs = codePointOffsets(bytes)
+      val cnt = offs.length - 1 - n + 1
+      if (cnt <= 0) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](cnt)
+      var i = 0
+      while (i < cnt) {
+        out(i) = UTF8String.fromBytes(bytes, offs(i), offs(i + n) - offs(i))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): CharGrams =
+      copy(child = c)
+    override def prettyName: String = "char_grams"
+  }
+
+  /** Byte offsets of each code point start, plus the terminal offset —
+    * length = numChars + 1. */
+  @inline private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
+    // first pass: count code points (cheap — byte class dispatch only)
+    var nChars = 0
+    var i = 0
+    while (i < bytes.length) {
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      nChars += 1
+    }
+    val offs = new Array[Int](nChars + 1)
+    var c = 0
+    i = 0
+    while (i < bytes.length) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(nChars) = bytes.length
+    offs
+  }
+
   /** Portable 60-bit hash: `conv(substr(md5(x), 1, 15), 16, 10)` — built only
     * from functions every SQL engine ships (md5 + string ops + radix
     * conversion), so an external oracle can recompute it verbatim. The ONE
     * definition of this idiom: Dedup's portable SimHash tokens and Reconcile's
     * row hashes both route here — diverging copies would silently break the
-    * "portable" contract. */
+    * "portable" contract. Evaluation is the compiled [[Md5Hash60Expr]]
+    * (value-identical, Md5ExprSpec-pinned); the SQL idiom above stays the
+    * oracle-side recipe. */
   def md5Hash60(c: Column): Column = {
-    import org.apache.spark.sql.functions.{conv, md5, substring}
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(Md5Hash60Expr(expression(c.cast("string"))))
   }
 
   // ---- Column-facing wrappers (Spark 4: Column wraps a ColumnNode, so
@@ -346,4 +482,8 @@ object HashExpressions {
     column(ArrayDot(expression(a), expression(b)))
   def winnow_select(hashes: Column, w: Int): Column =
     column(WinnowSelect(expression(hashes), w))
+  def md5_char_gram_hashes(text: Column, k: Int): Column =
+    column(Md5CharGramHashes(expression(text), k))
+  def char_grams(text: Column, n: Int): Column =
+    column(CharGrams(expression(text), n))
 }

@@ -139,8 +139,16 @@ object CrawlPipeline {
     val gated = knHeadFrac match {
       case Some(frac) =>
         require(frac > 0 && frac <= 1, s"knHeadFrac out of (0,1]: $frac")
+        // persist the (id, ppl) relation — docs rows of 16 bytes: the
+        // histogram collect below is a PLAN-TIME job, and exchange reuse
+        // never crosses jobs, so without the persist the terminal action
+        // re-runs the whole KN scoring pass (trigram explode + model
+        // build + scoring join) a second time — measured 2× t24's wall
+        // inside c04. Same lifecycle as the `persistExtracted` seam (the
+        // caller/bench owns the cache); output bit-identical.
         val kn = Quality.knTrigramScore(ext, idCol, "extracted_text")
           .select(col(idCol), col("ppl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hist = kn.groupBy(col("ppl")).agg(count(lit(1)).as("c"))
           .orderBy(col("ppl")).collect()
         val n = hist.iterator.map(_.getLong(1)).sum
@@ -250,13 +258,18 @@ object CrawlPipeline {
                       sampleK: Int = 100, packBudget: Long = 512L,
                       rules: Quality.Rules = Quality.Rules(),
                       expectedBatchRows: Long = -1L,
+                      expectedHosts: Long = -1L,
                       outDir: Option[String] = None): DataFrame = {
     require(sampleK > 0 && packBudget > 0,
       s"crawl increment: sampleK=$sampleK packBudget=$packBudget")
     val spark = batch.sparkSession
-    // 0. URL gate — blocked pages never reach the (expensive) extraction
+    // 0. URL gate — blocked pages never reach the (expensive) extraction.
+    //    `expectedHosts` is the blocklist manifest's cardinality (the same
+    //    CTL-contract seam as `expectedBatchRows`): with it the broadcast-cap
+    //    decision is free; without it EVERY increment pays one plan-time HLL
+    //    job over the blocklist relation.
     val admitted = UrlFilter.filterDocs(batch, idCol, urlCol, urlRules,
-      blockedHosts)
+      blockedHosts, expectedHosts = expectedHosts)
     // 1. extraction, persisted once: the curation chain and the index
     //    append both read the cached copy
     val ext = Boilerplate.extract(admitted, idCol, htmlCol,

@@ -52,13 +52,16 @@ object LangId {
   private def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
+  // gram explode uses the compiled one-pass slicer (HashExpressions.CharGrams)
+  // — value-identical to transform(sequence(1, len-n+1), i => substr(i, n)),
+  // which is interpreted per gram and O(len) per substr (each code-point
+  // index re-scans from the string start), i.e. O(len²) per document
   private def explodeGrams(df: DataFrame, keep: Column, text: Column,
                            n: Int): DataFrame = df
     .select(keep.as("_id"), norm(text).as("_t"))
     .where(length(col("_t")) >= n)
-    .select(col("_id"), explode(transform(
-      sequence(lit(1), length(col("_t")) - (n - 1)),
-      i => col("_t").substr(i, lit(n)))).as("_g"))
+    .select(col("_id"),
+      explode(graft.functions.HashExpressions.char_grams(col("_t"), n)).as("_g"))
 
   /** Classify `docs` with a model trained on `labeled`. Output:
     * `(idCol, lang_pred, score)` — one row per doc with ≥ n normalized
@@ -68,9 +71,8 @@ object LangId {
     require(n >= 1, s"langid: gram size n=$n")
     val lt = labeled.select(col(langCol).as("_lang"), norm(col(textCol)).as("_t"))
       .where(length(col("_t")) >= n)
-    val lg = lt.select(col("_lang"), explode(transform(
-        sequence(lit(1), length(col("_t")) - (n - 1)),
-        i => col("_t").substr(i, lit(n)))).as("_g"))
+    val lg = lt.select(col("_lang"),
+      explode(graft.functions.HashExpressions.char_grams(col("_t"), n)).as("_g"))
     // one gram pass builds counts; totals and vocab ROLL UP from the counts
     // relation (Σ of per-(lang, gram) counts ≡ per-lang gram totals;
     // distinct grams of counts ≡ distinct grams of the stream — exactly),

@@ -150,6 +150,14 @@ object Quality {
             element_at(col("ws"), i + 2).as("w3")))).as("t"))
       .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
+    // NOTE (r13 opt round): the distinct-trigram relation feeds six model
+    // rollups whose differing column pruning defeats exchange/stage reuse
+    // (static plan: 16 scans, 0 ReusedExchange) — but a MEMORY_AND_DISK
+    // persist barrier here measured 2.2× SLOWER at sf0.1 (t24 1.83 → 4.00 s
+    // isolated): the columnar cache encode/decode of the (w1,w2,w3) string
+    // relation costs more than re-running the compiled trigram explode.
+    // Recompute wins at this scale; left as-is, recorded in
+    // OPTIMIZATION_r13.md.
     val c3 = tris.groupBy(col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("c3"))
     // context totals + distinct-continuation counts, all from the

@@ -45,9 +45,11 @@ object Winnowing {
     val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
     df.select(col(idCol).as("id"), norm.as("_norm"))
       .where(length(col("_norm")) >= k)
-      .select(col("id"),
-        transform(sequence(lit(1), length(col("_norm")) - (k - 1)),
-          i => H.md5Hash60(col("_norm").substr(i, lit(k)))).as("_hs"))
+      // one compiled O(len) pass (H.Md5CharGramHashes) — value-identical to
+      // transform(sequence(1, len-k+1), i => md5Hash60(substr(i, k))), which
+      // is interpreted per gram, O(len) per substr (code-point re-scan), and
+      // allocates a 32-char hex string + radix parse per hash
+      .select(col("id"), H.md5_char_gram_hashes(col("_norm"), k).as("_hs"))
   }
 
   /** Selected fingerprints `(id, pos, fp)`, one row per distinct selected
