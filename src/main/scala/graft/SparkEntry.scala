@@ -983,13 +983,26 @@ object SparkEntry {
     // text analysis: language-ID + quality + token counts. (The xxhash64
     // fingerprint feature is exercised by d02's grouping and unit tests — it
     // has no DuckDB equivalent, so it stays out of the oracle-checked output.)
+    // one compiled tokenStats pass feeds lang-profile hits, the token count
+    // and the quality score's token components (bit-identical ratios,
+    // TextStatsSpec); the two regex counters stay declarative
     "t01_text_features" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        T.langId(col("text")).as("lang_pred"),
-        bi(T.tokenCount(col("text"))).as("n_tokens"),
-        bi(T.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
-        T.qualityScore(col("text")).as("quality"))),
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), T.tokenStats(col("text")).as("_ts"))
+        .select(
+          col("doc_id"),
+          T.langIdFromHits(col("_ts.profile_hits")).as("lang_pred"),
+          bi(col("_ts.n_tokens")).as("n_tokens"),
+          bi(T.bpeTokenCount(col("text"))).as("n_bpe_tokens"),
+          round(
+            least(col("_ts.n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+              least(when(col("_ts.n_tokens") === 0, 0.0)
+                .otherwise(col("_ts.stop_hits").cast("double")
+                  / col("_ts.n_tokens")) * 5.0, lit(1.0)) * 0.3 +
+              greatest(lit(0.0),
+                lit(1.0) - T.punctRatio(col("text")) * 4.0) * 0.2 +
+              greatest(lit(0.0), lit(1.0) - T.upperRatio(col("text"))) * 0.1,
+            6).as("quality"))),
 
     // deterministic content-keyed train/valid/test split (md5-bucketed; see
     // operators.DatasetSplit for why content-keyed beats rand() at 100 TB).
@@ -1010,11 +1023,22 @@ object SparkEntry {
     // top-token, and duplicate-bigram fractions. Ratios of the same integers
     // on both engines → bit-identical doubles, no rounding needed.
     "t05_repetition" -> ((s, dir) =>
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        T.dupTokenFrac(T.tokens(col("text"))).as("dup_token_frac"),
-        T.topTokenFrac(T.tokens(col("text"))).as("top_token_frac"),
-        T.dupBigramFrac(col("text")).as("dup_bigram_frac"))),
+      // one compiled tokenStats pass (the primitive stack re-tokenized the
+      // doc three times and sorted it once); same integer ratios,
+      // bit-identical doubles (TextStatsSpec)
+      t(s, dir, "documents")
+        .select(col("doc_id"), T.tokenStats(col("text")).as("_ts"))
+        .select(
+          col("doc_id"),
+          when(col("_ts.n_tokens") === 0, 0.0)
+            .otherwise(lit(1.0) - col("_ts.distinct_tokens").cast("double")
+              / col("_ts.n_tokens").cast("double")).as("dup_token_frac"),
+          when(col("_ts.n_tokens") === 0, 0.0)
+            .otherwise(col("_ts.top_count").cast("double")
+              / col("_ts.n_tokens").cast("double")).as("top_token_frac"),
+          when(col("_ts.n_bigrams") === 0, 0.0)
+            .otherwise(lit(1.0) - col("_ts.distinct_bigrams").cast("double")
+              / col("_ts.n_bigrams").cast("double")).as("dup_bigram_frac"))),
 
     // the FULL Gopher char-fraction battery (top-{2,3,4}-gram / dup-{5..10}-
     // gram char fractions, overlaps counted once) — one compiled pass per doc,

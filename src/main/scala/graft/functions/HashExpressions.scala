@@ -429,6 +429,64 @@ object HashExpressions {
     override def prettyName: String = "char_grams"
   }
 
+  /** DSIR's hashed-gram feature map in ONE compiled pass: word unigram and
+    * bigram [[md5Hash60]] buckets of the single-space-tokenized text —
+    * value-identical (as a per-row multiset, which is all the downstream
+    * bucket aggregations consume; order mirrors `concat(ws, bigrams)`) to
+    *   `explode(concat(ws, bigrams))` → `md5Hash60(g) % buckets`
+    * with `ws = filter(split(text, " "), _ != "")` and bigrams joined with
+    * one space (pinned in Md5ExprSpec). Tokens are split on LITERAL spaces
+    * (the Dsir contract — not \s+); no-token rows yield an empty array,
+    * which `explode` drops exactly like the declarative `where(size >= 1)`.
+    * Bigram digests stream tok1, ' ', tok2 into one MD5 — no concatenated
+    * string is materialized. */
+  case class Md5WordGramBuckets(child: Expression, buckets: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(buckets > 0, s"md5_word_gram_buckets: buckets = $buckets")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    private val space = Array[Byte](' ')
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val n = bytes.length
+      // token byte ranges (split on literal ' ', empties dropped)
+      val starts = new java.util.ArrayList[Int]()
+      val ends = new java.util.ArrayList[Int]()
+      var i = 0
+      while (i < n) {
+        while (i < n && bytes(i) == ' ') i += 1
+        if (i < n) {
+          starts.add(i)
+          while (i < n && bytes(i) != ' ') i += 1
+          ends.add(i)
+        }
+      }
+      val t = starts.size()
+      if (t == 0) return new GenericArrayData(Array.empty[Long])
+      val out = new Array[Long](t + math.max(t - 1, 0))
+      val md = md5Local.get()
+      var j = 0
+      while (j < t) { // unigrams, in token order
+        md.reset()
+        md.update(bytes, starts.get(j), ends.get(j) - starts.get(j))
+        out(j) = md5First60(md.digest()) % buckets
+        j += 1
+      }
+      j = 0
+      while (j < t - 1) { // bigrams, in token order
+        md.reset()
+        md.update(bytes, starts.get(j), ends.get(j) - starts.get(j))
+        md.update(space)
+        md.update(bytes, starts.get(j + 1), ends.get(j + 1) - starts.get(j + 1))
+        out(t + j) = md5First60(md.digest()) % buckets
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Md5WordGramBuckets =
+      copy(child = c)
+    override def prettyName: String = "md5_word_gram_buckets"
+  }
+
   /** Byte offsets of each code point start, plus the terminal offset —
     * length = numChars + 1. */
   @inline private def codePointOffsets(bytes: Array[Byte]): Array[Int] = {
@@ -456,10 +514,24 @@ object HashExpressions {
     * conversion), so an external oracle can recompute it verbatim. The ONE
     * definition of this idiom: Dedup's portable SimHash tokens and Reconcile's
     * row hashes both route here — diverging copies would silently break the
-    * "portable" contract. Evaluation is the compiled [[Md5Hash60Expr]]
-    * (value-identical, Md5ExprSpec-pinned); the SQL idiom above stays the
-    * oracle-side recipe. */
+    * "portable" contract.
+    *
+    * Two evaluation forms, chosen by call-site context (r13 measurement):
+    * this declarative form stays fully whole-stage-codegen'd and WINS at
+    * one-hash-per-row sites (v01 row hashes / t13 draw keys measured ~1.25×
+    * slower under the interpreted-call form); [[md5Hash60Compiled]] wins
+    * INSIDE interpreted higher-order lambdas, where the per-element
+    * expression tree is interpreted anyway and the hex string + radix parse
+    * dominate (d04's per-token hashing measured 2.6× faster). Both are
+    * value-identical (Md5ExprSpec). */
   def md5Hash60(c: Column): Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  }
+
+  /** Compiled [[md5Hash60]] for interpreted-lambda call sites — see the
+    * form-selection note above. */
+  def md5Hash60Compiled(c: Column): Column = {
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     column(Md5Hash60Expr(expression(c.cast("string"))))
   }
@@ -484,6 +556,8 @@ object HashExpressions {
     column(WinnowSelect(expression(hashes), w))
   def md5_char_gram_hashes(text: Column, k: Int): Column =
     column(Md5CharGramHashes(expression(text), k))
+  def md5_word_gram_buckets(text: Column, buckets: Int): Column =
+    column(Md5WordGramBuckets(expression(text), buckets))
   def char_grams(text: Column, n: Int): Column =
     column(CharGrams(expression(text), n))
 }

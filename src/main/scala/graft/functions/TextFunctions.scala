@@ -151,13 +151,45 @@ object TextFunctions {
 
   /** Composite document-quality score in [0,1]: long enough, natural stopword
     * density, sane punctuation/caps. Weights are heuristic; each component is a
-    * deterministic built-in expression. */
-  def qualityScore(text: Column): Column = {
-    val lenScore = least(tokenCount(text).cast("double") / 100.0, lit(1.0))
-    val stopScore = least(stopwordRatio(text) * 5.0, lit(1.0))
-    val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
-    val casePenalty = greatest(lit(0.0), lit(1.0) - upperRatio(text))
-    round(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.2 + casePenalty * 0.1, 6)
+    * deterministic built-in expression. Token-derived components come from ONE
+    * compiled [[tokenStats]] pass (the declarative stack re-lowered and
+    * re-split the text once per component); the ratios are the same integer
+    * quotients, so the score is bit-identical (TextStatsSpec). */
+  def qualityScore(text: Column): Column =
+    letBindStruct(tokenStats(text)) { ts =>
+      val n = ts.getField("n_tokens")
+      val lenScore = least(n.cast("double") / 100.0, lit(1.0))
+      val stopScore = least(
+        when(n === 0, 0.0)
+          .otherwise(ts.getField("stop_hits").cast("double") / n) * 5.0,
+        lit(1.0))
+      val punctPenalty = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+      val casePenalty = greatest(lit(0.0), lit(1.0) - upperRatio(text))
+      round(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.2 + casePenalty * 0.1, 6)
+    }
+
+  // ---- single-pass token statistics (r13 optimization round) ---------------
+
+  /** ONE compiled pass over the document computing every whitespace-token
+    * statistic this file's primitives derive (counts, lengths, stopword and
+    * language-profile hits, distinct tokens/bigrams) — see
+    * [[TextStatsExpr.TokenStats]]. Ratios built from its integer fields are
+    * bit-identical to the primitive-per-primitive formulations
+    * (TextStatsSpec pins each one). */
+  def tokenStats(text: Column): Column =
+    TextStatsExpr.token_stats(text, enStopwords, langProfiles.map(_._2))
+
+  /** [[langId]]'s argmax over per-profile hit counts already computed by
+    * [[tokenStats]] — same struct-sort, same tie rule, same "und" fallback. */
+  def langIdFromHits(hits: Column): Column = {
+    val scored = langProfiles.zipWithIndex.map { case ((lang, _), prio) =>
+      struct(
+        (-hits.getItem(prio)).alias("negScore"),
+        lit(prio).alias("prio"),
+        lit(lang).alias("lang"))
+    }
+    val best = array_sort(array(scored: _*)).getItem(0)
+    when(best.getField("negScore") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 
   // ---- language identification -------------------------------------------

@@ -107,7 +107,7 @@ object Dedup {
   /** Portable 60-bit token hash ([[graft.functions.HashExpressions.md5Hash60]])
     * — the alternative to engine-internal xxhash64 for signatures an external
     * oracle must verify. */
-  private def portableTokenHash(tok: Column): Column = H.md5Hash60(tok)
+  private def portableTokenHash(tok: Column): Column = H.md5Hash60Compiled(tok)
 
   /** SimHash near-dup pairs: pigeonhole banding over `chunks` signature
     * chunks, then exact hamming verify. With `chunks > maxHamming` the

@@ -55,41 +55,27 @@ object Dsir {
 
   /** `(id, bucket)` gram-bucket stream: word unigrams + bigrams of the
     * space-tokenized text, each md5-bucketed into `[0, buckets)`. */
+  // gram construction + hashing + bucketing run in the ONE compiled pass
+  // [[HashExpressions.Md5WordGramBuckets]] — per-row-multiset-identical to
+  // the declarative split → bigram transform → explode → md5Hash60 % buckets
+  // chain it replaced (Md5ExprSpec pin; the old chain interpreted the bigram
+  // lambda per gram and built a hex string + radix parse per hash); no-token
+  // rows yield an empty array, which explode drops exactly like the old
+  // where(size(ws) >= 1)
   private def gramBuckets(df: DataFrame, idCol: String, textCol: String,
-                          buckets: Int): DataFrame = {
-    val ws = filter(split(col(textCol), " "), t => t =!= "")
-    // the >= 2 guard matters: Spark's sequence(1, 0) yields a DESCENDING
-    // [1, 0] for one-token docs (where DuckDB's generate_series is empty),
-    // and element_at at index 0 raises — one-token docs have unigrams only
-    val bigrams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1), i =>
-        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = concat(col("ws"), bigrams)
-    df.select(col(idCol).as("id"), ws.as("ws"))
-      .where(size(col("ws")) >= 1)
-      .select(col("id"), explode(grams).as("g"))
-      .select(col("id"),
-        (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"))
-  }
+                          buckets: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(HashExpressions.md5_word_gram_buckets(col(textCol), buckets))
+          .as("bucket"))
 
   /** [[gramBuckets]] with extra columns carried through the explode —
     * same tokenization, same bucketing. */
   private def gramBucketsCarrying(df: DataFrame, idCol: String,
                                   textCol: String, buckets: Int,
-                                  carry: Seq[String]): DataFrame = {
-    val ws = filter(split(col(textCol), " "), t => t =!= "")
-    val bigrams = when(size(col("ws")) >= 2,
-      transform(sequence(lit(1), size(col("ws")) - 1), i =>
-        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val grams = concat(col("ws"), bigrams)
-    df.select(col(idCol).as("id") +: carry.map(col) :+ ws.as("ws"): _*)
-      .where(size(col("ws")) >= 1)
-      .select(col("id") +: carry.map(col) :+ explode(grams).as("g"): _*)
-      .select(col("id") +: carry.map(col) :+
-        (HashExpressions.md5Hash60(col("g")) % buckets).as("bucket"): _*)
-  }
+                                  carry: Seq[String]): DataFrame =
+    df.select(col(idCol).as("id") +: carry.map(col) :+
+      explode(HashExpressions.md5_word_gram_buckets(col(textCol), buckets))
+        .as("bucket"): _*)
 
   /** Single-pass variant for the common case where the target distribution
     * IS a predicate over the raw corpus (a curated split, an eval-like

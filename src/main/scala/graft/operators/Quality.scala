@@ -35,12 +35,28 @@ object Quality {
     * dup_bigram_frac, keep)`. */
   def flags(df: DataFrame, textCol: String, rules: Rules = Rules()): DataFrame = {
     val text = col(textCol)
+    require(!df.columns.contains("_ts"),
+      "Quality.flags: input already has a '_ts' column (claimed internally) — rename it first")
+    // ONE compiled tokenization pass (TextFunctions.tokenStats) feeds every
+    // token-derived column — the per-primitive formulation re-lowered and
+    // re-split the document four times per row; the ratios below are the
+    // same integer quotients, so every column is bit-identical
+    // (TextStatsSpec). symbol_ratio stays a regex count over the RAW text.
     val flagged = df
-      .withColumn("n_tokens", TextFunctions.tokenCount(text).cast("long"))
-      .withColumn("mean_token_len", TextFunctions.meanTokenLen(text))
+      .withColumn("_ts", TextFunctions.tokenStats(text))
+      .withColumn("n_tokens", col("_ts.n_tokens").cast("long"))
+      .withColumn("mean_token_len",
+        when(col("_ts.n_tokens") === 0, 0.0)
+          .otherwise(col("_ts.sum_len").cast("double") / col("_ts.n_tokens")))
       .withColumn("symbol_ratio", TextFunctions.punctRatio(text))
-      .withColumn("stopword_ratio", TextFunctions.stopwordRatio(text))
-      .withColumn("dup_bigram_frac", TextFunctions.dupBigramFrac(text))
+      .withColumn("stopword_ratio",
+        when(col("_ts.n_tokens") === 0, 0.0)
+          .otherwise(col("_ts.stop_hits").cast("double") / col("_ts.n_tokens")))
+      .withColumn("dup_bigram_frac",
+        when(col("_ts.n_bigrams") === 0, 0.0)
+          .otherwise(lit(1.0) - col("_ts.distinct_bigrams").cast("double")
+            / col("_ts.n_bigrams").cast("double")))
+      .drop("_ts")
     flagged.withColumn("keep",
       col("n_tokens").between(rules.minTokens, rules.maxTokens) &&
         col("mean_token_len").between(rules.minMeanTokenLen, rules.maxMeanTokenLen) &&

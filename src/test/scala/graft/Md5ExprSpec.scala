@@ -25,12 +25,12 @@ class Md5ExprSpec extends SparkSpec {
   test("compiled md5_hash60 equals conv(substr(md5(x),1,15),16,10)") {
     val df = samples.toDF("s")
     val rows = df.select(
-      HashExpressions.md5Hash60(col("s")).as("got"),
+      HashExpressions.md5Hash60Compiled(col("s")).as("got"),
       declMd5Hash60(col("s")).as("want")).collect()
     rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
     // null propagates
     val nr = Seq[Option[String]](None).toDF("s")
-      .select(HashExpressions.md5Hash60(col("s"))).collect()
+      .select(HashExpressions.md5Hash60Compiled(col("s"))).collect()
     assert(nr.head.isNullAt(0))
   }
 
@@ -49,6 +49,27 @@ class Md5ExprSpec extends SparkSpec {
     val short = Seq("ab").toDF("s")
       .select(HashExpressions.char_grams(col("s"), 3)).collect()
     assert(short.head.getSeq[String](0).isEmpty)
+  }
+
+  test("compiled md5_word_gram_buckets equals the declarative DSIR gram chain") {
+    val B = 64
+    val df = samples.toDF("s")
+    val ws = filter(split(col("s"), " "), t => t =!= "")
+    val bigrams = when(size(col("ws")) >= 2,
+      transform(sequence(lit(1), size(col("ws")) - 1), i =>
+        concat_ws(" ", element_at(col("ws"), i), element_at(col("ws"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(col("s"), ws.as("ws"))
+      .select(col("s"),
+        HashExpressions.md5_word_gram_buckets(col("s"), B).as("got"),
+        when(size(col("ws")) >= 1,
+          transform(concat(col("ws"), bigrams),
+            g => declMd5Hash60(g) % B))
+          .otherwise(array().cast("array<long>")).as("want")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1).sorted === r.getSeq[Long](2).sorted,
+        s"input: '${r.getString(0)}'")
+    }
   }
 
   test("compiled md5_char_gram_hashes equals per-gram declarative md5Hash60") {
