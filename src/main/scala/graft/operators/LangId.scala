@@ -52,17 +52,6 @@ object LangId {
   private def norm(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  // gram explode uses the compiled one-pass slicer (HashExpressions.CharGrams)
-  // — value-identical to transform(sequence(1, len-n+1), i => substr(i, n)),
-  // which is interpreted per gram and O(len) per substr (each code-point
-  // index re-scans from the string start), i.e. O(len²) per document
-  private def explodeGrams(df: DataFrame, keep: Column, text: Column,
-                           n: Int): DataFrame = df
-    .select(keep.as("_id"), norm(text).as("_t"))
-    .where(length(col("_t")) >= n)
-    .select(col("_id"),
-      explode(graft.functions.HashExpressions.char_grams(col("_t"), n)).as("_g"))
-
   /** Classify `docs` with a model trained on `labeled`. Output:
     * `(idCol, lang_pred, score)` — one row per doc with ≥ n normalized
     * chars (shorter docs have no gram evidence and are not scored). */
@@ -142,39 +131,37 @@ object LangId {
       priorsScaled(i) = r.getLong(3)
       missScaled(i) = r.getLong(4)
     }
-    // V rows: gram -> L-array of scaled-long log-probs, miss-floor where
-    // the lang never saw the gram — THE broadcast model relation, built
-    // from the collected rows as a LocalRelation (no second job, no
-    // re-derivation of the counts subtree)
-    val termsByGram = new scala.collection.mutable.HashMap[String, Array[Long]]
+    // gram -> L-array of scaled-long log-probs (miss-floor where the lang
+    // never saw the gram) — the broadcast MODEL. The model is in driver
+    // memory by definition here (it was just collected), so scoring is a
+    // NARROW MAP: one broadcast handle + one compiled pass per doc
+    // ([[LangGramScore]]) summing the L scaled longs over the doc's grams.
+    // The r12 formulation shipped the model as a broadcast-joined relation
+    // and reduced per-doc partial sums through one docs-row exchange; this
+    // removes the gram explode (docs×len rows), the join probe per gram,
+    // and the scoring exchange ENTIRELY — zero corpus-sized exchanges on
+    // the scoring side (LangIdSpec pins the plan and the zero per-doc
+    // shuffle delta). Long sums are order-independent integer adds, so the
+    // result is bit-identical (NB-reference- and oracle-pinned).
+    val termsByGram = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]
     trained.foreach { r =>
-      val arr = termsByGram.getOrElseUpdate(r.getString(1), missScaled.clone())
+      val g = org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1))
+      var arr = termsByGram.get(g)
+      if (arr == null) { arr = missScaled.clone(); termsByGram.put(g, arr) }
       arr(idx(r.getString(0))) = r.getLong(2)
     }
     val spark = docs.sparkSession
-    import spark.implicits._
-    val model = termsByGram.iterator
-      .map { case (g, arr) => (g, arr.toSeq) }.toSeq
-      .toDF("_g", "_terms")
+    val modelBc = spark.sparkContext.broadcast(termsByGram)
 
-    val dg = explodeGrams(docs, col(idCol), col(textCol), n)
-    // per-doc element-wise sum: L long columns — the exchange carries docs
-    // rows (map-side combined), never docs×L. element_at on the (possibly
-    // null — unseen gram) broadcast array plus a literal miss-floor
-    // coalesce per element: no per-gram array materialization.
-    val sums = dg.join(broadcast(model), Seq("_g"), "left")
-      .groupBy(col("_id"))
-      .agg(
-        sum(coalesce(element_at(col("_terms"), 1), lit(missScaled(0))))
-          .as("_s0"),
-        (1 until L).map(i =>
-          sum(coalesce(element_at(col("_terms"), i + 1), lit(missScaled(i))))
-            .as(s"_s$i")): _*)
+    val sums = docs
+      .select(col(idCol).as("_id"), norm(col(textCol)).as("_t"))
+      .where(length(col("_t")) >= n)
+      .select(col("_id"), langGramScore(col("_t"), modelBc, missScaled, n).as("_s"))
     // argmax by (score desc, lang asc): min over (-score, idx) structs — the
     // long negation is exact and langs index order IS lex order, so the
     // tie rule is bit-deterministic
     val scoredStructs = array((0 until L).map(i =>
-      struct((-(lit(priorsScaled(i)) + col(s"_s$i"))).as("ns"),
+      struct((-(lit(priorsScaled(i)) + col("_s").getItem(i))).as("ns"),
         lit(i).as("idx"))): _*)
     sums
       .select(col("_id"), array_min(scoredStructs).as("_b"))
@@ -185,5 +172,69 @@ object LangId {
         round((col("_b.ns").cast("decimal(20,0)") *
           lit(new java.math.BigDecimal("-0.000000001")).cast("decimal(10,9)"))
           .cast("double"), 6).as("score"))
+  }
+
+  /** Compiled per-doc scorer: Σ over the doc's code-point n-grams of the
+    * model's L scaled-long log-probs (miss-floor vector for unseen grams) —
+    * the narrow-map replacement for explode → broadcast join → per-doc
+    * reduce. The model rides an ordinary Spark broadcast (a handle in the
+    * task binary, one copy per executor — same shipping story as the
+    * relation it replaces). */
+  private case class LangGramScore(
+      child: org.apache.spark.sql.catalyst.expressions.Expression,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]],
+      miss: Array[Long], n: Int)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+      with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    import org.apache.spark.sql.types._
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      val bytes = s.getBytes
+      val L = miss.length
+      val sums = new Array[Long](L)
+      val m = model.value
+      // code point offsets (one pass), then one map lookup per gram slice
+      var nChars = 0
+      var i = 0
+      while (i < bytes.length) {
+        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+        nChars += 1
+      }
+      val offs = new Array[Int](nChars + 1)
+      var c = 0
+      i = 0
+      while (i < bytes.length) {
+        offs(c) = i
+        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+        c += 1
+      }
+      offs(nChars) = bytes.length
+      var g = 0
+      val grams = nChars - n + 1
+      while (g < grams) {
+        val slice = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, offs(g), offs(g + n) - offs(g))
+        val terms = m.get(slice)
+        val src = if (terms == null) miss else terms
+        var l = 0
+        while (l < L) { sums(l) += src(l); l += 1 }
+        g += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sums)
+    }
+    override protected def withNewChildInternal(
+        c: org.apache.spark.sql.catalyst.expressions.Expression): LangGramScore =
+      copy(child = c)
+    override def prettyName: String = "lang_gram_score"
+  }
+
+  private def langGramScore(text: Column,
+      model: org.apache.spark.broadcast.Broadcast[
+        java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]],
+      miss: Array[Long], n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    column(LangGramScore(expression(text), model, miss, n))
   }
 }

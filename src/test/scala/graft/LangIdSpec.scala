@@ -83,15 +83,18 @@ class LangIdSpec extends SparkSpec {
     assert(got == Set(3L))
   }
 
-  test("plan: model and lang stats broadcast to the scoring side — the " +
-       "corpus is never sort-merge joined") {
+  test("plan: scoring is a narrow map over the corpus — no join of any " +
+       "kind (the model rides a broadcast handle inside the compiled " +
+       "scorer, r13 opt)") {
     val d = Lake.table(spark, sf0001, "documents")
     val plan = LangId.classify(d.where(col("doc_id") % 5 =!= 0), d,
         "doc_id", "text", "lang")
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SortMergeJoin"),
-      s"scoring joins must broadcast the model:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+      s"the corpus must never be sort-merge joined:\n$plan")
+    assert(!plan.contains("Join"),
+      s"scoring must be a narrow map — no join at all:\n$plan")
+    assert(plan.contains("lang_gram_score"), plan)
   }
 
   test("shuffle: the scoring exchange carries docs rows, not docs×L — " +
@@ -125,10 +128,13 @@ class LangIdSpec extends SparkSpec {
     val base = 400
     val delta = records(base * 10) - records(base)
     val extraDocs = base * 9
-    assert(delta >= extraDocs / 2, s"delta $delta — expected ~$extraDocs")
-    assert(delta < extraDocs * 2,
-      s"scoring exchange grew $delta records for $extraDocs extra docs — " +
-        s"looks like docs×L (L = 3) is back")
+    // r13 opt: the narrow-map scorer removed the per-doc partial-sum
+    // exchange entirely — the previous pin was "~1 record per extra doc,
+    // never docs×L"; the stronger invariant now is ZERO scoring shuffle
+    // growth (model exchanges are doc-count-independent)
+    assert(delta < extraDocs / 2,
+      s"scoring shuffled $delta records for $extraDocs extra docs — " +
+        s"the corpus-scaling exchange is back (docs×L would be ${extraDocs * 3})")
   }
 
   /** Independent NB reference: same smoothing, quantization (ln rounded at
