@@ -128,8 +128,53 @@ object TextStatsExpr {
     override def prettyName: String = "token_stats"
   }
 
+  /** All word trigrams of the single-space-tokenized text as one compiled
+    * pass — value-identical to
+    *   `transform(sequence(1, size(ws) - 2), i => struct(el(i), el(i+1), el(i+2)))`
+    * over `ws = filter(split(text, " "), _ != "")` for texts of ≥ 3 tokens
+    * (TextStatsSpec pin); shorter texts return an empty array, which the
+    * consuming `explode` drops exactly like the declarative
+    * `where(size(ws) >= 3)`. Tokens are zero-copy byte slices. */
+  case class WordTriples(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(
+      StructType(Seq(
+        StructField("w1", StringType, nullable = false),
+        StructField("w2", StringType, nullable = false),
+        StructField("w3", StringType, nullable = false))),
+      containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      val n = bytes.length
+      val toks = new java.util.ArrayList[UTF8String]()
+      var i = 0
+      while (i < n) {
+        while (i < n && bytes(i) == ' ') i += 1
+        if (i < n) {
+          val start = i
+          while (i < n && bytes(i) != ' ') i += 1
+          toks.add(UTF8String.fromBytes(bytes, start, i - start))
+        }
+      }
+      val t = toks.size()
+      if (t < 3) return new GenericArrayData(Array.empty[Any])
+      val out = new Array[Any](t - 2)
+      var j = 0
+      while (j + 2 < t) {
+        out(j) = InternalRow(toks.get(j), toks.get(j + 1), toks.get(j + 2))
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): WordTriples =
+      copy(child = c)
+    override def prettyName: String = "word_triples"
+  }
+
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def token_stats(text: Column, stopwords: Seq[String],
                   profiles: Seq[Seq[String]]): Column =
     column(TokenStats(expression(text), stopwords, profiles))
+  def word_triples(text: Column): Column =
+    column(WordTriples(expression(text)))
 }

@@ -278,12 +278,18 @@ object CrawlPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // 2. the c02 curation chain with the history-dedup seam after the
-      //    in-batch dedup: survivors' fingerprints absent from the index
+      //    in-batch dedup: survivors' fingerprints absent from the index.
+      //    A fresh pipeline's FIRST batch has an empty index — dedup
+      //    against it is the identity, so skip the bloom build + confirm
+      //    plan outright (plan-time directory check; output identical by
+      //    the anti-join-vs-empty semantics).
       val curated = chainFromExtracted(ext, idCol, langCol, sourceCol,
         labeledPred, targetLangs, dsirTargetPred, sampleK, packBudget, rules,
-        postDedup = df => HistoryDedup.newAgainstFingerprints(df,
-          FingerprintIndex.read(spark, indexDir), "extracted_text",
-          expectedHistoryRows, expectedBatchRows = expectedBatchRows))
+        postDedup =
+          if (FingerprintIndex.isEmpty(spark, indexDir)) identity
+          else df => HistoryDedup.newAgainstFingerprints(df,
+            FingerprintIndex.read(spark, indexDir), "extracted_text",
+            expectedHistoryRows, expectedBatchRows = expectedBatchRows))
       // 3. land the batch (forcing evaluation) BEFORE the index mutates —
       //    a failure here leaves the index untouched and the batch
       //    replayable

@@ -37,12 +37,20 @@ object FingerprintIndex {
   /** The index as one fingerprint relation; an absent/empty directory reads
     * as an empty index (the first batch of a fresh pipeline). */
   def read(spark: SparkSession, indexDir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p) && fs.listStatus(p).nonEmpty)
+    if (!isEmpty(spark, indexDir))
       spark.read.parquet(indexDir).select(col("_fp"))
     else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema)
+  }
+
+  /** Plan-construction-time emptiness check (directory listing only) — the
+    * seam that lets a first-batch caller skip history dedup outright:
+    * dedup against an EMPTY index is the identity, but still pays a bloom
+    * build + confirm plan per batch if composed blindly. */
+  def isEmpty(spark: SparkSession, indexDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !(fs.exists(p) && fs.listStatus(p).nonEmpty)
   }
 
   /** One pipeline step: dedup `batch` against the index, THEN append the

@@ -156,14 +156,13 @@ object Quality {
   def knTrigramScore(df: DataFrame, idCol: String, textCol: String,
                      discount: Double = 0.75): DataFrame = {
     require(discount > 0 && discount < 1, s"kn discount out of (0,1): $discount")
-    val toks = df.select(col(idCol).as("id"),
-        filter(split(col(textCol), " "), t => t =!= "").as("ws"))
-      .where(size(col("ws")) >= 3)
-    val tris = toks.select(col("id"),
-        explode(transform(sequence(lit(1), size(col("ws")) - 2), i =>
-          struct(element_at(col("ws"), i).as("w1"),
-            element_at(col("ws"), i + 1).as("w2"),
-            element_at(col("ws"), i + 2).as("w3")))).as("t"))
+    // trigram emission in one compiled pass (TextStatsExpr.WordTriples) —
+    // value-identical to the split + transform(sequence, element_at) tree,
+    // which interpreted a 3-field struct build per gram; <3-token docs
+    // yield an empty array, which explode drops exactly like the old
+    // where(size(ws) >= 3)
+    val tris = df.select(col(idCol).as("id"),
+        explode(graft.functions.TextStatsExpr.word_triples(col(textCol))).as("t"))
       .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
     // NOTE (r13 opt round): the distinct-trigram relation feeds six model

@@ -81,6 +81,23 @@ class TextStatsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("word_triples equals the declarative split + transform trigram tree") {
+    val ws = filter(split(col("s"), " "), t => t =!= "")
+    val rows = statsDf.select(
+      graft.functions.TextStatsExpr.word_triples(col("s")).as("got"),
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - 2), i =>
+          struct(element_at(ws, i).as("w1"),
+            element_at(ws, i + 1).as("w2"),
+            element_at(ws, i + 2).as("w3"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string,w3:string>>"))
+        .as("want")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[org.apache.spark.sql.Row](0) ===
+        r.getSeq[org.apache.spark.sql.Row](1))
+    }
+  }
+
   test("Quality.flags columns are bit-identical to the primitive formulation") {
     val df = statsDf.withColumn("id", monotonically_increasing_id())
     val got = graft.operators.Quality.flags(df, "s")
